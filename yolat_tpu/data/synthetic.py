@@ -1,0 +1,272 @@
+"""Synthetic SESYD-style SVG + annotation generator.
+
+The SESYD Floorplans/Diagrams datasets are not redistributable with this
+repo, so tests and benchmarks run on procedurally generated documents that
+exercise the same primitive vocabulary (<line>, <circle>, arc <path>), the
+same annotation schema (<a>/<o> tags with x0/y0/x1/y1/label children), and a
+comparable structure: a large connected "wall" skeleton plus disconnected
+symbols placed inside rooms.
+
+This generalises the reference's only synthetic fixture
+(Datasets/toy_dataset.py: circle/triangle/rectangle generator) into full
+documents compatible with the end-to-end pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+# Symbol vocabulary: small parametric glyphs drawn from lines/circles/arcs.
+# Class names reuse the floorplans dictionary of the reference
+# (Datasets/graph_dict3.py:84-102) so class ids line up.
+FLOORPLAN_CLASSES = {
+    "armchair": 0,
+    "bed": 1,
+    "door1": 2,
+    "door2": 3,
+    "sink1": 4,
+    "sink2": 5,
+    "sink3": 6,
+    "sink4": 7,
+    "sofa1": 8,
+    "sofa2": 9,
+    "table1": 10,
+    "table2": 11,
+    "table3": 12,
+    "tub": 13,
+    "window1": 14,
+    "window2": 15,
+    "None": 16,
+}
+
+DIAGRAM_CLASSES = {
+    "diode2": 0, "capacitor2": 1, "diode3": 2, "earth": 3, "battery1": 4,
+    "battery2": 5, "core-iron": 6, "outlet": 7, "transistor-npn": 8,
+    "capacitor1": 9, "resistor": 10, "relay": 11, "core-air": 12,
+    "transistor-mosfetn": 13, "transistor-mosfetp": 14, "core-hiron": 15,
+    "transistor-pnp": 16, "diode1": 17, "diodephoto": 18, "gate-ampli": 19,
+    "unspecified": 20, "None": 21,
+}
+
+
+def _line(x1, y1, x2, y2):
+    return f'<line x1="{x1:.6f}" y1="{y1:.6f}" x2="{x2:.6f}" y2="{y2:.6f}"/>'
+
+
+def _circle(cx, cy, r):
+    return f'<circle cx="{cx:.6f}" cy="{cy:.6f}" r="{r:.6f}"/>'
+
+
+def _arc(x0, y0, x1, y1, r, large=0, sweep=1):
+    return (
+        f'<path d="M {x0:.6f} {y0:.6f} A {r:.6f} {r:.6f} 0 {large} {sweep} '
+        f'{x1:.6f} {y1:.6f}"/>'
+    )
+
+
+# --- symbol glyphs -----------------------------------------------------------
+# Each returns (list of svg element strings, (x0, y0, x1, y1) tight bbox).
+
+
+def _glyph_rect_cross(x, y, w, h):
+    el = [
+        _line(x, y, x + w, y),
+        _line(x + w, y, x + w, y + h),
+        _line(x + w, y + h, x, y + h),
+        _line(x, y + h, x, y),
+        _line(x, y, x + w, y + h),
+    ]
+    return el, (x, y, x + w, y + h)
+
+
+def _glyph_rect_circle(x, y, w, h):
+    r = min(w, h) * 0.3
+    el = [
+        _line(x, y, x + w, y),
+        _line(x + w, y, x + w, y + h),
+        _line(x + w, y + h, x, y + h),
+        _line(x, y + h, x, y),
+        _circle(x + w / 2, y + h / 2, r),
+    ]
+    return el, (x, y, x + w, y + h)
+
+
+def _glyph_door(x, y, w, h):
+    # quarter-arc door swing: wall stub + arc
+    r = min(w, h)
+    el = [
+        _line(x, y, x, y + r),
+        _arc(x, y + r, x + r, y, r, large=0, sweep=1),
+        _line(x, y, x + r, y),
+    ]
+    return el, (x, y, x + r, y + r)
+
+
+def _glyph_table(x, y, w, h):
+    el = [
+        _line(x, y, x + w, y),
+        _line(x + w, y, x + w, y + h),
+        _line(x + w, y + h, x, y + h),
+        _line(x, y + h, x, y),
+        _line(x + w * 0.2, y, x + w * 0.2, y + h),
+        _line(x + w * 0.8, y, x + w * 0.8, y + h),
+    ]
+    return el, (x, y, x + w, y + h)
+
+
+def _glyph_sink(x, y, w, h):
+    r = min(w, h) * 0.35
+    cx, cy = x + w / 2, y + h / 2
+    el = [
+        _line(x, y, x + w, y),
+        _line(x + w, y, x + w, y + h),
+        _line(x + w, y + h, x, y + h),
+        _line(x, y + h, x, y),
+        _circle(cx, cy, r),
+        _line(cx - r, cy, cx + r, cy),
+    ]
+    return el, (x, y, x + w, y + h)
+
+
+def _glyph_sofa(x, y, w, h):
+    el = [
+        _line(x, y, x + w, y),
+        _line(x + w, y, x + w, y + h),
+        _line(x + w, y + h, x, y + h),
+        _line(x, y + h, x, y),
+        _line(x, y + h * 0.3, x + w, y + h * 0.3),
+        _line(x + w * 0.5, y + h * 0.3, x + w * 0.5, y + h),
+    ]
+    return el, (x, y, x + w, y + h)
+
+
+def _glyph_tub(x, y, w, h):
+    r = min(w, h) * 0.25
+    el = [
+        _line(x, y, x + w, y),
+        _line(x + w, y, x + w, y + h),
+        _line(x + w, y + h, x, y + h),
+        _line(x, y + h, x, y),
+        _circle(x + w * 0.25, y + h / 2, r),
+        _line(x + w * 0.55, y + h * 0.25, x + w * 0.85, y + h * 0.25),
+        _line(x + w * 0.55, y + h * 0.75, x + w * 0.85, y + h * 0.75),
+    ]
+    return el, (x, y, x + w, y + h)
+
+
+GLYPHS = {
+    "armchair": _glyph_rect_cross,
+    "bed": _glyph_rect_circle,
+    "door1": _glyph_door,
+    "table1": _glyph_table,
+    "sink1": _glyph_sink,
+    "sofa1": _glyph_sofa,
+    "tub": _glyph_tub,
+}
+
+
+def generate_floorplan(rng: np.random.Generator, width: float = 2000.0,
+                       height: float = 1500.0, n_rooms: int = 4,
+                       symbols_per_room=(1, 3)):
+    """Generate one synthetic floorplan.
+
+    Returns (svg_text, xml_text, gt_boxes_px [G,4], gt_labels [G]).
+    """
+    elements = []
+    boxes, labels = [], []
+
+    margin = 60.0
+    x0, y0 = margin, margin
+    x1, y1 = width - margin, height - margin
+
+    # outer walls
+    elements += [
+        _line(x0, y0, x1, y0),
+        _line(x1, y0, x1, y1),
+        _line(x1, y1, x0, y1),
+        _line(x0, y1, x0, y0),
+    ]
+
+    # room partitions: vertical splits crossing the full plan (these cross
+    # the outer walls' interiors, exercising split_line)
+    n_cols = max(2, int(np.ceil(np.sqrt(n_rooms))))
+    col_w = (x1 - x0) / n_cols
+    for c in range(1, n_cols):
+        xc = x0 + c * col_w
+        elements.append(_line(xc, y0, xc, y1))
+    yc = (y0 + y1) / 2
+    elements.append(_line(x0, yc, x1, yc))
+
+    cells = []
+    for c in range(n_cols):
+        for rrow in range(2):
+            cells.append(
+                (
+                    x0 + c * col_w,
+                    y0 + rrow * (y1 - y0) / 2,
+                    x0 + (c + 1) * col_w,
+                    y0 + (rrow + 1) * (y1 - y0) / 2,
+                )
+            )
+
+    glyph_names = list(GLYPHS.keys())
+    for cell in cells:
+        cx0, cy0, cx1, cy1 = cell
+        n_sym = int(rng.integers(symbols_per_room[0], symbols_per_room[1] + 1))
+        for _ in range(n_sym):
+            name = glyph_names[int(rng.integers(len(glyph_names)))]
+            w = float(rng.uniform(90, 180))
+            h = float(rng.uniform(90, 180))
+            pad = 25.0
+            if cx1 - cx0 < w + 2 * pad or cy1 - cy0 < h + 2 * pad:
+                continue
+            gx = float(rng.uniform(cx0 + pad, cx1 - pad - w))
+            gy = float(rng.uniform(cy0 + pad, cy1 - pad - h))
+            el, bb = GLYPHS[name](gx, gy, w, h)
+            elements += el
+            boxes.append(bb)
+            labels.append(name)
+
+    svg = (
+        '<?xml version="1.0"?>\n'
+        f'<svg xmlns="http://www.w3.org/2000/svg" stroke="black" stroke-width="3">\n'
+        f'<image width="{width:.1f}" height="{height:.1f}"/>\n'
+        + "\n".join(elements)
+        + "\n</svg>\n"
+    )
+
+    ann = ['<?xml version="1.0"?>', "<data>", "<o>"]
+    for (bx0, by0, bx1, by1), name in zip(boxes, labels):
+        ann.append(
+            f'<object x0="{bx0:.6f}" y0="{by0:.6f}" x1="{bx1:.6f}" y1="{by1:.6f}" '
+            f'label="{name}"/>'
+        )
+    ann += ["</o>", "</data>", ""]
+
+    gt = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    gt_labels = np.asarray([FLOORPLAN_CLASSES[n] for n in labels], dtype=np.int64)
+    return svg, "\n".join(ann), gt, gt_labels
+
+
+def write_dataset(root: str, n_train: int = 8, n_test: int = 4, seed: int = 0,
+                  **kwargs) -> None:
+    """Materialise a synthetic dataset with the SESYD directory layout:
+    <root>/<subdir>/file_N.svg + file_N.xml and <root>/{train,test}_list.txt.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "floorplans-syn"), exist_ok=True)
+    names = {"train": [], "test": []}
+    for split, n in (("train", n_train), ("test", n_test)):
+        for i in range(n):
+            name = f"floorplans-syn/file_{split}_{i}"
+            svg, xml, _, _ = generate_floorplan(rng, **kwargs)
+            with open(os.path.join(root, name + ".svg"), "w") as f:
+                f.write(svg)
+            with open(os.path.join(root, name + ".xml"), "w") as f:
+                f.write(xml)
+            names[split].append(name + ".svg")
+    for split in ("train", "test"):
+        with open(os.path.join(root, f"{split}_list.txt"), "w") as f:
+            f.write("\n".join(names[split]) + "\n")
