@@ -1,18 +1,24 @@
 """Test configuration.
 
-Tests run on a virtual 8-device CPU mesh (the TPU-world "multi-node without a
-cluster" mechanism): JAX_PLATFORMS + xla_force_host_platform_device_count
-must be set before jax initialises, hence the env mutation at import time.
+Tests run on a virtual 8-device CPU mesh (the TPU-world "multi-node without
+a cluster" mechanism). The axon TPU plugin in this image overrides the
+JAX_PLATFORMS environment variable, so the CPU backend must be forced via
+jax.config before any device is touched; the host-device-count XLA flag
+still must be set before jax import.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

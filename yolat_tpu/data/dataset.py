@@ -1,0 +1,167 @@
+"""SESYD-style dataset: offline preprocessing with caching + packed loader.
+
+Counterpart of Datasets/graph_dict3.SESYDFloorPlan: reads
+<root>/<partition>_list.txt, preprocesses each SVG through the geometry
+kernel (graph build) and the proposal generator, and caches both stages on
+disk (the reference caches the graph as <file>.pkl and proposals as
+<file>_bb.pkl, graph_dict3.py:917-932; we use .graph.pkl / .props.pkl
+sidecars keyed by sampling step so both datasets' conventions coexist).
+
+The loader flat-packs images into padded device batches (one flat graph per
+device shard) — the TPU equivalent of the reference DataLoader(collate)
+(train.py:178-189).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from yolat_tpu.data.packing import PadSizes, pack_files
+from yolat_tpu.data.synthetic import DIAGRAM_CLASSES, FLOORPLAN_CLASSES
+from yolat_tpu.geom.graph_build import build_svg_graph
+from yolat_tpu.geom.proposals import ProposalFile, generate_proposals
+from yolat_tpu.geom.svg_io import SVGDocument, read_ground_truth_boxes
+
+
+class SESYDDataset:
+    def __init__(self, root: str, partition: str = "train",
+                 bbox_sampling_step: int = 10, mode: str | None = None,
+                 class_dict: dict | None = None, cache: bool = True,
+                 do_mixup: bool = False, seed: int = 0):
+        self.root = root
+        self.partition = partition
+        self.step = bbox_sampling_step
+        with open(os.path.join(root, f"{partition}_list.txt")) as f:
+            self.files = [os.path.join(root, line.strip()) for line in f if line.strip()]
+        if mode is None:
+            # the reference keys the class dictionary off the path
+            # (graph_dict3.py:57)
+            mode = "diagram" if "diagram" in os.path.dirname(self.files[0]) else "floorplan"
+        self.mode = mode
+        if class_dict is None:
+            class_dict = DIAGRAM_CLASSES if mode == "diagram" else FLOORPLAN_CLASSES
+        self.class_dict = class_dict
+        self.n_classes = len(set(class_dict.values()))
+        self.cache = cache
+        self.do_mixup = do_mixup
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.files)
+
+    def _graph(self, path: str) -> dict:
+        cache_path = path.replace(".svg", ".graph.pkl")
+        if self.cache and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
+        doc = SVGDocument.from_file(path)
+        g = build_svg_graph(doc, mode=self.mode)
+        if self.cache:
+            with open(cache_path, "wb") as f:
+                pickle.dump(g, f)
+        return g
+
+    def load(self, idx: int):
+        """Returns (ProposalFile, (gt_bbox, gt_labels), (width, height))."""
+        path = self.files[idx]
+        graph = self._graph(path)
+        w, h = graph["img_width"], graph["img_height"]
+        gt_bbox, gt_labels = read_ground_truth_boxes(
+            path.replace(".svg", ".xml"), w, h, self.class_dict
+        )
+        cache_path = path.replace(".svg", f".props{self.step}.pkl")
+        if self.cache and not self.do_mixup and os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                pf = ProposalFile.from_dict(pickle.load(f))
+        else:
+            pf = generate_proposals(
+                graph, gt_bbox, gt_labels, self.n_classes,
+                bbox_sampling_step=self.step, do_mixup=self.do_mixup,
+                rng=self._rng,
+            )
+            if self.cache and not self.do_mixup:
+                with open(cache_path, "wb") as f:
+                    pickle.dump(pf.to_dict(), f)
+        return pf, (gt_bbox, gt_labels), (w, h)
+
+
+class PackedLoader:
+    """Yields stacked per-device packed batches [D, ...].
+
+    Each device shard packs `batch_size` images into one flat padded graph.
+    Pad sizes are fixed across the epoch (computed from the dataset once) so
+    XLA compiles a single program per loader.
+    """
+
+    def __init__(self, dataset: SESYDDataset, batch_size: int = 4,
+                 n_devices: int = 1, shuffle: bool = True, seed: int = 0,
+                 pad: PadSizes | None = None, drop_last: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.n_devices = n_devices
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.drop_last = drop_last
+        self.pad = pad or self.compute_pad()
+
+    def compute_pad(self) -> PadSizes:
+        """Worst-case per-shard pad sizes over all possible batch windows."""
+        loads = [self.ds.load(i) for i in range(len(self.ds))]
+        files = [l[0] for l in loads]
+        gt_counts = [len(l[1][0]) for l in loads]
+        per_file = PadSizes.for_files(files, gt_counts, self.batch_size)
+        # scale single-file worst cases by batch size (upper bound)
+        top = sorted(files, key=lambda f: len(f.pos))[-self.batch_size :]
+        top_e = sorted(files, key=lambda f: len(f.edge))[-self.batch_size :]
+        top_s = sorted(files, key=lambda f: len(f.edge_super))[-self.batch_size :]
+        top_p = sorted(files, key=lambda f: f.n_proposals)[-self.batch_size :]
+        return PadSizes(
+            PadSizes.for_files(top, gt_counts, self.batch_size).n_nodes,
+            PadSizes.for_files(top_e, gt_counts, self.batch_size).n_edges,
+            PadSizes.for_files(top_s, gt_counts, self.batch_size).n_super,
+            PadSizes.for_files(top_p, gt_counts, self.batch_size).n_proposals,
+            per_file.n_gt,
+            self.batch_size,
+        )
+
+    def __len__(self):
+        per_step = self.batch_size * self.n_devices
+        if self.drop_last:
+            return len(self.ds) // per_step
+        return (len(self.ds) + per_step - 1) // per_step
+
+    def __iter__(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        per_step = self.batch_size * self.n_devices
+        for start in range(0, len(order), per_step):
+            window = order[start : start + per_step]
+            if len(window) < per_step and self.drop_last:
+                return
+            shards = []
+            for d in range(self.n_devices):
+                idxs = window[d * self.batch_size : (d + 1) * self.batch_size]
+                loads = [self.ds.load(int(i)) for i in idxs]
+                shards.append(
+                    pack_files(
+                        [l[0] for l in loads],
+                        [l[1] for l in loads],
+                        [l[2] for l in loads],
+                        self.pad,
+                    )
+                )
+            yield stack_shards(shards)
+
+
+def stack_shards(shards: list) -> dict:
+    """[D] list of batch dicts -> dict of [D, ...] arrays."""
+    out = {}
+    for k in shards[0]:
+        out[k] = np.stack([s[k] for s in shards], axis=0)
+    return out

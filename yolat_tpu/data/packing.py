@@ -1,0 +1,221 @@
+"""Flat-packed, statically-shaped batches.
+
+The TPU-native replacement for the reference's PyG-style collate
+(cad_recognition/train.py:123-171) plus its slice-offset fixup loops
+(train.py:238-258): a batch is ONE flat graph — nodes/edges/proposals of all
+images concatenated with id offsets applied at pack time — padded to static
+bucket sizes so a single compiled program serves every batch of the same
+bucket.
+
+Batch dict contract (all jnp-compatible numpy arrays):
+  pos           [N, 2] f32   proposal-normalised node positions
+  node_mask     [N]    bool
+  bbox_idx      [N]    i32   node -> global proposal slot (0 for padding)
+  edge          [E, 2] i32   (src, dst) global node ids (0 for padding)
+  e_attr        [E, 4] f32   first 4 edge-attr dims (graph_dict3.py:971)
+  edge_mask     [E]    bool
+  edge_super    [S, 2] i32   carried for parity; unused by the canonical
+  e_attr_super  [S, 4] f32   model (architecture...py:196-216 commented out)
+  super_mask    [S]    bool
+  labels        [P]    i32
+  proposal_mask [P]    bool
+  bbox          [P, 4] f32   proposal geometry boxes (normalised)
+  stat_feats    [P,13] f32   carried, unused (dim_stat=0)
+  has_obj       [P]    i32
+  image_id      [P]    i32   proposal -> image index in batch
+  is_root       [P]    bool  CC-root proposals (two-pass inference)
+  n_images      scalar i32
+  (per image, for eval)
+  gt_bbox       [B, G, 4] f32, gt_labels [B, G] i32, gt_mask [B, G] bool
+  wh            [B, 2] f32 image pixel size
+
+`finalize_batch` is the jit-able device-side epilogue: optional train-time
+augmentation (random_transfer, graph_dict3.py:236-298), proposal-box
+recomputation from transformed positions (update_bbox, :934-955), and the
+x = [0,0,0 | pos] feature build (:966-969).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from yolat_tpu.geom.proposals import ProposalFile
+
+
+def round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+class PadSizes:
+    """Static bucket sizes for one batch shape."""
+
+    def __init__(self, n_nodes, n_edges, n_super, n_proposals, n_gt, n_images):
+        self.n_nodes = n_nodes
+        self.n_edges = n_edges
+        self.n_super = n_super
+        self.n_proposals = n_proposals
+        self.n_gt = n_gt
+        self.n_images = n_images
+
+    @classmethod
+    def for_files(cls, files, gt_counts, n_images, node_mult=512, edge_mult=512,
+                  super_mult=2048, prop_mult=64, gt_mult=16):
+        return cls(
+            round_up(sum(len(f.pos) for f in files), node_mult),
+            round_up(sum(len(f.edge) for f in files), edge_mult),
+            round_up(sum(len(f.edge_super) for f in files), super_mult),
+            round_up(sum(f.n_proposals for f in files), prop_mult),
+            round_up(max(gt_counts) if gt_counts else 1, gt_mult),
+            n_images,
+        )
+
+    def key(self):
+        return (self.n_nodes, self.n_edges, self.n_super, self.n_proposals,
+                self.n_gt, self.n_images)
+
+
+def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
+    """Concatenate per-file proposal arrays into one padded flat batch.
+
+    Args:
+      files: list of ProposalFile.
+      gts:   list of (gt_bbox [G,4], gt_labels [G]) per file.
+      whs:   list of (width, height) per file.
+      pad:   PadSizes; must dominate the actual totals.
+    """
+    B = pad.n_images
+    assert len(files) <= B
+
+    batch = {
+        "pos": np.zeros((pad.n_nodes, 2), np.float32),
+        "node_mask": np.zeros(pad.n_nodes, bool),
+        "bbox_idx": np.zeros(pad.n_nodes, np.int32),
+        "edge": np.zeros((pad.n_edges, 2), np.int32),
+        "e_attr": np.zeros((pad.n_edges, 4), np.float32),
+        "edge_mask": np.zeros(pad.n_edges, bool),
+        "edge_super": np.zeros((pad.n_super, 2), np.int32),
+        "e_attr_super": np.zeros((pad.n_super, 4), np.float32),
+        "super_mask": np.zeros(pad.n_super, bool),
+        "labels": np.zeros(pad.n_proposals, np.int32),
+        "proposal_mask": np.zeros(pad.n_proposals, bool),
+        "bbox": np.zeros((pad.n_proposals, 4), np.float32),
+        "stat_feats": np.zeros((pad.n_proposals, 13), np.float32),
+        "has_obj": np.zeros(pad.n_proposals, np.int32),
+        "image_id": np.zeros(pad.n_proposals, np.int32),
+        "is_root": np.zeros(pad.n_proposals, bool),
+        "gt_bbox": np.zeros((B, pad.n_gt, 4), np.float32),
+        "gt_labels": np.zeros((B, pad.n_gt), np.int32),
+        "gt_mask": np.zeros((B, pad.n_gt), bool),
+        "wh": np.ones((B, 2), np.float32),
+        "n_images": np.int32(len(files)),
+    }
+
+    n_off = e_off = s_off = p_off = 0
+    for img, (f, (gt_bbox, gt_labels), wh) in enumerate(zip(files, gts, whs)):
+        n, e, s, p = len(f.pos), len(f.edge), len(f.edge_super), f.n_proposals
+        if n_off + n > pad.n_nodes or e_off + e > pad.n_edges or \
+           s_off + s > pad.n_super or p_off + p > pad.n_proposals:
+            raise ValueError("pad sizes too small for batch contents")
+
+        batch["pos"][n_off : n_off + n] = f.pos
+        batch["node_mask"][n_off : n_off + n] = True
+        batch["bbox_idx"][n_off : n_off + n] = f.bbox_idx + p_off
+        batch["edge"][e_off : e_off + e] = f.edge + n_off
+        batch["e_attr"][e_off : e_off + e] = f.e_attr[:, 0:4]
+        batch["edge_mask"][e_off : e_off + e] = True
+        batch["edge_super"][s_off : s_off + s] = f.edge_super + n_off
+        batch["e_attr_super"][s_off : s_off + s] = f.e_attr_super[:, 0:4]
+        batch["super_mask"][s_off : s_off + s] = True
+        batch["labels"][p_off : p_off + p] = f.labels
+        batch["proposal_mask"][p_off : p_off + p] = True
+        batch["bbox"][p_off : p_off + p] = f.bbox
+        batch["stat_feats"][p_off : p_off + p] = f.stat_feats
+        batch["has_obj"][p_off : p_off + p] = f.has_obj
+        batch["image_id"][p_off : p_off + p] = img
+        batch["is_root"][p_off + f.root_of_cc] = True
+
+        g = len(gt_bbox)
+        batch["gt_bbox"][img, :g] = gt_bbox
+        batch["gt_labels"][img, :g] = gt_labels
+        batch["gt_mask"][img, :g] = True
+        batch["wh"][img] = wh
+
+        n_off += n
+        e_off += e
+        s_off += s
+        p_off += p
+
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# device-side epilogue: augmentation + feature build
+# ---------------------------------------------------------------------------
+
+
+def finalize_batch(batch: dict, key=None, data_aug: bool = False):
+    """Jit-able batch epilogue.
+
+    With data_aug: per-image random flip/rotate/scale/translate of the
+    proposal-normalised positions (random_transfer, graph_dict3.py:283-298 —
+    scale 1±0.6, rotation U[0,2pi), translate ±0.1, independent axis flips),
+    then proposal boxes recomputed from transformed positions (update_bbox,
+    :934-955) as masked per-proposal coordinate min/max. Always: the model
+    input x = [0,0,0 | pos] (:966-969).
+
+    One deliberate deviation: the reference resamples its axis flips on
+    every __transform__ call, so positions and GT boxes flip independently —
+    a latent bug with no training-path consequence (GT boxes are not used in
+    the loss and eval runs without aug). Here flips are sampled once per
+    image.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pos = batch["pos"]
+    if data_aug:
+        assert key is not None
+        B = batch["gt_bbox"].shape[0]
+        k_scale, k_angle, k_trans, k_flip = jax.random.split(key, 4)
+        scale = jax.random.uniform(k_scale, (B,), minval=-1.0, maxval=1.0) * 0.6 + 1.0
+        angle = jax.random.uniform(k_angle, (B,)) * 2.0 * jnp.pi
+        translate = jax.random.uniform(k_trans, (B, 2), minval=-1.0, maxval=1.0) * 0.1
+        flips = jax.random.bernoulli(k_flip, 0.5, (B, 2))
+
+        img_of_node = batch["image_id"][batch["bbox_idx"]]
+        s = scale[img_of_node][:, None]
+        a = angle[img_of_node]
+        t = translate[img_of_node]
+        fl = flips[img_of_node]
+
+        p = pos - 0.5
+        p = jnp.where(fl, -p, p)
+        cos, sin = jnp.cos(a), jnp.sin(a)
+        # matches pos @ [[cos, sin], [-sin, cos]] (graph_dict3.py:241-254)
+        p = jnp.stack(
+            [p[:, 0] * cos - p[:, 1] * sin, p[:, 0] * sin + p[:, 1] * cos], axis=1
+        )
+        p = (p + 0.5 + t) * s
+        pos = jnp.where(batch["node_mask"][:, None], p, 0.0)
+
+        n_prop = batch["labels"].shape[0]
+        big = 1e30
+        x_lo = _seg_min(pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big)
+        y_lo = _seg_min(pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big)
+        x_hi = -_seg_min(-pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big)
+        y_hi = -_seg_min(-pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big)
+        bbox = jnp.stack([x_lo, y_lo, x_hi, y_hi], axis=1)
+        bbox = jnp.where(batch["proposal_mask"][:, None], bbox, 0.0)
+        batch = {**batch, "pos": pos, "bbox": bbox}
+
+    x = jnp.concatenate([jnp.zeros(pos.shape[:1] + (3,), pos.dtype), pos], axis=1)
+    return {**batch, "x": x}
+
+
+def _seg_min(vals, seg, n, mask, big):
+    import jax
+    import jax.numpy as jnp
+
+    vals = jnp.where(mask, vals, big)
+    out = jax.ops.segment_min(vals, seg, num_segments=n)
+    return jnp.where(out >= big / 2, 0.0, out)

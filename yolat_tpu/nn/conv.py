@@ -1,0 +1,329 @@
+"""Graph convolution registry over padded flat edge lists.
+
+TPU-native re-designs of the reference conv zoo
+(gcn_lib/sparse/torch_vertex.py; registry GraphConv.__init__:730-763).
+Instead of PyG MessagePassing object machinery, every conv is a pure
+gather -> message-MLP -> masked segment-reduce composition over statically
+shaped arrays; XLA fuses the elementwise stages into the matmuls.
+
+Edge direction convention preserved from PyG: an edge row (a, b) sends a
+message from source j=a to target i=b; aggregation is a masked mean over
+incoming edges at the target (empty targets get 0), plus the lin_r skip.
+
+Convs implemented (reference lines in parens):
+  attr_edge_gp2     AttrRelativeEdgeConvGlobalPool2 (:288-341) — canonical;
+                    message MLP([2C+4 -> C -> C], relu+BN) on
+                    [x_i || x_j-x_i || e_attr], mean agg + lin_r(x), plus a
+                    propagation-free node stream MLP.
+  attr_edge         AttrRelativeEdgeConv via AttrEdgConv (:219-286, 560-573):
+                    MLP([C+4 -> C]) on [x_j-x_i || e_attr], mean agg + lin_r.
+  multilayer_edge   same with 2-layer MLP (:593-605).
+  attr_edge_gp      AttrRelativeEdgeConvGlobalPool via EdgConvGlobalPool
+                    (:343-425, 575-590): x carries [features || root-features];
+                    message on [x_i || x_j-x_i || e_attr] over the feature
+                    half; out += lin_r(x_feat) + mlp(x_root).
+  attr_edge_cf      AttrEdgeConvCF (:125-216): 8 direction-conditioned MLPs
+                    selected per edge by the octant of pos_j - pos_i.
+  edge              WeightedRelativeEdgeConv via EdgConv (:427-484, 546-557):
+                    MLP([2C -> C]) on [x_j-x_i || x_i], mean agg + lin_r.
+  mr                MRConv (:97-109): max-relative aggregation then
+                    MLP([2C -> C]) on [x || max_j(x_j - x_i)].
+  gcn               SemiGCNConv (:699-716): symmetric-normalised propagation
+                    with self-loops, then act+norm.
+  gin               GinConv (:719-724): (1+eps)*x + sum_j x_j through MLP.
+  sage / rsage      SAGEConv/RSAGEConv (:627-696): mean of W x_j (or
+                    W (x_j - x_i)), update MLP([C_in+C_out -> C]),
+                    L2-normalised.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolat_tpu.nn.layers import KAIMING, MLP, act_fn
+from yolat_tpu.ops.segment import segment_max, segment_mean, segment_sum
+
+
+def _gather_ij(x, edge):
+    """x_i = target features, x_j = source features for each edge row."""
+    return x[edge[:, 1]], x[edge[:, 0]]
+
+
+class AttrEdgeGP2(nn.Module):
+    """Canonical conv: dual-stream attr edge conv with global-pool stream."""
+
+    in_channels: int
+    out_channels: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask, train: bool = True):
+        x_i, x_j = _gather_ij(x, edge)
+        f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
+        msg = MLP(
+            [self.in_channels * 2 + 4, self.out_channels, self.out_channels],
+            act="relu",
+            norm="batch",
+            axis_name=self.axis_name,
+            name="nn",
+        )(f, mask=edge_mask, train=train)
+        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        out = agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
+        x_node = MLP(
+            [self.in_channels, self.out_channels],
+            act="relu",
+            norm="batch",
+            axis_name=self.axis_name,
+            name="mlp_node",
+        )(x_node, mask=node_mask, train=train)
+        return out, x_node
+
+
+class AttrEdgeConv(nn.Module):
+    """attr_edge / multilayer_edge: message on [x_j - x_i || e_attr]."""
+
+    in_channels: int
+    out_channels: int
+    layers: int = 1  # 2 for multilayer_edge
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr, edge_mask, node_mask=None, train: bool = True):
+        x_i, x_j = _gather_ij(x, edge)
+        f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
+        dims = [self.in_channels + 4] + [self.out_channels] * self.layers
+        msg = MLP(dims, act=self.act, norm=self.norm, axis_name=self.axis_name,
+                  name="nn")(f, mask=edge_mask, train=train)
+        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
+
+
+class AttrEdgeGP(nn.Module):
+    """attr_edge_gp: x is [features || root-features] concatenated; the
+    message uses the feature half, the root half feeds a separate MLP."""
+
+    in_channels: int
+    out_channels: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr, edge_mask, node_mask=None, train: bool = True):
+        c = self.in_channels
+        x_feat, x_root = x[:, :c], x[:, c:]
+        x_i, x_j = _gather_ij(x_feat, edge)
+        f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
+        msg = MLP([2 * c + 4, self.out_channels], act=self.act, norm=self.norm,
+                  axis_name=self.axis_name, name="nn")(f, mask=edge_mask, train=train)
+        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        out = agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x_feat)
+        out = out + MLP([x_root.shape[1], self.out_channels], act=self.act,
+                        norm=self.norm, axis_name=self.axis_name, name="mlp")(
+            x_root, mask=node_mask, train=train
+        )
+        return out
+
+
+class AttrEdgeConvCF(nn.Module):
+    """attr_edge_cf: 8 direction-conditioned message MLPs, selected per edge
+    by octant(sign dx, sign dy, sign(|dx|-|dy|)). The 8 MLPs are evaluated
+    batched and gathered — on TPU one [E, 8, C] select beats 8 ragged
+    partitions."""
+
+    in_channels: int
+    out_channels: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, pos, edge, e_attr, edge_mask, node_mask=None, train: bool = True):
+        x_i, x_j = _gather_ij(x, edge)
+        p_i, p_j = _gather_ij(pos, edge)
+        diff = p_j - p_i
+        con0 = (diff[:, 0] > 0).astype(jnp.int32)
+        con1 = (diff[:, 1] > 0).astype(jnp.int32)
+        con2 = (jnp.abs(diff[:, 0]) - jnp.abs(diff[:, 1]) > 0).astype(jnp.int32)
+        octant = con0 + con1 * 2 + con2 * 4
+
+        f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
+        branches = []
+        for b in range(8):
+            branches.append(
+                MLP([self.in_channels + 4, self.out_channels, self.out_channels],
+                    act=self.act, norm=self.norm, axis_name=self.axis_name,
+                    name=f"mlp_{b}")(f, mask=edge_mask, train=train)
+            )
+        stacked = jnp.stack(branches, axis=1)  # [E, 8, C]
+        msg = jnp.take_along_axis(stacked, octant[:, None, None], axis=1)[:, 0]
+        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
+
+
+class EdgeConv(nn.Module):
+    """edge: weighted relative EdgeConv, message on [x_j - x_i || x_i]."""
+
+    in_channels: int
+    out_channels: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
+                 edge_weight=None, train: bool = True):
+        x_i, x_j = _gather_ij(x, edge)
+        f = jnp.concatenate([x_j - x_i, x_i], axis=1)
+        msg = MLP([self.in_channels * 2, self.out_channels], act=self.act,
+                  norm=self.norm, axis_name=self.axis_name, name="nn")(
+            f, mask=edge_mask, train=train
+        )
+        if edge_weight is not None:
+            msg = msg * edge_weight[:, None]
+        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
+
+
+class MRConv(nn.Module):
+    """mr: max-relative conv, MLP([x || max_j(x_j - x_i)])."""
+
+    in_channels: int
+    out_channels: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
+                 train: bool = True):
+        x_i, x_j = _gather_ij(x, edge)
+        rel = segment_max(x_j - x_i, edge[:, 1], x.shape[0], mask=edge_mask)
+        return MLP([self.in_channels * 2, self.out_channels], act=self.act,
+                   norm=self.norm, axis_name=self.axis_name, name="nn")(
+            jnp.concatenate([x, rel], axis=1), mask=node_mask, train=train
+        )
+
+
+class GCNConv(nn.Module):
+    """gcn: Kipf-Welling propagation with self loops + act/norm epilogue."""
+
+    in_channels: int
+    out_channels: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
+                 train: bool = True):
+        n = x.shape[0]
+        h = nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin")(x)
+        ones = edge_mask.astype(x.dtype) if edge_mask is not None else jnp.ones(edge.shape[0], x.dtype)
+        deg = (
+            segment_sum(ones, edge[:, 1], n)
+            + segment_sum(ones, edge[:, 0], n)
+            + 1.0
+        )
+        inv_sqrt = 1.0 / jnp.sqrt(deg)
+        # symmetric-normalised message both directions + self loop
+        w_fwd = inv_sqrt[edge[:, 0]] * inv_sqrt[edge[:, 1]] * ones
+        out = segment_sum(h[edge[:, 0]] * w_fwd[:, None], edge[:, 1], n)
+        out = out + segment_sum(h[edge[:, 1]] * w_fwd[:, None], edge[:, 0], n)
+        out = out + h * (inv_sqrt * inv_sqrt)[:, None]
+        out = act_fn(self.act)(out)
+        if self.norm is not None and self.norm.lower() == "batch":
+            from yolat_tpu.nn.layers import MaskedBatchNorm
+
+            out = MaskedBatchNorm(self.out_channels, axis_name=self.axis_name,
+                                  name="bn")(out, mask=node_mask, train=train)
+        return out
+
+
+class GINConv(nn.Module):
+    """gin: MLP((1+eps) x + sum_j x_j)."""
+
+    in_channels: int
+    out_channels: int
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
+                 train: bool = True):
+        eps = self.param("eps", nn.initializers.zeros, ())
+        agg = segment_sum(x[edge[:, 0]], edge[:, 1], x.shape[0],
+                          mask=edge_mask)
+        h = (1.0 + eps) * x + agg
+        return MLP([self.in_channels, self.out_channels], act=self.act,
+                   norm=self.norm, axis_name=self.axis_name, name="nn")(
+            h, mask=node_mask, train=train
+        )
+
+
+class SAGEConv(nn.Module):
+    """sage / rsage: mean-aggregated W x_j (or W (x_j - x_i)), update
+    MLP([x || agg]), L2 normalised output."""
+
+    in_channels: int
+    out_channels: int
+    relative: bool = False
+    act: str = "relu"
+    norm: Optional[str] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
+                 train: bool = True):
+        x_i, x_j = _gather_ij(x, edge)
+        src = x_j - x_i if self.relative else x_j
+        h = nn.Dense(self.out_channels, use_bias=False, kernel_init=KAIMING,
+                     name="weight")(src)
+        agg = segment_mean(h, edge[:, 1], x.shape[0], mask=edge_mask)
+        out = MLP([self.in_channels + self.out_channels, self.out_channels],
+                  act=self.act, norm=self.norm, axis_name=self.axis_name,
+                  name="nn")(jnp.concatenate([x, agg], axis=1),
+                             mask=node_mask, train=train)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        out = out + bias
+        return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+
+
+CONV_REGISTRY = {
+    "attr_edge_gp2": AttrEdgeGP2,
+    "attr_edge": AttrEdgeConv,
+    "multilayer_edge": AttrEdgeConv,
+    "attr_edge_gp": AttrEdgeGP,
+    "attr_edge_cf": AttrEdgeConvCF,
+    "edge": EdgeConv,
+    "mr": MRConv,
+    "gcn": GCNConv,
+    "gin": GINConv,
+    "sage": SAGEConv,
+    "rsage": SAGEConv,
+}
+
+
+def make_conv(name: str, in_channels: int, out_channels: int,
+              act: str = "relu", norm: Optional[str] = "batch",
+              axis_name: Optional[str] = None, **kw):
+    """Conv factory mirroring the reference GraphConv dispatcher
+    (torch_vertex.py:730-763)."""
+    name = name.lower()
+    if name not in CONV_REGISTRY:
+        raise NotImplementedError(f"conv {name} is not implemented")
+    cls = CONV_REGISTRY[name]
+    kwargs = dict(in_channels=in_channels, out_channels=out_channels, **kw)
+    if name == "attr_edge_gp2":
+        return cls(axis_name=axis_name, **kwargs)
+    if name == "multilayer_edge":
+        kwargs["layers"] = 2
+    if name == "rsage":
+        kwargs["relative"] = True
+    return cls(act=act, norm=norm, axis_name=axis_name, **kwargs)

@@ -1,0 +1,171 @@
+"""YOLaT detection model: Backbone + SparseCADGCN head + loss.
+
+Counterpart of cad_recognition/architecture3cc_rpn_gp_iter2.py, re-designed
+over statically-shaped packed batches (see yolat_tpu/data/packing.py for the
+batch contract):
+
+  Backbone (:15-71): head conv (in_channels -> 64, conv 'attr_edge_gp2'
+  hardcoded at :22), n_blocks-1 residual blocks (residual add disabled for
+  gp2, gcn_lib/sparse/torch_vertex.py:823-827), fusion of the last
+  n_blocks_out per-stream features through MLP(->1024) with the raw features
+  re-concatenated; the super stream is scatter-mean'ed over bbox_idx before
+  its fusion MLP.
+
+  SparseCADGCN (:73-137): scatter-max node features per proposal, concat
+  with the super-stream features, 2304 -> 512 -> 256 -> n_classes MLP chain
+  (dropout on the 256 stage), softmax or sigmoid per the classifier flag.
+
+  DetectionLoss (:358-379): cross-entropy over proposal class logits only
+  (boxes come from proposal geometry, not regression), masked over padding.
+
+The stat_feats input is carried but unused (dim_stat=0 at reference :87).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolat_tpu.nn.conv import make_conv
+from yolat_tpu.nn.layers import MLP
+from yolat_tpu.ops.segment import segment_max, segment_mean
+
+
+class Backbone(nn.Module):
+    in_channels: int = 5
+    channels: int = 64
+    n_blocks: int = 2
+    n_blocks_out: int = 2
+    conv: str = "attr_edge_gp2"
+    act: str = "relu"
+    norm: str = "batch"
+    axis_name: Optional[str] = None
+
+    @property
+    def fusion_dims(self) -> int:
+        return self.channels * self.n_blocks_out
+
+    @nn.compact
+    def __call__(self, x, edge, e_attr, edge_mask, node_mask, bbox_idx,
+                 proposal_mask, n_proposals: int, train: bool = True, pos=None):
+        dual = self.conv == "attr_edge_gp2"
+
+        def conv_layer(cin, name):
+            return make_conv(self.conv, cin, self.channels, act=self.act,
+                             norm=self.norm, axis_name=self.axis_name)
+
+        def apply_conv(layer, f, f_super):
+            if dual:
+                return layer(f, f_super, edge, e_attr, edge_mask, node_mask,
+                             train=train)
+            if self.conv == "attr_edge_cf":
+                out = layer(f, pos, edge, e_attr, edge_mask, node_mask, train=train)
+            else:
+                out = layer(f, edge, e_attr, edge_mask, node_mask, train=train)
+            return out, out
+
+        f, f_super = apply_conv(
+            make_conv(self.conv, self.in_channels, self.channels, act=self.act,
+                      norm=self.norm, axis_name=self.axis_name), x, x
+        )
+        feats, feats_super = [f], [f_super]
+        for _ in range(self.n_blocks - 1):
+            layer = make_conv(self.conv, self.channels, self.channels,
+                              act=self.act, norm=self.norm,
+                              axis_name=self.axis_name)
+            f, f_super = apply_conv(layer, feats[-1], feats_super[-1])
+            if not dual:
+                # ResBlock residual (torch_vertex.py:829); disabled for gp2
+                f = f + feats[-1]
+                f_super = f
+            feats.append(f)
+            feats_super.append(f_super)
+
+        lo = self.n_blocks - self.n_blocks_out
+        cat = jnp.concatenate(feats[lo:], axis=1)
+        fusion = MLP([self.fusion_dims, 1024], act=self.act, norm=self.norm,
+                     axis_name=self.axis_name, name="fusion_block")(
+            cat, mask=node_mask, train=train
+        )
+        out_feat = jnp.concatenate([fusion, cat], axis=1)
+
+        cat_super = jnp.concatenate(feats_super[lo:], axis=1)
+        pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask)
+        fusion_super = MLP([self.fusion_dims, 1024], act=self.act,
+                           norm=self.norm, axis_name=self.axis_name,
+                           name="fusion_block_super")(
+            pooled, mask=proposal_mask, train=train
+        )
+        out_feat_super = jnp.concatenate([fusion_super, pooled], axis=1)
+        return out_feat, out_feat_super
+
+
+class SparseCADGCN(nn.Module):
+    n_classes: int
+    in_channels: int = 5
+    channels: int = 64
+    n_blocks: int = 2
+    n_blocks_out: int = 2
+    conv: str = "attr_edge_gp2"
+    act: str = "relu"
+    norm: str = "batch"
+    dropout: float = 0.0
+    classifier: str = "softmax"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = True):
+        """batch: packed-batch dict (data/packing.py). Returns
+        (pred_cls [P, n_classes], pred_bbox [P, 4])."""
+        n_proposals = batch["labels"].shape[0]
+        cls_net = Backbone(
+            in_channels=self.in_channels, channels=self.channels,
+            n_blocks=self.n_blocks, n_blocks_out=self.n_blocks_out,
+            conv=self.conv, act=self.act, norm=self.norm,
+            axis_name=self.axis_name, name="cls_net",
+        )
+        out_feat, out_feat_super = cls_net(
+            batch["x"], batch["edge"], batch["e_attr"], batch["edge_mask"],
+            batch["node_mask"], batch["bbox_idx"], batch["proposal_mask"],
+            n_proposals, train=train, pos=batch.get("pos"),
+        )
+        pooled = segment_max(out_feat, batch["bbox_idx"], n_proposals,
+                             mask=batch["node_mask"])
+        h = jnp.concatenate([pooled, out_feat_super], axis=1)
+
+        fusion_out = cls_net.fusion_dims + 1024
+        h = MLP([fusion_out * 2, 512], act=self.act, norm=self.norm,
+                axis_name=self.axis_name, name="pred_0")(
+            h, mask=batch["proposal_mask"], train=train
+        )
+        h = MLP([512, 256], act=self.act, norm=self.norm, drop=self.dropout,
+                axis_name=self.axis_name, name="pred_1")(
+            h, mask=batch["proposal_mask"], train=train
+        )
+        logits = MLP([256, self.n_classes], act=None, norm=None,
+                     name="pred_2")(h, train=train)
+
+        if self.classifier != "softmax":
+            logits = jax.nn.sigmoid(logits)
+        return logits, batch["bbox"]
+
+
+def detection_loss(pred_cls, labels, proposal_mask, classifier: str = "softmax"):
+    """Masked classification loss over proposals (DetectionLoss,
+    architecture3cc_rpn_gp_iter2.py:358-379). Returns a dict
+    {'loss', 'loss_cls'} like the reference."""
+    m = proposal_mask.astype(pred_cls.dtype)
+    denom = jnp.maximum(m.sum(), 1.0)
+    if classifier == "softmax":
+        logp = jax.nn.log_softmax(pred_cls, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        loss = (nll * m).sum() / denom
+    else:
+        onehot = jax.nn.one_hot(labels, pred_cls.shape[-1], dtype=pred_cls.dtype)
+        p = jnp.clip(pred_cls, 1e-7, 1 - 1e-7)
+        bce = -(onehot * jnp.log(p) + (1 - onehot) * jnp.log(1 - p)).mean(axis=-1)
+        loss = (bce * m).sum() / denom
+    return {"loss": loss, "loss_cls": loss}

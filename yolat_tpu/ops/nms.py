@@ -1,0 +1,109 @@
+"""On-device, fixed-shape non-maximum suppression.
+
+TPU-native equivalent of the eval NMS in the reference
+(cad_recognition/train.py:34-121): YOLOv5-style batched NMS with the
+class-offset trick (:103, offset max_wh=4096) over multi-label candidates
+(every (box, class) pair with score > conf_thres; conf = objectness *
+class-score, :74-85), greedy suppression at IoU > iou_thres (torchvision
+semantics, no +1), capped at max_det detections.
+
+The torchvision CUDA kernel becomes a lax.while_loop of vectorised
+suppression steps over statically-shaped candidate arrays — compile once,
+no host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+MAX_WH = 4096.0  # class-offset magnitude (train.py:45)
+
+
+@partial(jax.jit, static_argnames=("max_det", "iou_thres", "conf_thres"))
+def single_image_nms(boxes, cls_scores, obj_scores, valid,
+                     iou_thres: float = 0.5, conf_thres: float = 0.0,
+                     max_det: int = 300):
+    """NMS over one image's proposals.
+
+    Args:
+      boxes:      [M, 4] pixel-space xyxy proposal boxes.
+      cls_scores: [M, K] per-class scores (already softmaxed, background
+                  dropped — the (1-p_bg, p_0..p_{K-1})[1:] layout).
+      obj_scores: [M] objectness (1 - p_bg).
+      valid:      [M] bool, padding mask.
+      max_det:    fixed output size.
+
+    Returns dict with detection arrays of length max_det:
+      boxes [max_det, 4], scores [max_det], classes [max_det] (int32),
+      valid [max_det] bool.
+    """
+    M, K = cls_scores.shape
+    conf = cls_scores * obj_scores[:, None]  # [M, K]
+    conf = jnp.where(valid[:, None], conf, -1.0)
+    # strictly-greater confidence gate (train.py:81: score > conf_thres)
+    cand_valid = conf > conf_thres
+
+    flat_conf = conf.reshape(M * K)
+    cand_valid = cand_valid.reshape(M * K)
+    classes = jnp.tile(jnp.arange(K, dtype=jnp.int32), (M,))
+    box_rep = jnp.repeat(boxes, K, axis=0)
+    offset_boxes = box_rep + (classes[:, None].astype(boxes.dtype) * MAX_WH)
+
+    order = jnp.argsort(-jnp.where(cand_valid, flat_conf, -jnp.inf))
+    flat_conf = flat_conf[order]
+    cand_valid = cand_valid[order]
+    classes = classes[order]
+    box_rep = box_rep[order]
+    offset_boxes = offset_boxes[order]
+
+    n = M * K
+    alive = cand_valid
+
+    def body(state):
+        alive, out_idx, count = state
+        # highest-scoring alive candidate; arrays are score-sorted so the
+        # first alive index wins
+        pick = jnp.argmax(alive)
+        picked_box = offset_boxes[pick]
+        ix0 = jnp.maximum(picked_box[0], offset_boxes[:, 0])
+        iy0 = jnp.maximum(picked_box[1], offset_boxes[:, 1])
+        ix1 = jnp.minimum(picked_box[2], offset_boxes[:, 2])
+        iy1 = jnp.minimum(picked_box[3], offset_boxes[:, 3])
+        inter = jnp.clip(ix1 - ix0, 0, None) * jnp.clip(iy1 - iy0, 0, None)
+        a1 = (picked_box[2] - picked_box[0]) * (picked_box[3] - picked_box[1])
+        a2 = (offset_boxes[:, 2] - offset_boxes[:, 0]) * (
+            offset_boxes[:, 3] - offset_boxes[:, 1]
+        )
+        iou = inter / (a1 + a2 - inter + 1e-16)
+        suppress = iou > iou_thres  # torchvision: strictly greater kills
+        alive = alive & ~suppress
+        alive = alive.at[pick].set(False)
+        out_idx = out_idx.at[count].set(pick)
+        return alive, out_idx, count + 1
+
+    def cond(state):
+        alive, _, count = state
+        return jnp.any(alive) & (count < max_det)
+
+    out_idx = jnp.full((max_det,), n - 1, dtype=jnp.int32)
+    alive, out_idx, count = jax.lax.while_loop(cond, body, (alive, out_idx, 0))
+
+    det_valid = jnp.arange(max_det) < count
+    det_boxes = jnp.where(det_valid[:, None], box_rep[out_idx], 0.0)
+    det_scores = jnp.where(det_valid, flat_conf[out_idx], 0.0)
+    det_classes = jnp.where(det_valid, classes[out_idx], -1)
+    return {
+        "boxes": det_boxes,
+        "scores": det_scores,
+        "classes": det_classes,
+        "valid": det_valid,
+    }
+
+
+def batched_class_nms(boxes, cls_scores, obj_scores, valid, **kw):
+    """vmap of single_image_nms over a leading image axis."""
+    fn = partial(single_image_nms, **kw)
+    return jax.vmap(fn)(boxes, cls_scores, obj_scores, valid)

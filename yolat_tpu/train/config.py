@@ -1,0 +1,73 @@
+"""Typed configuration.
+
+Replaces the reference's argparse grab-bag (cad_recognition/config.py:22-110,
+~40 flags mutated at runtime) with an immutable dataclass. Field names keep
+the reference CLI spelling (--arch, --graph, --bbox_sampling_step,
+--n_blocks, ...) so commands translate 1:1; defaults follow the canonical
+README commands (README.md:47,52) rather than the reference's stale argparse
+defaults where they differ (marked below).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # base
+    phase: str = "train"
+    exp_name: str = "yolat_tpu"
+    root_dir: str = "log"
+
+    # dataset
+    data_dir: str = "data/FloorPlansGraph5_iter"
+    batch_size: int = 4
+    in_channels: int = 5            # canonical (README); argparse default was 6
+    graph: str = "bezier_cc_bb_iter"
+    bbox_sampling_step: int = 10    # 5 for diagrams
+    data_aug: bool = True
+    do_mixup: float = 0.0
+    drop_edge: float = 0.0
+    pos_edge_th: float = 5e-3
+
+    # train
+    total_epochs: int = 200
+    lr: float = 2.5e-4              # canonical; argparse default was 1e-3
+    lr_adjust_freq: int = 10 ** 9   # canonical: StepLR effectively disabled
+    lr_decay_rate: float = 0.5
+    weight_decay: float = 1e-5
+    seed: int = 0
+    print_freq: int = 5
+    optimizer: str = "adam"         # adam | adamw | radam (utils/optim.py parity)
+
+    # model
+    arch: str = "centernet3cc_rpn_gp_iter2"
+    conv: str = "attr_edge_gp2"     # Backbone hardcodes this (architecture...py:22)
+    act: str = "relu"
+    norm: str = "batch"
+    bias: bool = True
+    n_filters: int = 64
+    n_blocks: int = 2
+    n_blocks_out: int = 2
+    dropout: float = 0.0
+    classifier: str = "softmax"
+    n_classes: int = 17             # set from the dataset at runtime
+    k: int = 16                     # kNN neighbour count (dynamic-graph blocks)
+    epsilon: float = 0.2
+    stochastic: bool = True
+
+    # eval
+    map_step: int = 10
+    max_det: int = 300
+    nms_iou: float = 0.5
+    nms_conf: float = 0.0
+
+    # TPU execution
+    n_devices: int = 1
+    dtype: str = "float32"
+    pretrained_model: str = ""
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

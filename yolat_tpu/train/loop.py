@@ -1,0 +1,161 @@
+"""Train state and jitted / data-parallel train steps.
+
+The TPU-native replacement for the reference epoch loop
+(cad_recognition/train.py:233-321): one compiled step does
+augmentation-epilogue -> forward -> masked CE loss -> grads -> Adam update,
+with BatchNorm batch_stats threaded functionally. Data parallelism is
+shard_map over a 1-D ('data',) mesh: each device owns one flat packed shard,
+gradients and BN moments psum across the axis — the working equivalent of
+the reference's broken DataParallel vestige (train.py:204-205, SURVEY.md
+section 2.5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yolat_tpu.data.packing import finalize_batch
+from yolat_tpu.nn.model import SparseCADGCN, detection_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def build_model(cfg, axis_name: Optional[str] = None) -> SparseCADGCN:
+    return SparseCADGCN(
+        n_classes=cfg.n_classes,
+        in_channels=cfg.in_channels,
+        channels=cfg.n_filters,
+        n_blocks=cfg.n_blocks,
+        n_blocks_out=cfg.n_blocks_out,
+        conv=cfg.conv,
+        act=cfg.act,
+        norm=cfg.norm,
+        dropout=cfg.dropout,
+        classifier=cfg.classifier,
+        axis_name=axis_name,
+    )
+
+
+def create_state(cfg, tx, example_batch: dict, key,
+                 axis_name: Optional[str] = None) -> TrainState:
+    model = build_model(cfg, axis_name=None)  # init off-mesh, no collectives
+    batch = finalize_batch(jax.tree.map(jnp.asarray, example_batch))
+    variables = model.init({"params": key, "dropout": key}, batch, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def _step_body(model, tx, state: TrainState, batch: dict, key,
+               data_aug: bool, classifier: str, axis_name: Optional[str]):
+    batch = finalize_batch(batch, key=key, data_aug=data_aug)
+
+    def loss_fn(params):
+        (logits, _), mutated = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": key},
+        )
+        loss_dict = detection_loss(
+            logits, batch["labels"], batch["proposal_mask"], classifier
+        )
+        return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
+
+    (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+        loss_dict = jax.tree.map(lambda x: jax.lax.pmean(x, axis_name), loss_dict)
+
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    new_state = state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt,
+    )
+    return new_state, loss_dict
+
+
+def make_train_step(cfg, tx):
+    """Single-device jitted train step: (state, batch[1, ...], key) ->
+    (state, metrics)."""
+    model = build_model(cfg, axis_name=None)
+
+    @jax.jit
+    def step(state, batch, key):
+        batch = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, batch
+        )
+        return _step_body(model, tx, state, batch, key, cfg.data_aug,
+                          cfg.classifier, axis_name=None)
+
+    return step
+
+
+def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
+    """Data-parallel train step over a ('data',) mesh.
+
+    Input batch arrays are [D, ...] host-stacked shards; state is
+    replicated. Gradients / metrics / BN moments psum over the axis inside
+    shard_map, so every device steps to identical state.
+    """
+    model = build_model(cfg, axis_name=axis_name)
+
+    def shard_step(state, batch, key):
+        batch = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, batch
+        )
+        new_state, loss_dict = _step_body(model, tx, state, batch, key,
+                                          cfg.data_aug, cfg.classifier,
+                                          axis_name=axis_name)
+        return new_state, loss_dict
+
+    mapped = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, batch, key):
+        return mapped(state, batch, key)
+
+    return step
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch_to_mesh(batch: dict, mesh: Mesh, axis_name: str = "data"):
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim > 0:
+            return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return {k: put(v) for k, v in batch.items()}
