@@ -103,6 +103,7 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         "has_obj": np.zeros(pad.n_proposals, np.int32),
         "image_id": np.zeros(pad.n_proposals, np.int32),
         "is_root": np.zeros(pad.n_proposals, bool),
+        "root_slot": np.zeros(pad.n_proposals, np.int32),
         "gt_bbox": np.zeros((B, pad.n_gt, 4), np.float32),
         "gt_labels": np.zeros((B, pad.n_gt), np.int32),
         "gt_mask": np.zeros((B, pad.n_gt), bool),
@@ -133,6 +134,10 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         batch["has_obj"][p_off : p_off + p] = f.has_obj
         batch["image_id"][p_off : p_off + p] = img
         batch["is_root"][p_off + f.root_of_cc] = True
+        # per-proposal pointer to its CC's root proposal (two-pass inference)
+        for c in range(len(f.root_of_cc)):
+            lo, hi = f.cc_slice[c], f.cc_slice[c + 1]
+            batch["root_slot"][p_off + lo : p_off + hi] = p_off + f.root_of_cc[c]
 
         g = len(gt_bbox)
         batch["gt_bbox"][img, :g] = gt_bbox

@@ -1,0 +1,104 @@
+"""On-device two-pass prediction + NMS.
+
+Counterpart of SparseCADGCN.predict (architecture3cc_rpn_gp_iter2.py:139-356)
+and the eval prologue of train.test (cad_recognition/train.py:405-448),
+re-designed for static shapes:
+
+The reference runs pass 1 on CC-root proposals, then pass 2 on the children
+of roots whose argmax class is background, stitching results with Python
+re-slicing (:167-242) — a CPU hotspot. In eval mode BatchNorm uses running
+statistics and dropout is off, so proposals are computationally independent
+(the only cross-proposal ops are per-proposal segment reductions): a single
+forward over ALL proposals produces bitwise-identical logits to the
+reference's two passes. The two-pass semantics reduce to a *selection mask*:
+
+    keep(p) = is_root(p) OR argmax_logits(root_of(p)) == background
+
+followed by the x1.05 box inflation (:339-351), the score rewrite
+[1 - p_bg, p_0..p_{K-1}] (train.py:444), pixel scaling (train.py:435-438),
+and class-offset NMS. No host round-trips, one compiled program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from yolat_tpu.data.packing import finalize_batch
+from yolat_tpu.ops.iou import inflate_boxes
+from yolat_tpu.ops.nms import single_image_nms
+from yolat_tpu.train.loop import build_model
+
+
+def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300):
+    """Returns a jitted (variables, batch) -> per-image detections fn.
+
+    Output dict (leading axis = image slot in batch):
+      boxes   [B, max_det, 4]  pixel xyxy
+      scores  [B, max_det]
+      classes [B, max_det]     int32 (background channel removed)
+      valid   [B, max_det]     bool
+      pred_label [P], kept [P] — per-proposal argmax + selection mask, for
+      the reference's proposal top-1 / confusion metrics (train.py:383-388).
+    """
+    model = build_model(cfg, axis_name=None)
+    n_classes = cfg.n_classes
+    background = n_classes - 1
+
+    @jax.jit
+    def predict(variables, batch):
+        batch = finalize_batch(jax.tree.map(jnp.asarray, batch))
+        logits, prop_boxes = model.apply(variables, batch, train=False)
+
+        pred_label = jnp.argmax(logits, axis=1)
+        root_is_bg = pred_label[batch["root_slot"]] == background
+        kept = batch["proposal_mask"] & (batch["is_root"] | root_is_bg)
+
+        boxes = inflate_boxes(prop_boxes, 1.05)
+
+        if cfg.classifier == "softmax":
+            probs = jax.nn.softmax(logits, axis=1)
+        else:
+            probs = logits
+        obj = 1.0 - probs[:, background]
+        cls_scores = probs[:, :background]
+
+        # scale to pixels per owning image (train.py:435-438)
+        wh = batch["wh"][batch["image_id"]]
+        boxes = boxes * jnp.concatenate([wh, wh], axis=1)
+
+        # dense per-image layout: proposals are packed contiguously per
+        # image, so within-image position = arange - first_index(image)
+        P = logits.shape[0]
+        B = batch["gt_bbox"].shape[0]
+        arange = jnp.arange(P, dtype=jnp.int32)
+        big = jnp.int32(P)
+        seg_start = jax.ops.segment_min(
+            jnp.where(batch["proposal_mask"], arange, big),
+            batch["image_id"], num_segments=B,
+        )
+        idx_in_img = arange - seg_start[batch["image_id"]]
+        flat_slot = batch["image_id"] * P + jnp.clip(idx_in_img, 0, P - 1)
+
+        def scatter(x, fill=0.0):
+            out = jnp.full((B * P,) + x.shape[1:], fill, x.dtype)
+            return out.at[flat_slot].set(jnp.where(
+                kept.reshape(kept.shape + (1,) * (x.ndim - 1)), x,
+                jnp.asarray(fill, x.dtype)))
+
+        img_boxes = scatter(boxes).reshape(B, P, 4)
+        img_cls = scatter(cls_scores).reshape(B, P, background)
+        img_obj = scatter(obj).reshape(B, P)
+        img_valid = scatter(kept).reshape(B, P)
+
+        nms = jax.vmap(
+            partial(single_image_nms, iou_thres=cfg.nms_iou,
+                    conf_thres=cfg.nms_conf, max_det=max_det)
+        )(img_boxes, img_cls, img_obj, img_valid)
+        nms["pred_label"] = pred_label
+        nms["kept"] = kept
+        return nms
+
+    return predict

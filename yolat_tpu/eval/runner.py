@@ -1,0 +1,50 @@
+"""Test-split evaluation runner: predict -> NMS -> mAP table.
+
+Counterpart of train.test (cad_recognition/train.py:324-509) over the packed
+loader. Device does forward+NMS (one compiled program per batch bucket);
+host accumulates the protocol metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from yolat_tpu.eval.metrics import Evaluator
+from yolat_tpu.eval.predict import make_predict_fn
+
+
+def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False):
+    predict = make_predict_fn(cfg, max_det=max_det)
+    ev = Evaluator(cfg.n_classes)
+
+    for stacked in loader:
+        n_dev = stacked["pos"].shape[0]
+        for d in range(n_dev):
+            batch = {k: v[d] for k, v in stacked.items()}
+            out = {k: np.asarray(v) for k, v in predict(variables, batch).items()}
+
+            # proposal-level metrics over kept (root + expanded children)
+            kept = out["kept"]
+            ev.add_proposals(out["pred_label"][kept], batch["labels"][kept])
+
+            B = batch["gt_bbox"].shape[0]
+            n_images = int(batch["n_images"])
+            for img in range(min(B, n_images)):
+                valid = out["valid"][img]
+                gmask = batch["gt_mask"][img]
+                w, h = batch["wh"][img]
+                gt_px = batch["gt_bbox"][img][gmask] * np.array([w, h, w, h])
+                ev.add_image(
+                    out["boxes"][img][valid],
+                    out["scores"][img][valid],
+                    out["classes"][img][valid],
+                    gt_px,
+                    batch["gt_labels"][img][gmask],
+                )
+
+    result = ev.compute()
+    if verbose:
+        for th, m in zip(result["ths"], result["map_per_th"]):
+            print(f"MAP@{th:.2f}: {m:.4f}")
+        print(f"MAP@ALL: {result['map_all']:.4f}  top1: {result['top1_acc']:.4f}")
+    return result
