@@ -1,0 +1,119 @@
+"""End-to-end benchmark: SESYD-style floorplan detection throughput.
+
+Measures the detect path (model forward + on-device NMS — the quantity the
+reference times as "mean inference time", cad_recognition/detect.py:264-269,
+373) on synthetic SESYD-scale floorplans (~2000x1500px, tens of symbols,
+~40k graph nodes / ~1.3k proposals per image), plus the host preprocessing
+rate (parse -> split -> graph -> proposals, cached offline in both
+frameworks).
+
+Prints ONE JSON line:
+  value        images/sec through forward+NMS on the default device (per
+               chip; batch 4, the canonical eval batch is 4*2)
+  vs_baseline  speedup vs the same program on the host CPU backend (the
+               reference publishes no numbers — BASELINE.json
+               "published": {} — so the baseline is the measured host-CPU
+               rate of the identical workload)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def build_workload(n_images=8, batch_size=4, step=10):
+    from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+    from yolat_tpu.data.synthetic import write_dataset
+
+    root = os.path.join(tempfile.gettempdir(), "yolat_bench_v1")
+    if not os.path.exists(os.path.join(root, "train_list.txt")):
+        os.makedirs(root, exist_ok=True)
+        write_dataset(root, n_train=n_images, n_test=1, seed=7,
+                      width=2000.0, height=1500.0, n_rooms=6,
+                      symbols_per_room=(1, 3))
+    ds = SESYDDataset(root, "train", bbox_sampling_step=step, cache=True)
+
+    # host preprocessing rate (uncached, 1 image)
+    ds_nocache = SESYDDataset(root, "train", bbox_sampling_step=step, cache=False)
+    t0 = time.perf_counter()
+    ds_nocache.load(0)
+    preproc_s = time.perf_counter() - t0
+
+    loader = PackedLoader(ds, batch_size=batch_size, n_devices=1, shuffle=False)
+    batches = list(loader)
+    return ds, batches, preproc_s
+
+
+def time_predict(cfg, variables, batches, device, iters=8):
+    import jax
+
+    from yolat_tpu.eval.predict import make_predict_fn
+
+    predict = make_predict_fn(cfg, max_det=300)
+    dev_batches = [
+        {k: jax.device_put(v[0], device) for k, v in b.items()} for b in batches
+    ]
+    dev_vars = jax.device_put(variables, device)
+
+    # warmup/compile
+    jax.block_until_ready(predict(dev_vars, dev_batches[0]))
+
+    n_images = sum(int(b["n_images"]) for b in dev_batches)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs = [predict(dev_vars, b) for b in dev_batches]
+        jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return n_images * iters / dt
+
+
+def main():
+    import jax
+
+    from yolat_tpu.train.config import Config
+    from yolat_tpu.train.loop import create_state
+    from yolat_tpu.train.optim import make_optimizer
+
+    ds, batches, preproc_s = build_workload()
+    cfg = Config(n_classes=ds.n_classes, data_aug=False)
+
+    tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+    single = {k: v[0] for k, v in batches[0].items()}
+    state = create_state(cfg, tx, single, jax.random.key(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    default_dev = jax.devices()[0]
+    rate_dev = time_predict(cfg, variables, batches, default_dev)
+
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+        rate_cpu = time_predict(cfg, variables, batches, cpu_dev, iters=2)
+    except Exception:
+        rate_cpu = float("nan")
+
+    vs = rate_dev / rate_cpu if rate_cpu == rate_cpu else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "floorplan detect throughput (forward+NMS, batch 4)",
+                "value": round(rate_dev, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 3),
+                "extra": {
+                    "device": str(default_dev),
+                    "cpu_images_per_sec": round(rate_cpu, 3)
+                    if rate_cpu == rate_cpu
+                    else None,
+                    "host_preprocess_sec_per_image": round(preproc_s, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
