@@ -63,10 +63,15 @@ def time_predict(cfg, variables, batches, device, iters=8):
     jax.block_until_ready(predict(dev_vars, dev_batches[0]))
 
     n_images = sum(int(b["n_images"]) for b in dev_batches)
+    # dispatch the whole run asynchronously and block once: throughput is
+    # measured with the dispatch pipeline full (the axon tunnel's ~100ms
+    # round-trip otherwise dominates and measures the link, not the chip)
     t0 = time.perf_counter()
+    outs = []
     for _ in range(iters):
-        outs = [predict(dev_vars, b) for b in dev_batches]
-        jax.block_until_ready(outs)
+        for b in dev_batches:
+            outs.append(predict(dev_vars, b))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
     return n_images * iters / dt
 

@@ -1,0 +1,79 @@
+"""CLI + trainer + checkpoint round-trip tests on the synthetic dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from yolat_tpu.cli import detect as cli_detect
+from yolat_tpu.cli import preprocess as cli_preprocess
+from yolat_tpu.cli import test as cli_test
+from yolat_tpu.cli import train as cli_train
+
+
+@pytest.mark.slow
+class TestCLIPipeline:
+    def test_full_pipeline(self, synthetic_root, tmp_path):
+        # 1. preprocess: caches graphs/proposals + writes stats.pkl
+        cli_preprocess.main(
+            ["--data_dir", synthetic_root, "--bbox_sampling_step", "5"]
+        )
+        assert os.path.exists(os.path.join(synthetic_root, "stats.pkl"))
+        cached = [
+            f
+            for f in os.listdir(os.path.join(synthetic_root, "floorplans-syn"))
+            if f.endswith(".props5.pkl")
+        ]
+        assert len(cached) == 5  # 3 train + 2 test
+
+        # 2. train two epochs with eval from epoch 1
+        root_dir = str(tmp_path / "log")
+        cli_train.main(
+            [
+                "--data_dir", synthetic_root,
+                "--bbox_sampling_step", "5",
+                "--batch_size", "3",
+                "--total_epochs", "2",
+                "--eval_start", "1",
+                "--data_aug", "true",
+                "--lr", "1e-3",
+                "--root_dir", root_dir,
+                "--print_freq", "1",
+            ]
+        )
+        exp_dirs = os.listdir(root_dir)
+        assert len(exp_dirs) == 1
+        exp = os.path.join(root_dir, exp_dirs[0])
+        ckpt_dir = os.path.join(exp, "checkpoint")
+        assert os.path.isdir(os.path.join(ckpt_dir, "ckpt_best"))
+        assert os.path.exists(os.path.join(exp, "scalars.jsonl"))
+        with open(os.path.join(exp, "scalars.jsonl")) as f:
+            tags = {json.loads(line)["tag"] for line in f}
+        assert "loss" in tags
+
+        # 3. test: restores best checkpoint and prints the metric table
+        cli_test.main(
+            [
+                "--data_dir", synthetic_root,
+                "--bbox_sampling_step", "5",
+                "--batch_size", "2",
+                "--pretrained_model", ckpt_dir,
+                "--phase", "test",
+            ]
+        )
+
+        # 4. detect: renders overlays
+        out_dir = str(tmp_path / "det")
+        cli_detect.main(
+            [
+                "--data_dir", synthetic_root,
+                "--bbox_sampling_step", "5",
+                "--pretrained_model", ckpt_dir,
+                "--out_dir", out_dir,
+                "--max_images", "1",
+                "--conf_th", "0.0",
+            ]
+        )
+        pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+        assert len(pngs) == 1

@@ -1,0 +1,77 @@
+"""Shared CLI argument parsing.
+
+Flag names keep the reference spelling (cad_recognition/config.py:27-85) so
+the README commands translate verbatim; values land in the typed Config.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from yolat_tpu.train.config import Config
+
+
+def _bool(v) -> bool:
+    # the reference uses argparse type=bool, where any non-empty string is
+    # True ("--data_aug true" AND "--data_aug false" both enable); we parse
+    # properly but accept the same spellings
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    d = Config()
+    # base
+    p.add_argument("--phase", default=d.phase, type=str)
+    p.add_argument("--exp_name", default=d.exp_name, type=str)
+    p.add_argument("--root_dir", default=d.root_dir, type=str)
+    # dataset
+    p.add_argument("--data_dir", default=d.data_dir, type=str)
+    p.add_argument("--batch_size", default=d.batch_size, type=int)
+    p.add_argument("--in_channels", default=d.in_channels, type=int)
+    p.add_argument("--graph", default=d.graph, type=str)
+    p.add_argument("--bbox_sampling_step", default=d.bbox_sampling_step, type=int)
+    p.add_argument("--data_aug", default=d.data_aug, type=_bool)
+    p.add_argument("--do_mixup", default=d.do_mixup, type=float)
+    p.add_argument("--drop_edge", default=d.drop_edge, type=float)
+    p.add_argument("--pos_edge_th", default=d.pos_edge_th, type=float)
+    # train
+    p.add_argument("--total_epochs", default=d.total_epochs, type=int)
+    p.add_argument("--lr", default=d.lr, type=float)
+    p.add_argument("--lr_adjust_freq", default=d.lr_adjust_freq, type=float)
+    p.add_argument("--lr_decay_rate", default=d.lr_decay_rate, type=float)
+    p.add_argument("--weight_decay", default=d.weight_decay, type=float)
+    p.add_argument("--seed", default=d.seed, type=int)
+    p.add_argument("--print_freq", default=d.print_freq, type=int)
+    p.add_argument("--optimizer", default=d.optimizer, type=str)
+    p.add_argument("--postname", default="", type=str)
+    # model
+    p.add_argument("--arch", default=d.arch, type=str)
+    p.add_argument("--conv", default=d.conv, type=str)
+    p.add_argument("--act", default=d.act, type=str)
+    p.add_argument("--norm", default=d.norm, type=str)
+    p.add_argument("--bias", default=d.bias, type=_bool)
+    p.add_argument("--n_filters", default=d.n_filters, type=int)
+    p.add_argument("--n_blocks", default=d.n_blocks, type=int)
+    p.add_argument("--n_blocks_out", default=d.n_blocks_out, type=int)
+    p.add_argument("--dropout", default=d.dropout, type=float)
+    p.add_argument("--classifier", default=d.classifier, type=str)
+    p.add_argument("--k", default=d.k, type=int)
+    p.add_argument("--epsilon", default=d.epsilon, type=float)
+    p.add_argument("--stochastic", default=d.stochastic, type=_bool)
+    p.add_argument("--pretrained_model", default="", type=str)
+    # eval
+    p.add_argument("--eval_start", default=d.eval_start, type=int)
+    p.add_argument("--map_step", default=d.map_step, type=int)
+    # tpu
+    p.add_argument("--n_devices", default=d.n_devices, type=int)
+    return p
+
+
+def config_from_args(args) -> Config:
+    fields = set(Config.__dataclass_fields__)
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    kw["lr_adjust_freq"] = int(min(args.lr_adjust_freq, 10 ** 9))
+    return Config(**kw)

@@ -1,0 +1,113 @@
+"""Detection + visualisation driver.
+
+Counterpart of cad_recognition/detect.py: run the predictor over a
+partition, time per-image inference, and render detection boxes over each
+image (the reference overlays the sibling .tiff raster, detect.py:384-429;
+SESYD rasters are not redistributable, so we rasterise the SVG primitives
+ourselves before overlaying)."""
+
+import os
+import time
+
+import numpy as np
+
+from yolat_tpu.cli.common import build_parser, config_from_args
+from yolat_tpu.cli.test import load_checkpoint
+from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+from yolat_tpu.eval.predict import make_predict_fn
+
+
+def render_detections(svg_path, width, height, boxes, scores, classes,
+                      class_names, out_path, score_th=0.75):
+    """Matplotlib overlay: SVG primitives as lines + detection rectangles."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.patches as patches
+    import matplotlib.pyplot as plt
+
+    from yolat_tpu.geom.bezier import shape_to_cubics
+    from yolat_tpu.geom.svg_io import SVGDocument
+
+    doc = SVGDocument.from_file(svg_path)
+    fig, ax = plt.subplots(figsize=(12, 12 * height / width))
+    for shape in doc.shapes:
+        for seg in shape_to_cubics(shape):
+            t = np.linspace(0, 1, 12)[:, None]
+            pts = ((1 - t) ** 3 * seg[0] + 3 * (1 - t) ** 2 * t * seg[1]
+                   + 3 * (1 - t) * t ** 2 * seg[2] + t ** 3 * seg[3])
+            ax.plot(pts[:, 0], pts[:, 1], color="0.6", linewidth=0.8)
+
+    cmap = plt.cm.get_cmap("tab20") if hasattr(plt.cm, "get_cmap") else plt.get_cmap("tab20")
+    for box, score, cls in zip(boxes, scores, classes):
+        if score < score_th:
+            continue
+        color = cmap(int(cls) % 20)
+        ax.add_patch(
+            patches.Rectangle(
+                (box[0], box[1]), box[2] - box[0], box[3] - box[1],
+                linewidth=2, edgecolor=color, facecolor="none",
+            )
+        )
+        ax.text(box[0], box[1], f"{class_names[int(cls)]} {score:.2f}",
+                color=color, fontsize=8)
+    ax.set_xlim(0, width)
+    ax.set_ylim(height, 0)
+    ax.axis("off")
+    fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+
+
+def main(argv=None):
+    p = build_parser("yolat_tpu detection + visualisation")
+    p.add_argument("--out_dir", default="output_all", type=str)
+    p.add_argument("--conf_th", default=0.75, type=float)
+    p.add_argument("--max_images", default=0, type=int)
+    args = p.parse_args(argv)
+    cfg = config_from_args(args)
+
+    ds = SESYDDataset(cfg.data_dir, "test",
+                      bbox_sampling_step=cfg.bbox_sampling_step)
+    cfg = cfg.replace(n_classes=ds.n_classes)
+    loader = PackedLoader(ds, batch_size=1, n_devices=1, shuffle=False)
+    example = {k: v[0] for k, v in next(iter(loader)).items()}
+    state, _, _ = load_checkpoint(cfg, example)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    predict = make_predict_fn(cfg, max_det=cfg.max_det)
+
+    class_names = [""] * cfg.n_classes
+    for k, v in ds.class_dict.items():
+        class_names[v] = k
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    times = []
+    for i, stacked in enumerate(loader):
+        if args.max_images and i >= args.max_images:
+            break
+        batch = {k: v[0] for k, v in stacked.items()}
+        t0 = time.perf_counter()
+        out = predict(variables, batch)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        times.append(time.perf_counter() - t0)
+
+        valid = out["valid"][0]
+        svg_path = ds.files[i]
+        name = os.path.basename(os.path.dirname(svg_path)) + "_" + \
+            os.path.basename(svg_path).replace(".svg", ".png")
+        w, h = batch["wh"][0]
+        render_detections(
+            svg_path, w, h, out["boxes"][0][valid], out["scores"][0][valid],
+            out["classes"][0][valid], class_names,
+            os.path.join(args.out_dir, name), score_th=args.conf_th,
+        )
+        print(f"{svg_path}: {int(valid.sum())} detections")
+
+    if times:
+        # first call includes compile; report the warm mean like the
+        # reference's "mean inference time" (detect.py:373)
+        warm = times[1:] or times
+        print(f"mean inference time: {1000 * sum(warm) / len(warm):.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Test driver (counterpart of cad_recognition/test.py): restore a
+checkpoint and run the full eval protocol on a partition."""
+
+import jax
+
+from yolat_tpu.cli.common import build_parser, config_from_args
+from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+from yolat_tpu.eval.metrics import format_confusion
+from yolat_tpu.eval.runner import evaluate
+from yolat_tpu.train.checkpoint import CheckpointManager
+from yolat_tpu.train.loop import create_state
+from yolat_tpu.train.optim import make_optimizer
+
+
+def load_checkpoint(cfg, example_batch):
+    tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+    state = create_state(cfg, tx, example_batch, jax.random.key(cfg.seed))
+    ckpt = CheckpointManager(cfg.pretrained_model)
+    state, epoch, best = ckpt.restore(state, tag="best")
+    return state, epoch, best
+
+
+def main(argv=None):
+    args = build_parser("yolat_tpu evaluation").parse_args(argv)
+    cfg = config_from_args(args)
+    partition = cfg.phase if cfg.phase in ("train", "test", "val") else "test"
+
+    ds = SESYDDataset(cfg.data_dir, partition,
+                      bbox_sampling_step=cfg.bbox_sampling_step)
+    cfg = cfg.replace(n_classes=ds.n_classes)
+    loader = PackedLoader(ds, batch_size=cfg.batch_size, n_devices=1,
+                          shuffle=False)
+
+    example = {k: v[0] for k, v in next(iter(loader)).items()}
+    state, epoch, best = load_checkpoint(cfg, example)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    results = evaluate(cfg, variables, loader, verbose=True)
+    print(format_confusion(results["confusion"], ds.class_dict))
+    print(f"checkpoint epoch={epoch} best={best:.4f}")
+
+
+if __name__ == "__main__":
+    main()

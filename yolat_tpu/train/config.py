@@ -59,6 +59,7 @@ class Config:
     stochastic: bool = True
 
     # eval
+    eval_start: int = 20            # eval every epoch from here (train.py:227)
     map_step: int = 10
     max_det: int = 300
     nms_iou: float = 0.5

@@ -51,6 +51,8 @@ def make_optimizer(name: str, lr, weight_decay: float = 0.0,
 
 
 def _scale_by_neg_lr(lr):
+    # always a schedule so the optimizer-state structure (and therefore the
+    # checkpoint layout) is identical for constant and scheduled LR
     if callable(lr):
         return optax.scale_by_schedule(lambda step: -lr(step))
-    return optax.scale(-lr)
+    return optax.scale_by_schedule(lambda step: -lr)

@@ -1,0 +1,129 @@
+"""High-level training orchestration.
+
+Counterpart of cad_recognition/train.py main/train (:173-321): epoch loop,
+periodic evaluation (every epoch from eval_start, reference :227-228),
+per-epoch checkpoints with best-by-test_value copy, scalar logging, and
+optional resume. Works single-chip or over a ('data',) mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+from yolat_tpu.eval.runner import evaluate
+from yolat_tpu.train.checkpoint import CheckpointManager
+from yolat_tpu.train.loop import create_state, make_dp_train_step, make_train_step
+from yolat_tpu.train.optim import make_optimizer, steplr
+from yolat_tpu.utils.experiment import ScalarWriter, configure_logger, make_experiment_dir
+from yolat_tpu.utils.meters import AverageMeter
+
+
+def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
+    """Train per cfg; returns (state, results dict)."""
+    train_ds = SESYDDataset(
+        cfg.data_dir, "train", bbox_sampling_step=cfg.bbox_sampling_step,
+        do_mixup=cfg.do_mixup > 0, seed=cfg.seed,
+    )
+    test_ds = SESYDDataset(
+        cfg.data_dir, "test", bbox_sampling_step=cfg.bbox_sampling_step,
+    )
+    cfg = cfg.replace(n_classes=train_ds.n_classes)
+
+    if exp_dir is None:
+        jobname = (
+            f"{cfg.exp_name}-{cfg.conv}-n{cfg.n_blocks}-C{cfg.n_filters}"
+            f"-lr{cfg.lr}_B{cfg.batch_size}"
+        )
+        dirs = make_experiment_dir(cfg.root_dir, jobname)
+        exp_dir = dirs["exp_dir"]
+    ckpt_dir = os.path.join(exp_dir, "checkpoint")
+    configure_logger(exp_dir)
+    writer = ScalarWriter(exp_dir)
+    ckpt = CheckpointManager(ckpt_dir)
+
+    train_loader = PackedLoader(
+        train_ds, batch_size=cfg.batch_size, n_devices=cfg.n_devices,
+        shuffle=True, seed=cfg.seed,
+    )
+    test_loader = PackedLoader(
+        test_ds, batch_size=cfg.batch_size * 2, n_devices=1, shuffle=False,
+    )
+
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = steplr(cfg.lr, cfg.lr_adjust_freq, cfg.lr_decay_rate, steps_per_epoch)
+    tx = make_optimizer(cfg.optimizer, schedule, cfg.weight_decay)
+
+    example = next(iter(train_loader))
+    single = {k: v[0] for k, v in example.items()}
+    key = jax.random.key(cfg.seed)
+    key, init_key = jax.random.split(key)
+    state = create_state(cfg, tx, single, init_key)
+
+    start_epoch = 0
+    best_value = -float("inf")
+    if cfg.pretrained_model:
+        state, start_epoch, best_value = CheckpointManager(
+            os.path.dirname(cfg.pretrained_model)
+            if cfg.pretrained_model.endswith("best")
+            else cfg.pretrained_model
+        ).restore(state, tag=os.path.basename(cfg.pretrained_model).replace("ckpt_", "") or "best")
+        logging.info("resumed from %s at epoch %d", cfg.pretrained_model, start_epoch)
+
+    if cfg.n_devices > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[: cfg.n_devices]), ("data",))
+        step_fn = make_dp_train_step(cfg, tx, mesh)
+    else:
+        step_fn = make_train_step(cfg, tx)
+
+    losses = AverageMeter()
+    test_value = 0.0
+    it = 0
+    results = {}
+    done = False
+    for epoch in range(start_epoch + 1, cfg.total_epochs + 1):
+        t_epoch = time.time()
+        for batch in train_loader:
+            key, sub = jax.random.split(key)
+            state, metrics = step_fn(state, batch, sub)
+            it += 1
+            losses.update(float(metrics["loss"]))
+            if it % cfg.print_freq == 0:
+                logging.info(
+                    "Epoch:%d Iter:%d LossMean:%.4f loss:%.4f",
+                    epoch, it, losses.avg, float(metrics["loss"]),
+                )
+                losses.reset()
+            writer.add_scalar("loss", float(metrics["loss"]), it)
+            writer.add_scalar("test_value", test_value, it)
+            if max_steps is not None and it >= max_steps:
+                done = True
+                break
+
+        if epoch >= cfg.eval_start or done or epoch == cfg.total_epochs:
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            results = evaluate(cfg, variables, test_loader)
+            test_value = results["test_value"]
+            logging.info(
+                "Epoch:%d MAP@0.5:%.4f MAP@ALL:%.4f top1:%.4f (%.1fs)",
+                epoch, results["map_50"], results["map_all"],
+                results["top1_acc"], time.time() - t_epoch,
+            )
+
+        is_best = test_value > best_value
+        best_value = max(test_value, best_value)
+        ckpt.save(state, epoch, best_value, is_best)
+        if done:
+            break
+
+    writer.close()
+    results["best_value"] = best_value
+    results["exp_dir"] = exp_dir
+    return state, results
