@@ -43,17 +43,19 @@ def build_workload(n_images=8, batch_size=4, step=10):
     ds_nocache.load(0)
     preproc_s = time.perf_counter() - t0
 
-    loader = PackedLoader(ds, batch_size=batch_size, n_devices=1, shuffle=False)
+    loader = PackedLoader(ds, batch_size=batch_size, n_devices=1, shuffle=False,
+                          dense=True)
     batches = list(loader)
     return ds, batches, preproc_s
 
 
-def time_predict(cfg, variables, batches, device, iters=8):
+def time_predict(cfg, variables, batches, device, iters=8, fast=False,
+                 folded=None):
     import jax
 
     from yolat_tpu.eval.predict import make_predict_fn
 
-    predict = make_predict_fn(cfg, max_det=300)
+    predict = make_predict_fn(cfg, max_det=300, fast=fast, folded=folded)
     dev_batches = [
         {k: jax.device_put(v[0], device) for k, v in b.items()} for b in batches
     ]
@@ -91,8 +93,15 @@ def main():
     state = create_state(cfg, tx, single, jax.random.key(0))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    from yolat_tpu.eval.fast_forward import fold_params
+
+    folded = fold_params(variables, n_blocks=cfg.n_blocks)
+
     default_dev = jax.devices()[0]
-    rate_dev = time_predict(cfg, variables, batches, default_dev)
+    rate_flax = time_predict(cfg, variables, batches, default_dev)
+    rate_fast = time_predict(cfg, variables, batches, default_dev,
+                             fast=True, folded=folded)
+    rate_dev = max(rate_flax, rate_fast)
 
     try:
         cpu_dev = jax.devices("cpu")[0]
@@ -110,6 +119,8 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "extra": {
                     "device": str(default_dev),
+                    "flax_images_per_sec": round(rate_flax, 3),
+                    "fast_path_images_per_sec": round(rate_fast, 3),
                     "cpu_images_per_sec": round(rate_cpu, 3)
                     if rate_cpu == rate_cpu
                     else None,

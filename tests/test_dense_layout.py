@@ -1,0 +1,74 @@
+"""Dense neighbour-table layout: construction correctness + sparse/dense
+model equivalence with shared parameters."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolat_tpu.data.packing import add_dense_neighbors, finalize_batch
+from yolat_tpu.data.toy import random_packed_batch
+from yolat_tpu.nn.model import SparseCADGCN
+
+
+class TestNeighborTable:
+    def test_construction(self):
+        batch, _ = random_packed_batch(seed=0, n_images=2)
+        dense = add_dense_neighbors(batch)
+        N = batch["pos"].shape[0]
+        assert dense["nbr_idx"].shape[0] == N
+        # every valid edge appears exactly once as (src in dst's row)
+        edge = batch["edge"][batch["edge_mask"]]
+        want = {}
+        for s, d in edge:
+            want.setdefault(int(d), []).append(int(s))
+        got = {}
+        for i in range(N):
+            srcs = dense["nbr_idx"][i][dense["nbr_mask"][i]]
+            if len(srcs):
+                got[i] = sorted(srcs.tolist())
+        assert got == {k: sorted(v) for k, v in want.items()}
+
+    def test_attrs_follow_edges(self):
+        batch, _ = random_packed_batch(seed=1, n_images=1)
+        dense = add_dense_neighbors(batch)
+        edge = batch["edge"][batch["edge_mask"]]
+        attr = batch["e_attr"][batch["edge_mask"]]
+        for (s, d), a in zip(edge, attr):
+            row_srcs = dense["nbr_idx"][d][dense["nbr_mask"][d]]
+            row_attrs = dense["nbr_attr"][d][dense["nbr_mask"][d]]
+            hit = [
+                np.allclose(row_attrs[j], a)
+                for j in range(len(row_srcs))
+                if row_srcs[j] == s
+            ]
+            assert any(hit)
+
+
+class TestModelEquivalence:
+    @pytest.mark.parametrize("train", [False, True])
+    def test_sparse_dense_same_logits(self, train):
+        batch_np, _ = random_packed_batch(seed=2, n_images=2)
+        model = SparseCADGCN(n_classes=17)
+
+        sparse = finalize_batch(jax.tree.map(jnp.asarray, batch_np))
+        variables = model.init({"params": jax.random.key(0)}, sparse, train=True)
+
+        dense_np = add_dense_neighbors(batch_np)
+        dense = finalize_batch(jax.tree.map(jnp.asarray, dense_np))
+
+        if train:
+            (l1, _), _ = model.apply(variables, sparse, train=True,
+                                     mutable=["batch_stats"],
+                                     rngs={"dropout": jax.random.key(1)})
+            (l2, _), _ = model.apply(variables, dense, train=True,
+                                     mutable=["batch_stats"],
+                                     rngs={"dropout": jax.random.key(1)})
+        else:
+            l1, _ = model.apply(variables, sparse, train=False)
+            l2, _ = model.apply(variables, dense, train=False)
+
+        m = batch_np["proposal_mask"]
+        np.testing.assert_allclose(
+            np.asarray(l1)[m], np.asarray(l2)[m], rtol=2e-4, atol=2e-5
+        )

@@ -98,7 +98,8 @@ class PackedLoader:
 
     def __init__(self, dataset: SESYDDataset, batch_size: int = 4,
                  n_devices: int = 1, shuffle: bool = True, seed: int = 0,
-                 pad: PadSizes | None = None, drop_last: bool = False):
+                 pad: PadSizes | None = None, drop_last: bool = False,
+                 dense: bool = False, d_max: int = 8):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_devices = n_devices
@@ -106,6 +107,8 @@ class PackedLoader:
         self.seed = seed
         self.epoch = 0
         self.drop_last = drop_last
+        self.dense = dense
+        self.d_max = d_max
         self.pad = pad or self.compute_pad()
 
     def compute_pad(self) -> PadSizes:
@@ -148,14 +151,17 @@ class PackedLoader:
             for d in range(self.n_devices):
                 idxs = window[d * self.batch_size : (d + 1) * self.batch_size]
                 loads = [self.ds.load(int(i)) for i in idxs]
-                shards.append(
-                    pack_files(
-                        [l[0] for l in loads],
-                        [l[1] for l in loads],
-                        [l[2] for l in loads],
-                        self.pad,
-                    )
+                shard = pack_files(
+                    [l[0] for l in loads],
+                    [l[1] for l in loads],
+                    [l[2] for l in loads],
+                    self.pad,
                 )
+                if self.dense:
+                    from yolat_tpu.data.packing import add_dense_neighbors
+
+                    shard = add_dense_neighbors(shard, d_max=self.d_max)
+                shards.append(shard)
             yield stack_shards(shards)
 
 

@@ -1,0 +1,124 @@
+"""Folded-BatchNorm inference engine for the canonical detector.
+
+Serving-path counterpart of SparseCADGCN.forward in eval mode: BatchNorm
+running statistics and Dense biases are pre-folded into per-channel
+scale/shift pairs, and the conv message pipeline runs through the fused
+Pallas kernel (ops/pallas_kernels.py) on the dense neighbour layout.
+Produces logits identical (to float tolerance) to
+model.apply(variables, batch, train=False) — asserted in
+tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolat_tpu.ops.pallas_kernels import (
+    fused_dense_message,
+    fused_dense_message_reference,
+)
+from yolat_tpu.ops.segment import segment_max, segment_mean
+
+BN_EPS = 1e-5
+
+
+def _fold_stage(dense, bn, bn_stats):
+    """(W, scale, shift) for y = relu((x @ W + b) |> BN)."""
+    w = np.asarray(dense["kernel"])
+    b = np.asarray(dense.get("bias", np.zeros(w.shape[1])))
+    gamma = np.asarray(bn["scale"])
+    beta = np.asarray(bn["bias"])
+    mean = np.asarray(bn_stats["mean"])
+    var = np.asarray(bn_stats["var"])
+    s = gamma / np.sqrt(var + BN_EPS)
+    shift = b * s + beta - mean * s
+    return w, np.stack([s, shift], axis=0)
+
+
+def fold_params(variables, n_blocks: int = 2) -> dict:
+    """Fold a trained SparseCADGCN's variables into the inference layout."""
+    p = variables["params"]
+    st = variables["batch_stats"]
+    out = {"convs": [], "n_blocks": n_blocks}
+
+    for i in range(n_blocks):
+        cp = p["cls_net"][f"AttrEdgeGP2_{i}"]
+        cs = st["cls_net"][f"AttrEdgeGP2_{i}"]
+        w1, sc1 = _fold_stage(cp["nn"]["dense_0"], cp["nn"]["bn_0"], cs["nn"]["bn_0"])
+        w2, sc2 = _fold_stage(cp["nn"]["dense_1"], cp["nn"]["bn_1"], cs["nn"]["bn_1"])
+        wr = np.asarray(cp["lin_r"]["kernel"])
+        br = np.asarray(cp["lin_r"]["bias"])
+        wn, scn = _fold_stage(cp["mlp_node"]["dense_0"], cp["mlp_node"]["bn_0"],
+                              cs["mlp_node"]["bn_0"])
+        out["convs"].append(
+            dict(w1=w1, sc1=sc1, w2=w2, sc2=sc2, wr=wr, br=br, wn=wn, scn=scn)
+        )
+
+    for name in ("fusion_block", "fusion_block_super"):
+        w, sc = _fold_stage(p["cls_net"][name]["dense_0"], p["cls_net"][name]["bn_0"],
+                            st["cls_net"][name]["bn_0"])
+        out[name] = (w, sc)
+    for name in ("pred_0", "pred_1"):
+        w, sc = _fold_stage(p[name]["dense_0"], p[name]["bn_0"], st[name]["bn_0"])
+        out[name] = (w, sc)
+    out["pred_2"] = (
+        np.asarray(p["pred_2"]["dense_0"]["kernel"]),
+        np.asarray(p["pred_2"]["dense_0"]["bias"]),
+    )
+    return jax.tree.map(jnp.asarray, out)
+
+
+def _folded(x, w_sc):
+    w, sc = w_sc
+    return jnp.maximum((x @ w) * sc[0] + sc[1], 0.0)
+
+
+@partial(jax.jit, static_argnames=("n_blocks_out", "use_pallas", "interpret"))
+def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
+                 use_pallas: bool = True, interpret: bool = False):
+    """Eval forward on a finalized dense-layout batch -> (logits, boxes)."""
+    x = batch["x"]
+    node_mask = batch["node_mask"]
+    bbox_idx = batch["bbox_idx"]
+    n_prop = batch["labels"].shape[0]
+
+    message = (
+        partial(fused_dense_message, interpret=interpret)
+        if use_pallas
+        else fused_dense_message_reference
+    )
+
+    f, s = x, x
+    feats, feats_super = [], []
+    for conv in folded["convs"]:
+        f = message(f, batch["nbr_idx"], batch["nbr_attr"], batch["nbr_mask"],
+                    conv["w1"], conv["sc1"], conv["w2"], conv["sc2"],
+                    conv["wr"], conv["br"])
+        s = _folded(s, (conv["wn"], conv["scn"]))
+        feats.append(f)
+        feats_super.append(s)
+
+    n_blocks = len(folded["convs"])
+    lo = n_blocks - n_blocks_out
+    cat = jnp.concatenate(feats[lo:], axis=1)
+    fusion = _folded(cat, folded["fusion_block"])
+    out_feat = jnp.concatenate([fusion, cat], axis=1)
+
+    cat_super = jnp.concatenate(feats_super[lo:], axis=1)
+    pooled = segment_mean(cat_super, bbox_idx, n_prop, mask=node_mask,
+                          indices_are_sorted=True)
+    fusion_super = _folded(pooled, folded["fusion_block_super"])
+    out_super = jnp.concatenate([fusion_super, pooled], axis=1)
+
+    pmax = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
+                       indices_are_sorted=True)
+    h = jnp.concatenate([pmax, out_super], axis=1)
+    h = _folded(h, folded["pred_0"])
+    h = _folded(h, folded["pred_1"])
+    w2, b2 = folded["pred_2"]
+    logits = h @ w2 + b2
+    return logits, batch["bbox"]

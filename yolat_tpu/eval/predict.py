@@ -32,8 +32,14 @@ from yolat_tpu.ops.nms import single_image_nms
 from yolat_tpu.train.loop import build_model
 
 
-def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300):
+def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
+                    fast: bool = False, folded=None):
     """Returns a jitted (variables, batch) -> per-image detections fn.
+
+    With fast=True (requires the dense neighbour layout in the batch and
+    `folded` from eval/fast_forward.fold_params), the forward runs through
+    the folded-BN inference engine + Pallas kernels instead of the flax
+    module — same logits to float tolerance.
 
     Output dict (leading axis = image slot in batch):
       boxes   [B, max_det, 4]  pixel xyxy
@@ -47,10 +53,22 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300):
     n_classes = cfg.n_classes
     background = n_classes - 1
 
+    if fast:
+        from yolat_tpu.eval.fast_forward import fast_forward
+
+        # the Pallas kernel is TPU-only; CPU runs take the jnp reference
+        use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def predict(variables, batch):
         batch = finalize_batch(jax.tree.map(jnp.asarray, batch))
-        logits, prop_boxes = model.apply(variables, batch, train=False)
+        if fast:
+            logits, prop_boxes = fast_forward(
+                folded, batch, n_blocks_out=cfg.n_blocks_out,
+                use_pallas=use_pallas,
+            )
+        else:
+            logits, prop_boxes = model.apply(variables, batch, train=False)
 
         pred_label = jnp.argmax(logits, axis=1)
         root_is_bg = pred_label[batch["root_slot"]] == background

@@ -53,25 +53,48 @@ def _gather_ij(x, edge):
 
 
 class AttrEdgeGP2(nn.Module):
-    """Canonical conv: dual-stream attr edge conv with global-pool stream."""
+    """Canonical conv: dual-stream attr edge conv with global-pool stream.
+
+    Two input layouts with identical math and identical parameters:
+      * sparse: flat edge list [E, 2] + segment-mean aggregation;
+      * dense: per-node neighbour table nbr_idx [N, D] + masked mean over
+        the D axis — the TPU-preferred layout (no scatter in the hot path;
+        see data/packing.add_dense_neighbors). A checkpoint trained in one
+        layout evaluates in the other.
+    """
 
     in_channels: int
     out_channels: int
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask, train: bool = True):
-        x_i, x_j = _gather_ij(x, edge)
-        f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
-        msg = MLP(
+    def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask,
+                 train: bool = True, nbr_idx=None, nbr_attr=None, nbr_mask=None):
+        msg_mlp = MLP(
             [self.in_channels * 2 + 4, self.out_channels, self.out_channels],
             act="relu",
             norm="batch",
             axis_name=self.axis_name,
             name="nn",
-        )(f, mask=edge_mask, train=train)
-        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
-        out = agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
+        )
+        lin_r = nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")
+
+        if nbr_idx is not None:
+            N, D = nbr_idx.shape
+            x_nbr = x[nbr_idx]                        # [N, D, C]
+            x_i = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
+            f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)
+            msg = msg_mlp(f.reshape(N * D, -1), mask=nbr_mask.reshape(N * D),
+                          train=train).reshape(N, D, self.out_channels)
+            m = nbr_mask[..., None].astype(msg.dtype)
+            agg = (msg * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        else:
+            x_i, x_j = _gather_ij(x, edge)
+            f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
+            msg = msg_mlp(f, mask=edge_mask, train=train)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+
+        out = agg + lin_r(x)
         x_node = MLP(
             [self.in_channels, self.out_channels],
             act="relu",

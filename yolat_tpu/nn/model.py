@@ -50,17 +50,15 @@ class Backbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge, e_attr, edge_mask, node_mask, bbox_idx,
-                 proposal_mask, n_proposals: int, train: bool = True, pos=None):
+                 proposal_mask, n_proposals: int, train: bool = True, pos=None,
+                 nbr_idx=None, nbr_attr=None, nbr_mask=None):
         dual = self.conv == "attr_edge_gp2"
-
-        def conv_layer(cin, name):
-            return make_conv(self.conv, cin, self.channels, act=self.act,
-                             norm=self.norm, axis_name=self.axis_name)
 
         def apply_conv(layer, f, f_super):
             if dual:
                 return layer(f, f_super, edge, e_attr, edge_mask, node_mask,
-                             train=train)
+                             train=train, nbr_idx=nbr_idx, nbr_attr=nbr_attr,
+                             nbr_mask=nbr_mask)
             if self.conv == "attr_edge_cf":
                 out = layer(f, pos, edge, e_attr, edge_mask, node_mask, train=train)
             else:
@@ -93,7 +91,8 @@ class Backbone(nn.Module):
         out_feat = jnp.concatenate([fusion, cat], axis=1)
 
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
-        pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask)
+        pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask,
+                              indices_are_sorted=True)
         fusion_super = MLP([self.fusion_dims, 1024], act=self.act,
                            norm=self.norm, axis_name=self.axis_name,
                            name="fusion_block_super")(
@@ -131,9 +130,11 @@ class SparseCADGCN(nn.Module):
             batch["x"], batch["edge"], batch["e_attr"], batch["edge_mask"],
             batch["node_mask"], batch["bbox_idx"], batch["proposal_mask"],
             n_proposals, train=train, pos=batch.get("pos"),
+            nbr_idx=batch.get("nbr_idx"), nbr_attr=batch.get("nbr_attr"),
+            nbr_mask=batch.get("nbr_mask"),
         )
         pooled = segment_max(out_feat, batch["bbox_idx"], n_proposals,
-                             mask=batch["node_mask"])
+                             mask=batch["node_mask"], indices_are_sorted=True)
         h = jnp.concatenate([pooled, out_feat_super], axis=1)
 
         fusion_out = cls_net.fusion_dims + 1024

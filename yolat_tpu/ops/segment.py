@@ -23,30 +23,37 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
-def segment_sum(data, segment_ids, num_segments: int, mask=None):
+def segment_sum(data, segment_ids, num_segments: int, mask=None,
+                indices_are_sorted: bool = False):
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
-def segment_mean(data, segment_ids, num_segments: int, mask=None):
+def segment_mean(data, segment_ids, num_segments: int, mask=None,
+                 indices_are_sorted: bool = False):
     if mask is not None:
         m = _expand(mask, data)
         data = jnp.where(m, data, 0)
         ones = jnp.where(mask, 1.0, 0.0)
     else:
         ones = jnp.ones(data.shape[0], dtype=data.dtype)
-    total = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
-    count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    total = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
+                                indices_are_sorted=indices_are_sorted)
+    count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments,
+                                indices_are_sorted=indices_are_sorted)
     count = jnp.maximum(count, 1.0)
     return total / _expand_count(count, total)
 
 
-def segment_max(data, segment_ids, num_segments: int, mask=None):
+def segment_max(data, segment_ids, num_segments: int, mask=None,
+                indices_are_sorted: bool = False):
     """Max-reduce; empty segments produce 0 (torch_scatter convention)."""
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, _NEG_INF)
-    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
     return jnp.where(out <= _NEG_INF / 2, 0.0, out)
 
 
