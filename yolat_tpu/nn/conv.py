@@ -318,24 +318,43 @@ class SAGEConv(nn.Module):
         return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
 
 
-CONV_REGISTRY = {
-    "attr_edge_gp2": AttrEdgeGP2,
-    "attr_edge": AttrEdgeConv,
-    "multilayer_edge": AttrEdgeConv,
-    "attr_edge_gp": AttrEdgeGP,
-    "attr_edge_cf": AttrEdgeConvCF,
-    "edge": EdgeConv,
-    "mr": MRConv,
-    "gcn": GCNConv,
-    "gin": GINConv,
-    "sage": SAGEConv,
-    "rsage": SAGEConv,
-}
+def _registry():
+    from yolat_tpu.nn.dynamic import GATConv
+    from yolat_tpu.nn.gen_conv import GENConv
+
+    return {
+        "attr_edge_gp2": AttrEdgeGP2,
+        "attr_edge": AttrEdgeConv,
+        "multilayer_edge": AttrEdgeConv,
+        "attr_edge_gp": AttrEdgeGP,
+        "attr_edge_cf": AttrEdgeConvCF,
+        "edge": EdgeConv,
+        "mr": MRConv,
+        "gcn": GCNConv,
+        "gin": GINConv,
+        "sage": SAGEConv,
+        "rsage": SAGEConv,
+        "gat": GATConv,
+        "gen": GENConv,
+    }
+
+
+class _LazyRegistry(dict):
+    def __missing__(self, key):
+        self.update(_registry())
+        return dict.__getitem__(self, key)
+
+    def __contains__(self, key):
+        self.update(_registry())
+        return dict.__contains__(self, key)
+
+
+CONV_REGISTRY = _LazyRegistry()
 
 
 def make_conv(name: str, in_channels: int, out_channels: int,
               act: str = "relu", norm: Optional[str] = "batch",
-              axis_name: Optional[str] = None, **kw):
+              axis_name: Optional[str] = None, heads: int = 8, **kw):
     """Conv factory mirroring the reference GraphConv dispatcher
     (torch_vertex.py:730-763)."""
     name = name.lower()
@@ -349,4 +368,12 @@ def make_conv(name: str, in_channels: int, out_channels: int,
         kwargs["layers"] = 2
     if name == "rsage":
         kwargs["relative"] = True
+    if name == "gat":
+        # heads split the output width like the reference dispatcher
+        # (torch_vertex.py:753: out_channels // heads per head)
+        kwargs["out_channels"] = out_channels // heads
+        kwargs["heads"] = heads
+    if name == "gen":
+        return cls(in_channels=in_channels, out_channels=out_channels,
+                   axis_name=axis_name)
     return cls(act=act, norm=norm, axis_name=axis_name, **kwargs)
