@@ -31,20 +31,39 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def build_model(cfg, axis_name: Optional[str] = None) -> SparseCADGCN:
-    return SparseCADGCN(
+# Architecture registry. The reference dispatches ~12 arch names
+# (cad_recognition/test.py:60-85) but ships only architecture3cc_rpn_gp_iter2;
+# every shipped-path alias maps to SparseCADGCN here, and the YOLaT++
+# hierarchical model is a first-class member.
+CANONICAL_ARCHS = {
+    "centernet3cc_rpn_gp_iter2",
+    "centernet3cc_rpn_gp_iter",
+    "centernet3cc_rpn",
+    "centernet3cc",
+    "centernet3",
+    "centernet",
+}
+
+
+def build_model(cfg, axis_name: Optional[str] = None):
+    kw = dict(
         n_classes=cfg.n_classes,
         in_channels=cfg.in_channels,
         channels=cfg.n_filters,
         n_blocks=cfg.n_blocks,
         n_blocks_out=cfg.n_blocks_out,
-        conv=cfg.conv,
         act=cfg.act,
         norm=cfg.norm,
         dropout=cfg.dropout,
         classifier=cfg.classifier,
         axis_name=axis_name,
     )
+    arch = getattr(cfg, "arch", "centernet3cc_rpn_gp_iter2")
+    if arch in ("yolat_pp", "yolat++", "hierarchical"):
+        from yolat_tpu.nn.yolat_pp import YOLaTPlusPlus
+
+        return YOLaTPlusPlus(**kw)
+    return SparseCADGCN(conv=cfg.conv, **kw)
 
 
 def create_state(cfg, tx, example_batch: dict, key,
