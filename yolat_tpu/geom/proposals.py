@@ -200,7 +200,16 @@ def _angle_stats(n_local: int, edges_local: np.ndarray, pos_local: np.ndarray):
     """Node-angle statistics over induced shape edges
     (graph_dict3.py:649-688). Returns None if no angle pair exists (such a
     proposal is skipped). Angles are raw dot products of neighbour offset
-    vectors; neighbour sets are deduplicated per anchor."""
+    vectors; neighbour sets are deduplicated per anchor.
+
+    Dispatches to the native C++ kernel (geom/_native.py) when available —
+    this is the hottest host-side loop of the preprocessor; the Python path
+    below is the fallback and test oracle."""
+    from yolat_tpu.geom._native import angle_stats_native
+
+    native = angle_stats_native(edges_local, pos_local, ANGLE_TH)
+    if native is not None:
+        return None if native.get("empty") else native
     neighbors = [set() for _ in range(n_local)]
     for a, b in edges_local:
         neighbors[a].add(b)
