@@ -250,6 +250,119 @@ def generate_floorplan(rng: np.random.Generator, width: float = 2000.0,
     return svg, "\n".join(ann), gt, gt_labels
 
 
+DIAGRAM_GLYPHS = {
+    "resistor": lambda x, y, w, h: (
+        [
+            _line(x, y + h / 2, x + 0.2 * w, y + h / 2),
+            _line(x + 0.2 * w, y, x + 0.8 * w, y),
+            _line(x + 0.8 * w, y, x + 0.8 * w, y + h),
+            _line(x + 0.8 * w, y + h, x + 0.2 * w, y + h),
+            _line(x + 0.2 * w, y + h, x + 0.2 * w, y),
+            _line(x + 0.8 * w, y + h / 2, x + w, y + h / 2),
+        ],
+        (x, y, x + w, y + h),
+    ),
+    "capacitor1": lambda x, y, w, h: (
+        [
+            _line(x, y + h / 2, x + 0.45 * w, y + h / 2),
+            _line(x + 0.45 * w, y, x + 0.45 * w, y + h),
+            _line(x + 0.55 * w, y, x + 0.55 * w, y + h),
+            _line(x + 0.55 * w, y + h / 2, x + w, y + h / 2),
+        ],
+        (x, y, x + w, y + h),
+    ),
+    "diode1": lambda x, y, w, h: (
+        [
+            _line(x, y + h / 2, x + 0.3 * w, y + h / 2),
+            _line(x + 0.3 * w, y, x + 0.3 * w, y + h),
+            _line(x + 0.3 * w, y, x + 0.7 * w, y + h / 2),
+            _line(x + 0.3 * w, y + h, x + 0.7 * w, y + h / 2),
+            _line(x + 0.7 * w, y, x + 0.7 * w, y + h),
+            _line(x + 0.7 * w, y + h / 2, x + w, y + h / 2),
+        ],
+        (x, y, x + w, y + h),
+    ),
+    "earth": lambda x, y, w, h: (
+        [
+            _line(x + w / 2, y, x + w / 2, y + 0.4 * h),
+            _line(x, y + 0.4 * h, x + w, y + 0.4 * h),
+            _line(x + 0.2 * w, y + 0.7 * h, x + 0.8 * w, y + 0.7 * h),
+            _line(x + 0.4 * w, y + h, x + 0.6 * w, y + h),
+        ],
+        (x, y, x + w, y + h),
+    ),
+    "core-air": lambda x, y, w, h: (
+        [_circle(x + w / 2, y + h / 2, min(w, h) * 0.45)],
+        (x, y, x + w, y + h),
+    ),
+}
+
+
+def generate_diagram(rng: np.random.Generator, width: float = 1500.0,
+                     height: float = 1000.0, n_symbols: int = 8):
+    """Synthetic diagram: disconnected electrical glyphs (the mergeCluster
+    preprocessing path of build_graph_bbox_diagram.py)."""
+    elements, boxes, labels = [], [], []
+    names = list(DIAGRAM_GLYPHS)
+    cols = int(np.ceil(np.sqrt(n_symbols)))
+    cw, ch = (width - 100) / cols, (height - 100) / cols
+    k = 0
+    for r in range(cols):
+        for c in range(cols):
+            if k >= n_symbols:
+                break
+            name = names[int(rng.integers(len(names)))]
+            w = float(rng.uniform(100, min(200, cw - 60)))
+            h = float(rng.uniform(60, min(120, ch - 60)))
+            gx = 50 + c * cw + float(rng.uniform(0, max(cw - w - 50, 1)))
+            gy = 50 + r * ch + float(rng.uniform(0, max(ch - h - 50, 1)))
+            el, bb = DIAGRAM_GLYPHS[name](gx, gy, w, h)
+            elements += el
+            boxes.append(bb)
+            labels.append(name)
+            k += 1
+
+    svg = (
+        '<?xml version="1.0"?>\n'
+        '<svg xmlns="http://www.w3.org/2000/svg" stroke="black" stroke-width="3">\n'
+        f'<image width="{width:.1f}" height="{height:.1f}"/>\n'
+        + "\n".join(elements)
+        + "\n</svg>\n"
+    )
+    ann = ['<?xml version="1.0"?>', "<data>", "<o>"]
+    for (bx0, by0, bx1, by1), name in zip(boxes, labels):
+        ann.append(
+            f'<object x0="{bx0:.6f}" y0="{by0:.6f}" x1="{bx1:.6f}" y1="{by1:.6f}" '
+            f'label="{name}"/>'
+        )
+    ann += ["</o>", "</data>", ""]
+    gt = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    gt_labels = np.asarray([DIAGRAM_CLASSES[n] for n in labels], dtype=np.int64)
+    return svg, "\n".join(ann), gt, gt_labels
+
+
+def write_diagram_dataset(root: str, n_train: int = 4, n_test: int = 2,
+                          seed: int = 0, **kwargs) -> None:
+    """SESYD diagrams layout: <root>/diagrams-syn/... ('diagram' in the dir
+    name drives the class dictionary, graph_dict3.py:57)."""
+    rng = np.random.default_rng(seed)
+    sub = "diagrams-syn"
+    os.makedirs(os.path.join(root, sub), exist_ok=True)
+    names = {"train": [], "test": []}
+    for split, n in (("train", n_train), ("test", n_test)):
+        for i in range(n):
+            name = f"{sub}/file_{split}_{i}"
+            svg, xml, _, _ = generate_diagram(rng, **kwargs)
+            with open(os.path.join(root, name + ".svg"), "w") as f:
+                f.write(svg)
+            with open(os.path.join(root, name + ".xml"), "w") as f:
+                f.write(xml)
+            names[split].append(name + ".svg")
+    for split in ("train", "test"):
+        with open(os.path.join(root, f"{split}_list.txt"), "w") as f:
+            f.write("\n".join(names[split]) + "\n")
+
+
 def write_dataset(root: str, n_train: int = 8, n_test: int = 4, seed: int = 0,
                   **kwargs) -> None:
     """Materialise a synthetic dataset with the SESYD directory layout:

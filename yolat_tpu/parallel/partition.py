@@ -1,0 +1,72 @@
+"""Graph partitioning + sharded segment reductions.
+
+Counterparts of the reference's (unused) DeepGCN partition helpers
+random_partition_graph / generate_sub_graphs (utils/data_util.py:43-61),
+plus the framework's own scaling primitive for giant SVGs: an edge-sharded
+segment-sum whose partials psum across the mesh axis — the analog of
+"sequence parallelism" for graph workloads (SURVEY.md section 5: the
+scaling axis of this domain is graph size, not sequence length).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def random_partition_graph(num_nodes: int, cluster_number: int = 10,
+                           rng: np.random.Generator | None = None) -> np.ndarray:
+    """Uniform random node -> cluster assignment (data_util.py:43-47)."""
+    rng = rng or np.random.default_rng()
+    return rng.integers(0, cluster_number, size=num_nodes)
+
+
+def generate_sub_graphs(edge: np.ndarray, parts: np.ndarray,
+                        cluster_number: int = 10, batch_size: int = 1):
+    """Group nodes/edges by cluster batches (data_util.py:50-61 semantics):
+    returns per-batch (node_ids, edge_subset) with edges whose BOTH
+    endpoints fall in the batch's clusters, reindexed locally."""
+    num_batches = (cluster_number + batch_size - 1) // batch_size
+    out = []
+    for b in range(num_batches):
+        sel_clusters = range(b * batch_size, min((b + 1) * batch_size, cluster_number))
+        node_mask = np.isin(parts, list(sel_clusters))
+        node_ids = np.where(node_mask)[0]
+        local = -np.ones(len(parts), dtype=np.int64)
+        local[node_ids] = np.arange(len(node_ids))
+        keep = node_mask[edge[:, 0]] & node_mask[edge[:, 1]]
+        out.append((node_ids, local[edge[keep]]))
+    return out
+
+
+def sharded_segment_sum(data, segment_ids, num_segments: int, axis_name: str,
+                        mask=None):
+    """Edge-sharded segment-sum: each device reduces its local edge shard,
+    partial results psum across the mesh axis. Call inside shard_map with
+    `data`/`segment_ids`/`mask` sharded along edges and segment ids global.
+
+    This is the building block for splitting one giant SVG's edge set over
+    ICI (the stretch component of SURVEY.md section 2.5c).
+    """
+    from yolat_tpu.ops.segment import segment_sum
+
+    local = segment_sum(data, segment_ids, num_segments, mask=mask)
+    return jax.lax.psum(local, axis_name)
+
+
+def sharded_segment_mean(data, segment_ids, num_segments: int, axis_name: str,
+                         mask=None):
+    from yolat_tpu.ops.segment import segment_sum
+
+    local = segment_sum(data, segment_ids, num_segments, mask=mask)
+    if mask is not None:
+        ones = mask.astype(data.dtype)
+    else:
+        ones = jnp.ones(data.shape[0], data.dtype)
+    cnt = segment_sum(ones, segment_ids, num_segments)
+    total = jax.lax.psum(local, axis_name)
+    count = jax.lax.psum(cnt, axis_name)
+    return total / jnp.maximum(count, 1.0)[
+        (slice(None),) + (None,) * (total.ndim - 1)
+    ]
