@@ -1,0 +1,71 @@
+"""Training validation: train the canonical config on synthetic SESYD-style
+floorplans and report the full mAP table. Written for the round-1 quality
+gate (BASELINE.md: mAP@0.5 parity target); run on TPU or CPU.
+
+Usage: python scripts/validate_training.py [--epochs 60] [--out results.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--n_train", type=int, default=24)
+    p.add_argument("--n_test", type=int, default=8)
+    p.add_argument("--eval_start", type=int, default=None)
+    p.add_argument("--root", type=str, default="/tmp/yolat_validation")
+    p.add_argument("--out", type=str, default="/tmp/yolat_validation/results.json")
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    args = p.parse_args()
+
+    from yolat_tpu.data.synthetic import write_dataset
+    from yolat_tpu.train.config import Config
+    from yolat_tpu.train.trainer import run_training
+
+    os.makedirs(args.root, exist_ok=True)
+    if not os.path.exists(os.path.join(args.root, "train_list.txt")):
+        write_dataset(args.root, n_train=args.n_train, n_test=args.n_test,
+                      seed=11, width=2000.0, height=1500.0, n_rooms=6,
+                      symbols_per_room=(1, 3))
+
+    eval_start = args.eval_start or max(args.epochs - 10, 1)
+    cfg = Config(
+        data_dir=args.root,
+        batch_size=4,
+        total_epochs=args.epochs,
+        eval_start=eval_start,
+        lr=args.lr,
+        data_aug=True,
+        dropout=0.0,
+        weight_decay=1e-5,
+        bbox_sampling_step=10,
+        root_dir=os.path.join(args.root, "log"),
+        print_freq=20,
+    )
+    t0 = time.time()
+    state, results = run_training(cfg)
+    wall = time.time() - t0
+
+    payload = {
+        "map_50": results.get("map_50"),
+        "map_all": results.get("map_all"),
+        "top1_acc": results.get("top1_acc"),
+        "best_value": results.get("best_value"),
+        "map_per_th": results.get("map_per_th"),
+        "wall_s": wall,
+        "epochs": args.epochs,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

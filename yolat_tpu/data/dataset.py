@@ -52,6 +52,31 @@ class SESYDDataset:
     def __len__(self):
         return len(self.files)
 
+    def get_anchor(self):
+        """Per-class GT box width/height statistics (median/mean/max/min) —
+        the reference's anchor-inspection tool (graph_dict3.py:111-127),
+        returned as a dict instead of printed + SystemExit."""
+        whs: dict = {}
+        for path in self.files:
+            g = self._graph(path)
+            w, h = g["img_width"], g["img_height"]
+            boxes, labels = read_ground_truth_boxes(
+                path.replace(".svg", ".xml"), w, h, self.class_dict
+            )
+            for (x0, y0, x1, y1), l in zip(boxes, labels):
+                whs.setdefault(int(l), []).append((x1 - x0, y1 - y0))
+        out = {}
+        for l, sizes in whs.items():
+            arr = np.asarray(sizes)
+            out[l] = {
+                "median": np.median(arr, axis=0).tolist(),
+                "mean": arr.mean(axis=0).tolist(),
+                "max": arr.max(axis=0).tolist(),
+                "min": arr.min(axis=0).tolist(),
+                "count": len(arr),
+            }
+        return out
+
     def _graph(self, path: str) -> dict:
         cache_path = path.replace(".svg", ".graph.pkl")
         if self.cache and os.path.exists(cache_path):

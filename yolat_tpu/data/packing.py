@@ -162,7 +162,8 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def finalize_batch(batch: dict, key=None, data_aug: bool = False):
+def finalize_batch(batch: dict, key=None, data_aug: bool = False,
+                   drop_edge: float = 0.0):
     """Jit-able batch epilogue.
 
     With data_aug: per-image random flip/rotate/scale/translate of the
@@ -182,6 +183,19 @@ def finalize_batch(batch: dict, key=None, data_aug: bool = False):
     import jax.numpy as jnp
 
     pos = batch["pos"]
+    if drop_edge > 0.0 and key is not None:
+        # train-time random edge dropout. The reference *accepts* a
+        # --drop_edge flag but never applies it (graph_dict3.py takes the
+        # parameter and drops it); here it is functional.
+        key, k_drop = jax.random.split(key)
+        keep = jax.random.bernoulli(k_drop, 1.0 - drop_edge,
+                                    batch["edge_mask"].shape)
+        batch = {**batch, "edge_mask": batch["edge_mask"] & keep}
+        if "nbr_mask" in batch:
+            key, k_drop2 = jax.random.split(key)
+            keep2 = jax.random.bernoulli(k_drop2, 1.0 - drop_edge,
+                                         batch["nbr_mask"].shape)
+            batch = {**batch, "nbr_mask": batch["nbr_mask"] & keep2}
     if data_aug:
         assert key is not None
         B = batch["gt_bbox"].shape[0]

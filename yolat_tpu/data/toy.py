@@ -59,6 +59,38 @@ def toy_shape_sample(rng: np.random.Generator):
     return graph, TOY_CLASSES[kind]
 
 
+class ToyDataset:
+    """Per-node shape-classification toy dataset (the reference's
+    Datasets/toy_dataset.py: 2000 procedural circle/triangle/rectangle
+    samples, control nodes stripped, every node labelled with the shape
+    class). The canonical smoke-test fixture for conv layers."""
+
+    def __init__(self, n_samples: int = 2000, seed: int = 0):
+        self.n = n_samples
+        self.seed = seed
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx: int):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        graph, label = toy_shape_sample(rng)
+        is_control = graph["attr"]["is_control"].reshape(-1) > 0.5
+        o2n = np.cumsum(~is_control) - 1
+        edges = []
+        for a, b in graph["edge"]["shape"]:
+            if not is_control[a] and not is_control[b]:
+                edges.append([o2n[a], o2n[b]])
+        pos = graph["pos"][~is_control]
+        return {
+            "x": pos.astype(np.float32),
+            "pos": pos.astype(np.float32),
+            "edge": np.asarray(edges, dtype=np.int64).reshape(-1, 2),
+            "labels": np.full(len(pos), label, dtype=np.int64),
+            "label": label,
+        }
+
+
 def random_packed_batch(seed: int = 0, n_images: int = 2,
                         ccs_per_image: int = 3, n_classes: int = 17,
                         step: int = 4, pad: PadSizes | None = None):

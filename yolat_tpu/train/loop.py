@@ -82,8 +82,10 @@ def create_state(cfg, tx, example_batch: dict, key,
 
 
 def _step_body(model, tx, state: TrainState, batch: dict, key,
-               data_aug: bool, classifier: str, axis_name: Optional[str]):
-    batch = finalize_batch(batch, key=key, data_aug=data_aug)
+               data_aug: bool, classifier: str, axis_name: Optional[str],
+               drop_edge: float = 0.0):
+    batch = finalize_batch(batch, key=key, data_aug=data_aug,
+                           drop_edge=drop_edge)
 
     def loss_fn(params):
         (logits, _), mutated = model.apply(
@@ -128,7 +130,8 @@ def make_train_step(cfg, tx):
             lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, batch
         )
         return _step_body(model, tx, state, batch, key, cfg.data_aug,
-                          cfg.classifier, axis_name=None)
+                          cfg.classifier, axis_name=None,
+                          drop_edge=cfg.drop_edge)
 
     return step
 
@@ -148,7 +151,8 @@ def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
         )
         new_state, loss_dict = _step_body(model, tx, state, batch, key,
                                           cfg.data_aug, cfg.classifier,
-                                          axis_name=axis_name)
+                                          axis_name=axis_name,
+                                          drop_edge=cfg.drop_edge)
         return new_state, loss_dict
 
     mapped = jax.shard_map(
