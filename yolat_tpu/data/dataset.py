@@ -137,22 +137,29 @@ class PackedLoader:
         self.pad = pad or self.compute_pad()
 
     def compute_pad(self) -> PadSizes:
-        """Worst-case per-shard pad sizes over all possible batch windows."""
-        loads = [self.ds.load(i) for i in range(len(self.ds))]
-        files = [l[0] for l in loads]
-        gt_counts = [len(l[1][0]) for l in loads]
-        per_file = PadSizes.for_files(files, gt_counts, self.batch_size)
-        # scale single-file worst cases by batch size (upper bound)
-        top = sorted(files, key=lambda f: len(f.pos))[-self.batch_size :]
-        top_e = sorted(files, key=lambda f: len(f.edge))[-self.batch_size :]
-        top_s = sorted(files, key=lambda f: len(f.edge_super))[-self.batch_size :]
-        top_p = sorted(files, key=lambda f: f.n_proposals)[-self.batch_size :]
+        """Worst-case per-shard pad sizes over all possible batch windows:
+        the sum of the `batch_size` largest per-file counts per dimension.
+        One streaming pass; files are not retained in memory."""
+        from yolat_tpu.data.packing import round_up
+
+        nodes, edges, supers, props, gts = [], [], [], [], [1]
+        for i in range(len(self.ds)):
+            f, (gt, _), _ = self.ds.load(i)
+            nodes.append(len(f.pos))
+            edges.append(len(f.edge))
+            supers.append(len(f.edge_super))
+            props.append(f.n_proposals)
+            gts.append(len(gt))
+
+        def topsum(vals, mult):
+            return round_up(sum(sorted(vals)[-self.batch_size :]), mult)
+
         return PadSizes(
-            PadSizes.for_files(top, gt_counts, self.batch_size).n_nodes,
-            PadSizes.for_files(top_e, gt_counts, self.batch_size).n_edges,
-            PadSizes.for_files(top_s, gt_counts, self.batch_size).n_super,
-            PadSizes.for_files(top_p, gt_counts, self.batch_size).n_proposals,
-            per_file.n_gt,
+            topsum(nodes, 512),
+            topsum(edges, 512),
+            topsum(supers, 2048),
+            topsum(props, 64),
+            round_up(max(gts), 16),
             self.batch_size,
         )
 

@@ -69,8 +69,15 @@ def build_model(cfg, axis_name: Optional[str] = None):
 def create_state(cfg, tx, example_batch: dict, key,
                  axis_name: Optional[str] = None) -> TrainState:
     model = build_model(cfg, axis_name=None)  # init off-mesh, no collectives
-    batch = finalize_batch(jax.tree.map(jnp.asarray, example_batch))
-    variables = model.init({"params": key, "dropout": key}, batch, train=True)
+
+    # jit the whole init: eager tracing would dispatch every primitive as a
+    # separate device program — catastrophic over high-latency device links
+    @jax.jit
+    def init(key, batch):
+        batch = finalize_batch(batch)
+        return model.init({"params": key, "dropout": key}, batch, train=True)
+
+    variables = init(key, jax.tree.map(jnp.asarray, example_batch))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
