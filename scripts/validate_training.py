@@ -23,6 +23,7 @@ def main():
     p.add_argument("--root", type=str, default="/tmp/yolat_validation")
     p.add_argument("--out", type=str, default="/tmp/yolat_validation/results.json")
     p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--step", type=int, default=10)
     args = p.parse_args()
 
     from yolat_tpu.data.synthetic import write_dataset
@@ -45,7 +46,7 @@ def main():
         data_aug=True,
         dropout=0.0,
         weight_decay=1e-5,
-        bbox_sampling_step=10,
+        bbox_sampling_step=args.step,
         root_dir=os.path.join(args.root, "log"),
         print_freq=20,
     )

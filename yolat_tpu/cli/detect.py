@@ -63,6 +63,9 @@ def main(argv=None):
     p.add_argument("--out_dir", default="output_all", type=str)
     p.add_argument("--conf_th", default=0.75, type=float)
     p.add_argument("--max_images", default=0, type=int)
+    p.add_argument("--merge_nms", action="store_true",
+                   help="weighted-merge NMS on raw proposals (the reference "
+                        "detect.py post-processing) instead of hard NMS")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -90,17 +93,32 @@ def main(argv=None):
         out = {k: np.asarray(v) for k, v in out.items()}
         times.append(time.perf_counter() - t0)
 
-        valid = out["valid"][0]
         svg_path = ds.files[i]
         name = os.path.basename(os.path.dirname(svg_path)) + "_" + \
             os.path.basename(svg_path).replace(".svg", ".png")
         w, h = batch["wh"][0]
+        if args.merge_nms:
+            from yolat_tpu.eval.merge_nms import merge_nms
+
+            kept = out["kept"]
+            m = merge_nms(out["prop_boxes"][kept], out["prop_obj"][kept],
+                          out["prop_cls"][kept], conf_thres=args.conf_th,
+                          nms_thres=0.4)
+            det_boxes, det_scores, det_classes = (
+                m["boxes"], m["obj_conf"] * m["cls_conf"], m["classes"]
+            )
+            score_th = 0.0
+        else:
+            valid = out["valid"][0]
+            det_boxes = out["boxes"][0][valid]
+            det_scores = out["scores"][0][valid]
+            det_classes = out["classes"][0][valid]
+            score_th = args.conf_th
         render_detections(
-            svg_path, w, h, out["boxes"][0][valid], out["scores"][0][valid],
-            out["classes"][0][valid], class_names,
-            os.path.join(args.out_dir, name), score_th=args.conf_th,
+            svg_path, w, h, det_boxes, det_scores, det_classes, class_names,
+            os.path.join(args.out_dir, name), score_th=score_th,
         )
-        print(f"{svg_path}: {int(valid.sum())} detections")
+        print(f"{svg_path}: {len(det_boxes)} detections")
 
     if times:
         # first call includes compile; report the warm mean like the

@@ -117,6 +117,11 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
         )(img_boxes, img_cls, img_obj, img_valid)
         nms["pred_label"] = pred_label
         nms["kept"] = kept
+        # raw per-proposal scores for alternative post-processing (the
+        # detect driver's weighted-merge NMS, det_util.py:365-414)
+        nms["prop_boxes"] = boxes
+        nms["prop_obj"] = obj
+        nms["prop_cls"] = cls_scores
         return nms
 
     return predict

@@ -97,6 +97,25 @@ class MaskedBatchNorm(nn.Module):
         return ((x - mean) * inv + bias).astype(x.dtype)
 
 
+class SumEmbedding(nn.Module):
+    """Sum of per-feature embeddings — the Atom/BondEncoder pattern of the
+    reference (gcn_lib/sparse/torch_nn.py:74-113, OGB molecular inputs;
+    unused by the CAD path but part of the op-library surface)."""
+
+    feature_dims: tuple
+    emb_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = 0
+        for i, dim in enumerate(self.feature_dims):
+            emb = nn.Embed(dim, self.emb_dim,
+                           embedding_init=nn.initializers.xavier_uniform(),
+                           name=f"emb_{i}")
+            out = out + emb(x[:, i])
+        return out
+
+
 class MLP(nn.Module):
     """Dense -> [BatchNorm] -> [act] -> [dropout] chain, one stage per
     channel transition (torch_nn.MLP:50-71, incl. the `last_lin` option that
