@@ -24,6 +24,7 @@ def main():
     p.add_argument("--out", type=str, default="/tmp/yolat_validation/results.json")
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--step", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=4)
     args = p.parse_args()
 
     from yolat_tpu.data.synthetic import write_dataset
@@ -39,7 +40,7 @@ def main():
     eval_start = args.eval_start or max(args.epochs - 10, 1)
     cfg = Config(
         data_dir=args.root,
-        batch_size=4,
+        batch_size=args.batch_size,
         total_epochs=args.epochs,
         eval_start=eval_start,
         lr=args.lr,

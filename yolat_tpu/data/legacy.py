@@ -24,7 +24,7 @@ import numpy as np
 
 from yolat_tpu.geom.bezier import shape_to_cubics
 from yolat_tpu.geom.graph_build import cubics_to_graph, merge_nodes
-from yolat_tpu.geom.svg_io import ARC, LINE, SVGDocument, parse_path_d
+from yolat_tpu.geom.svg_io import ARC, SVGDocument, parse_path_d
 
 
 def build_graph_v1(doc: SVGDocument, v1_edge_attr: bool = True) -> dict:

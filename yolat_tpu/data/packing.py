@@ -40,8 +40,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from yolat_tpu.geom.proposals import ProposalFile
-
 
 def round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m

@@ -26,7 +26,7 @@ from flax import linen as nn
 from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import KAIMING, MaskedBatchNorm, act_fn
 from yolat_tpu.ops.knn import dilated, knn_graph
-from yolat_tpu.ops.segment import segment_softmax, segment_sum
+from yolat_tpu.ops.segment import segment_softmax
 
 
 class GATConv(nn.Module):

@@ -14,7 +14,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolat_tpu.nn.layers import KAIMING, MLP
+from yolat_tpu.nn.layers import MLP
 from yolat_tpu.ops.segment import segment_mean, segment_softmax, segment_sum
 
 

@@ -15,7 +15,6 @@ import os
 import shutil
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

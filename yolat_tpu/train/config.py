@@ -11,7 +11,6 @@ defaults where they differ (marked below).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,7 +12,6 @@ section 2.5).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Optional
 
 import jax
