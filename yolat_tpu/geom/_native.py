@@ -52,10 +52,113 @@ def load_library():
                 ctypes.c_long, ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.enumerate_rect_sets.restype = ctypes.c_long
+            lib.enumerate_rect_sets.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+            ]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.build_rect_proposals.restype = ctypes.c_long
+            lib.build_rect_proposals.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+                i64p, i64p, ctypes.c_long,
+                i64p, i64p, ctypes.c_long,
+                i64p, ctypes.c_long, i64p,
+                i64p, ctypes.c_long, i64p,
+                i64p, ctypes.c_long, i64p, ctypes.c_long,
+            ]
             _lib = lib
         except Exception:
             _lib = None
         return _lib
+
+
+def enumerate_rect_sets_native(xi: np.ndarray, yi: np.ndarray,
+                               rects: np.ndarray):
+    """Distinct rectangle point-sets as a list of int64 arrays, or None if
+    the library is unavailable / capacity was exceeded."""
+    lib = load_library()
+    if lib is None or len(rects) == 0:
+        return None
+    xi = np.ascontiguousarray(xi, dtype=np.int32)
+    yi = np.ascontiguousarray(yi, dtype=np.int32)
+    rects = np.ascontiguousarray(rects, dtype=np.int32)
+    max_sets = len(rects)
+    # average set size is bounded by the point count; cap generously
+    max_total = max(len(xi) * 64, len(rects) * 8)
+    out_ids = np.empty(max_total, dtype=np.int64)
+    out_offsets = np.empty(max_sets + 1, dtype=np.int64)
+    n = lib.enumerate_rect_sets(
+        xi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        yi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(xi),
+        rects.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(rects),
+        out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_total,
+        out_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_sets,
+    )
+    if n < 0:
+        return None
+    return [out_ids[out_offsets[i]:out_offsets[i + 1]].copy() for i in range(n)]
+
+
+def build_rect_proposals_native(xi, yi, rects, edges_cl, supers_cl):
+    """One-pass proposal cores: list of (point_ids, edge_rows, super_rows)
+    per distinct window, or None (library unavailable / capacity retry
+    exhausted)."""
+    lib = load_library()
+    if lib is None or len(rects) == 0:
+        return None
+    xi = np.ascontiguousarray(xi, dtype=np.int32)
+    yi = np.ascontiguousarray(yi, dtype=np.int32)
+    rects = np.ascontiguousarray(rects, dtype=np.int32)
+    edges_cl = np.ascontiguousarray(edges_cl, dtype=np.int64).reshape(-1, 2)
+    supers_cl = np.ascontiguousarray(supers_cl, dtype=np.int64).reshape(-1, 2)
+    eu = np.ascontiguousarray(edges_cl[:, 0])
+    ev = np.ascontiguousarray(edges_cl[:, 1])
+    su = np.ascontiguousarray(supers_cl[:, 0])
+    sv = np.ascontiguousarray(supers_cl[:, 1])
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    max_sets = len(rects)
+
+    cap_ids = max(len(xi) * 64, 1 << 16)
+    cap_eids = max(len(eu) * 64, 1 << 16)
+    cap_sids = max(len(su) * 64, 1 << 16)
+    for _ in range(3):  # grow capacity on exhaustion
+        out_ids = np.empty(cap_ids, np.int64)
+        out_id_off = np.empty(max_sets + 1, np.int64)
+        out_eids = np.empty(cap_eids, np.int64)
+        out_eid_off = np.empty(max_sets + 1, np.int64)
+        out_sids = np.empty(cap_sids, np.int64)
+        out_sid_off = np.empty(max_sets + 1, np.int64)
+        n = lib.build_rect_proposals(
+            xi.ctypes.data_as(i32p), yi.ctypes.data_as(i32p), len(xi),
+            rects.ctypes.data_as(i32p), len(rects),
+            eu.ctypes.data_as(i64p), ev.ctypes.data_as(i64p), len(eu),
+            su.ctypes.data_as(i64p), sv.ctypes.data_as(i64p), len(su),
+            out_ids.ctypes.data_as(i64p), cap_ids, out_id_off.ctypes.data_as(i64p),
+            out_eids.ctypes.data_as(i64p), cap_eids, out_eid_off.ctypes.data_as(i64p),
+            out_sids.ctypes.data_as(i64p), cap_sids, out_sid_off.ctypes.data_as(i64p),
+            max_sets,
+        )
+        if n >= 0:
+            return [
+                (
+                    out_ids[out_id_off[i]:out_id_off[i + 1]].copy(),
+                    out_eids[out_eid_off[i]:out_eid_off[i + 1]].copy(),
+                    out_sids[out_sid_off[i]:out_sid_off[i + 1]].copy(),
+                )
+                for i in range(n)
+            ]
+        cap_ids *= 4
+        cap_eids *= 4
+        cap_sids *= 4
+    return None
 
 
 def angle_stats_native(edges_local: np.ndarray, pos_local: np.ndarray,

@@ -153,17 +153,14 @@ def _walk_ends(values: np.ndarray, grids: np.ndarray, gi0: int, start: int):
     return out
 
 
-def _enumerate_subclusters(pos_cluster: np.ndarray, step_count: int):
-    """All distinct rectangle-induced point-index sets of one CC.
-
-    Returns a list of sorted local-index arrays, first-seen (deterministic)
-    order. Parity with the reference walk is oracle-tested in
-    tests/test_proposals.py.
-    """
+def _sweep_rects(pos_cluster: np.ndarray, step_count: int):
+    """(xi, yi, rects) for one CC: point value-indices and every rect's
+    inclusive index bounds, in the reference's nested-loop order (first-seen
+    dedup order is part of determinism)."""
     x_values = np.unique(pos_cluster[:, 0])
     y_values = np.unique(pos_cluster[:, 1])
     if len(x_values) < 2 or len(y_values) < 2:
-        return []
+        return None
 
     xi = np.searchsorted(x_values, pos_cluster[:, 0])
     yi = np.searchsorted(y_values, pos_cluster[:, 1])
@@ -171,28 +168,85 @@ def _enumerate_subclusters(pos_cluster: np.ndarray, step_count: int):
     x_grids = _grid_boundaries(x_values[0], x_values[-1], step_count)
     y_grids = _grid_boundaries(y_values[0], y_values[-1], step_count)
 
+    x_starts = _walk_starts(x_values, x_grids)
+    y_starts = _walk_starts(y_values, y_grids)
+    x_ends_of = {(x0, gix): _walk_ends(x_values, x_grids, gix, x0)
+                 for x0, gix in x_starts}
+    y_ends_of = {(y0, giy): _walk_ends(y_values, y_grids, giy, y0)
+                 for y0, giy in y_starts}
+
+    rects = []
+    for y0, giy in y_starts:
+        for x0, gix in x_starts:
+            for y1 in y_ends_of[(y0, giy)]:
+                for x1 in x_ends_of[(x0, gix)]:
+                    rects.append((x0, x1, y0, y1))
+    if not rects:
+        return None
+    return xi, yi, np.asarray(rects, dtype=np.int32)
+
+
+def _enumerate_subclusters(pos_cluster: np.ndarray, step_count: int):
+    """All distinct rectangle-induced point-index sets of one CC.
+
+    Returns a list of sorted local-index arrays, first-seen (deterministic)
+    order. Parity with the reference walk is oracle-tested in
+    tests/test_proposals.py.
+    """
+    swept = _sweep_rects(pos_cluster, step_count)
+    if swept is None:
+        return []
+    xi, yi, rects = swept
+
+    from yolat_tpu.geom._native import enumerate_rect_sets_native
+
+    native = enumerate_rect_sets_native(xi, yi, rects)
+    if native is not None:
+        return native
+
     seen = set()
     out = []
-    for y0, giy in _walk_starts(y_values, y_grids):
-        my0 = yi >= y0
-        y_ends = _walk_ends(y_values, y_grids, giy, y0)
-        for x0, gix in _walk_starts(x_values, x_grids):
-            mx0 = my0 & (xi >= x0)
-            x_ends = _walk_ends(x_values, x_grids, gix, x0)
-            for y1 in y_ends:
-                my = mx0 & (yi <= y1)
-                if not my.any():
-                    continue
-                for x1 in x_ends:
-                    m = my & (xi <= x1)
-                    ids = np.where(m)[0]
-                    if len(ids) == 0:
-                        continue
-                    key = ids.tobytes()
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    out.append(ids)
+    for x0, x1, y0, y1 in rects:
+        m = (xi >= x0) & (xi <= x1) & (yi >= y0) & (yi <= y1)
+        ids = np.where(m)[0]
+        if len(ids) == 0:
+            continue
+        key = ids.tobytes()
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(ids)
+    return out
+
+
+def _cc_proposal_cores(pos_cluster, step_count, edges_cl, supers_cl):
+    """Per distinct window: (local point ids, induced shape-edge rows,
+    induced super-edge rows), where edge rows index the CC-local edge
+    arrays. Native one-pass C++ when available, mask fallback otherwise.
+    """
+    swept = _sweep_rects(pos_cluster, step_count)
+    if swept is None:
+        return []
+    xi, yi, rects = swept
+
+    from yolat_tpu.geom._native import build_rect_proposals_native
+
+    native = build_rect_proposals_native(xi, yi, rects, edges_cl, supers_cl)
+    if native is not None:
+        return native
+
+    # fallback: reuse the set enumeration, induce with boolean masks
+    out = []
+    n = len(pos_cluster)
+    sel = np.zeros(n, dtype=bool)
+    for local_ids in _enumerate_subclusters(pos_cluster, step_count):
+        sel[local_ids] = True
+        em = np.where(sel[edges_cl[:, 0]] & sel[edges_cl[:, 1]])[0] \
+            if len(edges_cl) else np.zeros(0, np.int64)
+        sm = np.where(sel[supers_cl[:, 0]] & sel[supers_cl[:, 1]])[0] \
+            if len(supers_cl) else np.zeros(0, np.int64)
+        out.append((local_ids, em, sm))
+        sel[local_ids] = False
     return out
 
 
@@ -296,56 +350,49 @@ def generate_proposals(
                 pos_cluster[:, 1].max(),
             ]
         )
-        subclusters = _enumerate_subclusters(pos_cluster, bbox_sampling_step)
-        if not subclusters:
-            continue
-
         gt_valid = _intersecting_gt(bbox_cc, gt_bbox) if len(gt_bbox) else np.zeros(0, np.int64)
-        if len(gt_bbox) and gt_valid.shape[0] == 0:
-            raise ValueError("connected component intersects no ground-truth box")
 
-        # CC-incident edges (both endpoints in CC) once, then induce per
-        # proposal with boolean masks
+        # CC-incident edges (both endpoints in CC), remapped to CC-local
+        # point indices so the sweep can induce by index-range tests
         in_cc = np.zeros(n_nodes, dtype=bool)
         in_cc[cluster] = True
         cc_edge_ids = np.where(in_cc[edge[:, 0]] & in_cc[edge[:, 1]])[0]
         cc_super_ids = np.where(in_cc[edge_super[:, 0]] & in_cc[edge_super[:, 1]])[0]
-        cc_edges = edge[cc_edge_ids]
-        cc_supers = edge_super[cc_super_ids]
+        edges_cl = np.searchsorted(cluster, edge[cc_edge_ids])
+        supers_cl = np.searchsorted(cluster, edge_super[cc_super_ids])
 
-        sel = np.zeros(n_nodes, dtype=bool)
+        cores = _cc_proposal_cores(pos_cluster, bbox_sampling_step,
+                                   edges_cl, supers_cl)
+        if not cores:
+            continue
+        if len(gt_bbox) and gt_valid.shape[0] == 0:
+            raise ValueError("connected component intersects no ground-truth box")
+
         n_before = acc.n_proposals()
-        for local_ids in subclusters:
-            node_ids = cluster[local_ids]  # sorted global ids
-            sel[node_ids] = True
-            local_of = np.full(n_nodes, -1, dtype=np.int64)
-            local_of[node_ids] = np.arange(len(node_ids))
-
-            em = sel[cc_edges[:, 0]] & sel[cc_edges[:, 1]]
-            if not em.any():
-                sel[node_ids] = False
+        for local_ids, edge_rows, super_rows in cores:
+            if len(edge_rows) == 0:
                 continue
+            node_ids = cluster[local_ids]
 
-            pos_bbox = pos[node_ids]
+            pos_bbox = pos_cluster[local_ids]
             min_x, min_y = pos_bbox[:, 0].min(), pos_bbox[:, 1].min()
             max_x, max_y = pos_bbox[:, 0].max(), pos_bbox[:, 1].max()
             if max_x - min_x < MIN_EXTENT or max_y - min_y < MIN_EXTENT:
-                sel[node_ids] = False
                 continue
 
-            edges_local = local_of[cc_edges[em]]
-            e_attr_bbox = e_attr[cc_edge_ids[em]]
+            edges_local = np.searchsorted(local_ids, edges_cl[edge_rows])
+            e_attr_bbox = e_attr[cc_edge_ids[edge_rows]]
 
             stats = _angle_stats(len(node_ids), edges_local, pos_bbox)
             if stats is None:
-                sel[node_ids] = False
                 continue
 
-            sm = sel[cc_supers[:, 0]] & sel[cc_supers[:, 1]]
-            supers_local = local_of[cc_supers[sm]] if sm.any() else np.zeros((0, 2), np.int64)
-            e_attr_super_bbox = (
-                e_attr_super[cc_super_ids[sm]] if sm.any() else np.zeros((0, 6))
-            )
+            if len(super_rows):
+                supers_local = np.searchsorted(local_ids, supers_cl[super_rows])
+                e_attr_super_bbox = e_attr_super[cc_super_ids[super_rows]]
+            else:
+                supers_local = np.zeros((0, 2), np.int64)
+                e_attr_super_bbox = np.zeros((0, 6))
 
             proposal_box = np.array([min_x, min_y, max_x, max_y])
             if len(gt_valid):
@@ -367,7 +414,7 @@ def generate_proposals(
             stat_feat = np.array(
                 [
                     len(node_ids),
-                    int(em.sum()),
+                    len(edge_rows),
                     stats["n_90"],
                     stats["n_less90"],
                     stats["n_more90"],
@@ -398,7 +445,6 @@ def generate_proposals(
                 stat_feat,
                 has_obj,
             )
-            sel[node_ids] = False
 
         acc.close_cc(n_before)
 
