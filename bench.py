@@ -50,12 +50,13 @@ def build_workload(n_images=8, batch_size=4, step=10):
 
 
 def time_predict(cfg, variables, batches, device, iters=8, fast=False,
-                 folded=None):
+                 folded=None, bf16=False):
     import jax
 
     from yolat_tpu.eval.predict import make_predict_fn
 
-    predict = make_predict_fn(cfg, max_det=300, fast=fast, folded=folded)
+    predict = make_predict_fn(cfg, max_det=300, fast=fast, folded=folded,
+                              bf16=bf16)
     dev_batches = [
         {k: jax.device_put(v[0], device) for k, v in b.items()} for b in batches
     ]
@@ -101,7 +102,9 @@ def main():
     rate_flax = time_predict(cfg, variables, batches, default_dev)
     rate_fast = time_predict(cfg, variables, batches, default_dev,
                              fast=True, folded=folded)
-    rate_dev = max(rate_flax, rate_fast)
+    rate_bf16 = time_predict(cfg, variables, batches, default_dev,
+                             fast=True, folded=folded, bf16=True)
+    rate_dev = max(rate_flax, rate_fast, rate_bf16)
 
     try:
         cpu_dev = jax.devices("cpu")[0]
@@ -121,6 +124,7 @@ def main():
                     "device": str(default_dev),
                     "flax_images_per_sec": round(rate_flax, 3),
                     "fast_path_images_per_sec": round(rate_fast, 3),
+                    "fast_bf16_images_per_sec": round(rate_bf16, 3),
                     "cpu_images_per_sec": round(rate_cpu, 3)
                     if rate_cpu == rate_cpu
                     else None,

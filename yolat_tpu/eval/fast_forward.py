@@ -77,14 +77,32 @@ def _folded(x, w_sc):
     return jnp.maximum((x @ w) * sc[0] + sc[1], 0.0)
 
 
-@partial(jax.jit, static_argnames=("n_blocks_out", "use_pallas", "interpret"))
+@partial(jax.jit,
+         static_argnames=("n_blocks_out", "use_pallas", "interpret", "bf16"))
 def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
-                 use_pallas: bool = True, interpret: bool = False):
-    """Eval forward on a finalized dense-layout batch -> (logits, boxes)."""
+                 use_pallas: bool = True, interpret: bool = False,
+                 bf16: bool = False):
+    """Eval forward on a finalized dense-layout batch -> (logits, boxes).
+
+    bf16=True runs the jnp path with bfloat16 activations/weights (f32
+    accumulation on the MXU) — the serving precision mode; logits cast back
+    to f32. Detection scores tolerate bf16 comfortably (the score rewrite
+    and NMS ordering are rank-stable at ~2-3 decimal digits).
+    """
     x = batch["x"]
     node_mask = batch["node_mask"]
     bbox_idx = batch["bbox_idx"]
     n_prop = batch["labels"].shape[0]
+
+    if bf16:
+        folded = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+            folded,
+        )
+        x = x.astype(jnp.bfloat16)
+        batch = {**batch, "nbr_attr": batch["nbr_attr"].astype(jnp.bfloat16)}
+        use_pallas = False  # the Pallas kernel is f32-specialised
 
     message = (
         partial(fused_dense_message, interpret=interpret)
@@ -120,5 +138,5 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     h = _folded(h, folded["pred_0"])
     h = _folded(h, folded["pred_1"])
     w2, b2 = folded["pred_2"]
-    logits = h @ w2 + b2
+    logits = (h @ w2 + b2).astype(jnp.float32)
     return logits, batch["bbox"]

@@ -33,7 +33,7 @@ from yolat_tpu.train.loop import build_model
 
 
 def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
-                    fast: bool = False, folded=None):
+                    fast: bool = False, folded=None, bf16: bool = False):
     """Returns a jitted (variables, batch) -> per-image detections fn.
 
     With fast=True (requires the dense neighbour layout in the batch and
@@ -65,7 +65,7 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
         if fast:
             logits, prop_boxes = fast_forward(
                 folded, batch, n_blocks_out=cfg.n_blocks_out,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, bf16=bf16,
             )
         else:
             logits, prop_boxes = model.apply(variables, batch, train=False)
