@@ -17,6 +17,8 @@ jit-friendly.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -49,12 +51,55 @@ def segment_mean(data, segment_ids, num_segments: int, mask=None,
 
 def segment_max(data, segment_ids, num_segments: int, mask=None,
                 indices_are_sorted: bool = False):
-    """Max-reduce; empty segments produce 0 (torch_scatter convention)."""
+    """Max-reduce; empty segments produce 0 (torch_scatter convention).
+
+    Uses a custom VJP: XLA's native segment_max backward gathers the [S, C]
+    output back to [N, C] and re-compares — at detection scale
+    (N ~ 10^6 proposal-duplicated nodes x 1152 features) that gather is the
+    single largest training allocation. Here the forward saves the argmax
+    row per (segment, column) (an [S, C] int32) and the backward is a pure
+    scatter of the cotangent — torch_scatter's gradient convention (ties
+    send the full gradient to one winner) rather than XLA's split-on-ties.
+    """
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, _NEG_INF)
+    return _segment_max_core(data, segment_ids, num_segments, indices_are_sorted)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _segment_max_core(data, segment_ids, num_segments, indices_are_sorted):
     out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
                               indices_are_sorted=indices_are_sorted)
     return jnp.where(out <= _NEG_INF / 2, 0.0, out)
+
+
+def _segment_max_fwd(data, segment_ids, num_segments, indices_are_sorted):
+    raw = jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    out = jnp.where(raw <= _NEG_INF / 2, 0.0, raw)
+    # first row index achieving the max, per (segment, column)
+    n = data.shape[0]
+    big = jnp.int32(n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, data.shape, 0)
+    hit = data == raw[segment_ids]
+    argmax = jax.ops.segment_min(
+        jnp.where(hit, rows, big), segment_ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
+    return out, (argmax, raw <= _NEG_INF / 2, n)
+
+
+def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
+    argmax, empty, n = res
+    g = jnp.where(empty, 0.0, g)
+    safe_rows = jnp.clip(argmax, 0, n - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, argmax.shape, argmax.ndim - 1)
+    dx = jnp.zeros((n,) + g.shape[1:], g.dtype)
+    dx = dx.at[safe_rows, cols].add(jnp.where(argmax >= n, 0.0, g))
+    return dx, None
+
+
+_segment_max_core.defvjp(_segment_max_fwd, _segment_max_bwd)
 
 
 def segment_softmax(data, segment_ids, num_segments: int, mask=None):
