@@ -34,7 +34,14 @@ class SESYDDataset:
         self.root = root
         self.partition = partition
         self.step = bbox_sampling_step
-        with open(os.path.join(root, f"{partition}_list.txt")) as f:
+        list_path = os.path.join(root, f"{partition}_list.txt")
+        if not os.path.exists(list_path):
+            # the reference manifests include val_list2.txt, which doesn't
+            # follow the <partition>_list.txt pattern; accept <partition>.txt
+            alt = os.path.join(root, f"{partition}.txt")
+            if os.path.exists(alt):
+                list_path = alt
+        with open(list_path) as f:
             self.files = [os.path.join(root, line.strip()) for line in f if line.strip()]
         if mode is None:
             # the reference keys the class dictionary off the path

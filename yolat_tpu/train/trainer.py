@@ -90,22 +90,33 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     done = False
     for epoch in range(start_epoch + 1, cfg.total_epochs + 1):
         t_epoch = time.time()
+        pending = []  # (iter, device metrics) — fetched only at print_freq,
+        # so steps dispatch asynchronously (a per-step float() sync costs a
+        # full device round-trip; on remote-attached devices that dominates)
         for batch in train_loader:
             key, sub = jax.random.split(key)
             state, metrics = step_fn(state, batch, sub)
             it += 1
-            losses.update(float(metrics["loss"]))
-            if it % cfg.print_freq == 0:
+            pending.append((it, metrics))
+            if it % cfg.print_freq == 0 or (max_steps is not None and it >= max_steps):
+                for it_i, m in pending:
+                    loss_i = float(m["loss"])
+                    losses.update(loss_i)
+                    writer.add_scalar("loss", loss_i, it_i)
+                    writer.add_scalar("test_value", test_value, it_i)
+                pending = []
                 logging.info(
                     "Epoch:%d Iter:%d LossMean:%.4f loss:%.4f",
-                    epoch, it, losses.avg, float(metrics["loss"]),
+                    epoch, it, losses.avg, losses.val,
                 )
                 losses.reset()
-            writer.add_scalar("loss", float(metrics["loss"]), it)
-            writer.add_scalar("test_value", test_value, it)
             if max_steps is not None and it >= max_steps:
                 done = True
                 break
+        for it_i, m in pending:
+            loss_i = float(m["loss"])
+            losses.update(loss_i)
+            writer.add_scalar("loss", loss_i, it_i)
 
         if epoch >= cfg.eval_start or done or epoch == cfg.total_epochs:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
