@@ -68,12 +68,20 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     start_epoch = 0
     best_value = -float("inf")
     if cfg.pretrained_model:
-        state, start_epoch, best_value = CheckpointManager(
-            os.path.dirname(cfg.pretrained_model)
-            if cfg.pretrained_model.endswith("best")
-            else cfg.pretrained_model
-        ).restore(state, tag=os.path.basename(cfg.pretrained_model).replace("ckpt_", "") or "best")
-        logging.info("resumed from %s at epoch %d", cfg.pretrained_model, start_epoch)
+        # accepted forms: a checkpoint dir (restores 'best'), or a specific
+        # <dir>/ckpt_<tag> path (load_pretrained_models parity,
+        # utils/ckpt_util.py:27-104: restores model + optimizer + epoch +
+        # best metric)
+        path = cfg.pretrained_model.rstrip("/")
+        if os.path.basename(path).startswith("ckpt_"):
+            restore_dir, tag = os.path.dirname(path), os.path.basename(path)[5:]
+        else:
+            restore_dir, tag = path, "best"
+        state, start_epoch, best_value = CheckpointManager(restore_dir).restore(
+            state, tag=tag
+        )
+        logging.info("resumed from %s (tag %s) at epoch %d",
+                     restore_dir, tag, start_epoch)
 
     if cfg.n_devices > 1:
         from jax.sharding import Mesh
