@@ -23,7 +23,7 @@ class TestCLIPipeline:
         cached = [
             f
             for f in os.listdir(os.path.join(synthetic_root, "floorplans-syn"))
-            if f.endswith(".props5.pkl")
+            if ".props5." in f and f.endswith(".pkl")
         ]
         assert len(cached) == 5  # 3 train + 2 test
 

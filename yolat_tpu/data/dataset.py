@@ -26,6 +26,10 @@ from yolat_tpu.geom.proposals import ProposalFile, generate_proposals
 from yolat_tpu.geom.svg_io import SVGDocument, read_ground_truth_boxes
 
 
+# bump when the graph/proposal cache formats change semantically
+CACHE_VERSION = 2
+
+
 class SESYDDataset:
     def __init__(self, root: str, partition: str = "train",
                  bbox_sampling_step: int = 10, mode: str | None = None,
@@ -85,7 +89,7 @@ class SESYDDataset:
         return out
 
     def _graph(self, path: str) -> dict:
-        cache_path = path.replace(".svg", ".graph.pkl")
+        cache_path = path.replace(".svg", f".graph.v{CACHE_VERSION}.pkl")
         if self.cache and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)
@@ -104,7 +108,7 @@ class SESYDDataset:
         gt_bbox, gt_labels = read_ground_truth_boxes(
             path.replace(".svg", ".xml"), w, h, self.class_dict
         )
-        cache_path = path.replace(".svg", f".props{self.step}.pkl")
+        cache_path = path.replace(".svg", f".props{self.step}.v{CACHE_VERSION}.pkl")
         if self.cache and not self.do_mixup and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 pf = ProposalFile.from_dict(pickle.load(f))
