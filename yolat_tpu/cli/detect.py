@@ -120,11 +120,14 @@ def main(argv=None):
         )
         print(f"{svg_path}: {len(det_boxes)} detections")
 
-    if times:
-        # first call includes compile; report the warm mean like the
-        # reference's "mean inference time" (detect.py:373)
-        warm = times[1:] or times
+    if len(times) > 1:
+        # skip the first call (compile); the reference's "mean inference
+        # time" (detect.py:373) is likewise a warm mean
+        warm = times[1:]
         print(f"mean inference time: {1000 * sum(warm) / len(warm):.2f} ms")
+    elif times:
+        print(f"inference time: {1000 * times[0]:.2f} ms (single image, "
+              "includes compilation)")
 
 
 if __name__ == "__main__":
