@@ -43,7 +43,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolat_tpu.nn.layers import KAIMING, MLP, act_fn
+from yolat_tpu.nn.layers import KAIMING, MLP, act_fn, maybe_remat_mlp
 from yolat_tpu.ops.segment import segment_max, segment_mean, segment_sum
 
 
@@ -65,12 +65,13 @@ class AttrEdgeGP2(nn.Module):
 
     in_channels: int
     out_channels: int
+    remat: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask,
                  train: bool = True, nbr_idx=None, nbr_attr=None, nbr_mask=None):
-        msg_mlp = MLP(
+        msg_mlp = maybe_remat_mlp(self.remat)(
             [self.in_channels * 2 + 4, self.out_channels, self.out_channels],
             act="relu",
             norm="batch",
@@ -84,14 +85,14 @@ class AttrEdgeGP2(nn.Module):
             x_nbr = x[nbr_idx]                        # [N, D, C]
             x_i = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
             f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)
-            msg = msg_mlp(f.reshape(N * D, -1), mask=nbr_mask.reshape(N * D),
-                          train=train).reshape(N, D, self.out_channels)
+            msg = msg_mlp(f.reshape(N * D, -1), nbr_mask.reshape(N * D),
+                          train).reshape(N, D, self.out_channels)
             m = nbr_mask[..., None].astype(msg.dtype)
             agg = (msg * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
         else:
             x_i, x_j = _gather_ij(x, edge)
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
-            msg = msg_mlp(f, mask=edge_mask, train=train)
+            msg = msg_mlp(f, edge_mask, train)
             agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
 
         out = agg + lin_r(x)
@@ -354,7 +355,8 @@ CONV_REGISTRY = _LazyRegistry()
 
 def make_conv(name: str, in_channels: int, out_channels: int,
               act: str = "relu", norm: Optional[str] = "batch",
-              axis_name: Optional[str] = None, heads: int = 8, **kw):
+              axis_name: Optional[str] = None, heads: int = 8,
+              remat: bool = False, **kw):
     """Conv factory mirroring the reference GraphConv dispatcher
     (torch_vertex.py:730-763)."""
     name = name.lower()
@@ -363,7 +365,7 @@ def make_conv(name: str, in_channels: int, out_channels: int,
     cls = CONV_REGISTRY[name]
     kwargs = dict(in_channels=in_channels, out_channels=out_channels, **kw)
     if name == "attr_edge_gp2":
-        return cls(axis_name=axis_name, **kwargs)
+        return cls(axis_name=axis_name, remat=remat, **kwargs)
     if name == "multilayer_edge":
         kwargs["layers"] = 2
     if name == "rsage":

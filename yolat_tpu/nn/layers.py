@@ -153,3 +153,17 @@ class MLP(nn.Module):
             if self.drop > 0:
                 x = nn.Dropout(self.drop, deterministic=not train)(x)
         return x
+
+
+def maybe_remat_mlp(remat: bool):
+    """MLP class, optionally wrapped in flax lifted rematerialisation.
+
+    static_argnums=(3,) marks `train` (self=0, x=1, mask=2, train=3); call
+    sites must pass (x, mask, train) positionally. Parameter names are
+    preserved, so remat on/off checkpoints are interchangeable. Used to
+    trade recompute for HBM on the wide fusion/message MLPs
+    (jax.checkpoint — the standard TPU memory lever).
+    """
+    if remat:
+        return nn.remat(MLP, static_argnums=(3,))
+    return MLP

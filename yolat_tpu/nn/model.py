@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolat_tpu.nn.conv import make_conv
-from yolat_tpu.nn.layers import MLP
+from yolat_tpu.nn.layers import MLP, maybe_remat_mlp
 from yolat_tpu.ops.segment import segment_max, segment_mean
 
 
@@ -42,6 +42,7 @@ class Backbone(nn.Module):
     conv: str = "attr_edge_gp2"
     act: str = "relu"
     norm: str = "batch"
+    remat: bool = False
     axis_name: Optional[str] = None
 
     @property
@@ -67,13 +68,14 @@ class Backbone(nn.Module):
 
         f, f_super = apply_conv(
             make_conv(self.conv, self.in_channels, self.channels, act=self.act,
-                      norm=self.norm, axis_name=self.axis_name), x, x
+                      norm=self.norm, axis_name=self.axis_name,
+                      remat=self.remat), x, x
         )
         feats, feats_super = [f], [f_super]
         for _ in range(self.n_blocks - 1):
             layer = make_conv(self.conv, self.channels, self.channels,
                               act=self.act, norm=self.norm,
-                              axis_name=self.axis_name)
+                              axis_name=self.axis_name, remat=self.remat)
             f, f_super = apply_conv(layer, feats[-1], feats_super[-1])
             if not dual:
                 # ResBlock residual (torch_vertex.py:829); disabled for gp2
@@ -84,19 +86,20 @@ class Backbone(nn.Module):
 
         lo = self.n_blocks - self.n_blocks_out
         cat = jnp.concatenate(feats[lo:], axis=1)
-        fusion = MLP([self.fusion_dims, 1024], act=self.act, norm=self.norm,
-                     axis_name=self.axis_name, name="fusion_block")(
-            cat, mask=node_mask, train=train
+        mlp_cls = maybe_remat_mlp(self.remat)
+        fusion = mlp_cls([self.fusion_dims, 1024], act=self.act, norm=self.norm,
+                         axis_name=self.axis_name, name="fusion_block")(
+            cat, node_mask, train
         )
         out_feat = jnp.concatenate([fusion, cat], axis=1)
 
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask,
                               indices_are_sorted=True)
-        fusion_super = MLP([self.fusion_dims, 1024], act=self.act,
-                           norm=self.norm, axis_name=self.axis_name,
-                           name="fusion_block_super")(
-            pooled, mask=proposal_mask, train=train
+        fusion_super = mlp_cls([self.fusion_dims, 1024], act=self.act,
+                               norm=self.norm, axis_name=self.axis_name,
+                               name="fusion_block_super")(
+            pooled, proposal_mask, train
         )
         out_feat_super = jnp.concatenate([fusion_super, pooled], axis=1)
         return out_feat, out_feat_super
@@ -113,6 +116,7 @@ class SparseCADGCN(nn.Module):
     norm: str = "batch"
     dropout: float = 0.0
     classifier: str = "softmax"
+    remat: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -124,7 +128,7 @@ class SparseCADGCN(nn.Module):
             in_channels=self.in_channels, channels=self.channels,
             n_blocks=self.n_blocks, n_blocks_out=self.n_blocks_out,
             conv=self.conv, act=self.act, norm=self.norm,
-            axis_name=self.axis_name, name="cls_net",
+            remat=self.remat, axis_name=self.axis_name, name="cls_net",
         )
         out_feat, out_feat_super = cls_net(
             batch["x"], batch["edge"], batch["e_attr"], batch["edge_mask"],

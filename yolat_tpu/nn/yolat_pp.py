@@ -56,6 +56,7 @@ class YOLaTPlusPlus(nn.Module):
     norm: str = "batch"
     dropout: float = 0.0
     classifier: str = "softmax"
+    remat: bool = False
     axis_name: Optional[str] = None
 
     @nn.compact

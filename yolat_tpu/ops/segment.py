@@ -61,27 +61,39 @@ def segment_max(data, segment_ids, num_segments: int, mask=None,
     scatter of the cotangent — torch_scatter's gradient convention (ties
     send the full gradient to one winner) rather than XLA's split-on-ties.
     """
-    if mask is not None:
-        data = jnp.where(_expand(mask, data), data, _NEG_INF)
-    return _segment_max_core(data, segment_ids, num_segments, indices_are_sorted)
+    if mask is None:
+        mask = jnp.ones(data.shape[0], dtype=bool)
+    return _segment_max_core(data, mask, segment_ids, num_segments,
+                             indices_are_sorted)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _segment_max_core(data, segment_ids, num_segments, indices_are_sorted):
-    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
+def _masked_max(data, mask, segment_ids, num_segments, indices_are_sorted):
+    masked = jnp.where(_expand(mask, data), data, _NEG_INF)
+    raw = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments,
                               indices_are_sorted=indices_are_sorted)
-    return jnp.where(out <= _NEG_INF / 2, 0.0, out)
+    return masked, raw
 
 
-def _segment_max_fwd(data, segment_ids, num_segments, indices_are_sorted):
-    raw = jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
-                              indices_are_sorted=indices_are_sorted)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _segment_max_core(data, mask, segment_ids, num_segments,
+                      indices_are_sorted):
+    _, raw = _masked_max(data, mask, segment_ids, num_segments,
+                         indices_are_sorted)
+    return jnp.where(raw <= _NEG_INF / 2, 0.0, raw)
+
+
+def _segment_max_fwd(data, mask, segment_ids, num_segments,
+                     indices_are_sorted):
+    masked, raw = _masked_max(data, mask, segment_ids, num_segments,
+                              indices_are_sorted)
     out = jnp.where(raw <= _NEG_INF / 2, 0.0, raw)
-    # first row index achieving the max, per (segment, column)
+    # first row index achieving the max, per (segment, column); masking is
+    # folded in here so the backward is a pure scatter with no [N, C]
+    # select (at detection scale that select is a multi-GB buffer)
     n = data.shape[0]
     big = jnp.int32(n)
     rows = jax.lax.broadcasted_iota(jnp.int32, data.shape, 0)
-    hit = data == raw[segment_ids]
+    hit = masked == raw[segment_ids]
     argmax = jax.ops.segment_min(
         jnp.where(hit, rows, big), segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
@@ -96,7 +108,7 @@ def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
     cols = jax.lax.broadcasted_iota(jnp.int32, argmax.shape, argmax.ndim - 1)
     dx = jnp.zeros((n,) + g.shape[1:], g.dtype)
     dx = dx.at[safe_rows, cols].add(jnp.where(argmax >= n, 0.0, g))
-    return dx, None
+    return dx, None, None
 
 
 _segment_max_core.defvjp(_segment_max_fwd, _segment_max_bwd)

@@ -65,6 +65,7 @@ class Config:
     nms_conf: float = 0.0
 
     # TPU execution
+    remat: bool = False             # rematerialise fusion/message MLPs
     n_devices: int = 1
     dtype: str = "float32"
     pretrained_model: str = ""

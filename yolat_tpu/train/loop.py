@@ -55,6 +55,7 @@ def build_model(cfg, axis_name: Optional[str] = None):
         norm=cfg.norm,
         dropout=cfg.dropout,
         classifier=cfg.classifier,
+        remat=getattr(cfg, "remat", False),
         axis_name=axis_name,
     )
     arch = getattr(cfg, "arch", "centernet3cc_rpn_gp_iter2")
