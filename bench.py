@@ -79,6 +79,31 @@ def time_predict(cfg, variables, batches, device, iters=8, fast=False,
     return n_images * iters / dt
 
 
+def time_train(cfg, state, batches, iters=16):
+    """Training throughput (images/sec) with a full dispatch pipeline."""
+    import jax
+
+    from yolat_tpu.train.loop import make_train_step
+    from yolat_tpu.train.optim import make_optimizer
+
+    tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+    step = make_train_step(cfg, tx)
+    key = jax.random.key(0)
+    state, _ = step(state, batches[0], key)  # compile
+    jax.block_until_ready(state)
+
+    n_images = sum(int(b["n_images"][0]) for b in batches)
+    t0 = time.perf_counter()
+    metrics = None
+    for i in range(iters):
+        for b in batches:
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, b, sub)
+    jax.block_until_ready((state, metrics))
+    dt = time.perf_counter() - t0
+    return n_images * iters / dt
+
+
 def main():
     import jax
 
@@ -106,6 +131,9 @@ def main():
                              fast=True, folded=folded, bf16=True)
     rate_dev = max(rate_flax, rate_fast, rate_bf16)
 
+    train_cfg = cfg.replace(data_aug=True)
+    rate_train = time_train(train_cfg, state, batches)
+
     try:
         cpu_dev = jax.devices("cpu")[0]
         rate_cpu = time_predict(cfg, variables, batches, cpu_dev, iters=2)
@@ -125,6 +153,7 @@ def main():
                     "flax_images_per_sec": round(rate_flax, 3),
                     "fast_path_images_per_sec": round(rate_fast, 3),
                     "fast_bf16_images_per_sec": round(rate_bf16, 3),
+                    "train_images_per_sec": round(rate_train, 3),
                     "cpu_images_per_sec": round(rate_cpu, 3)
                     if rate_cpu == rate_cpu
                     else None,
