@@ -135,7 +135,7 @@ class PackedLoader:
     def __init__(self, dataset: SESYDDataset, batch_size: int = 4,
                  n_devices: int = 1, shuffle: bool = True, seed: int = 0,
                  pad: PadSizes | None = None, drop_last: bool = False,
-                 dense: bool = False, d_max: int = 8):
+                 dense: bool = False, d_max: int = 8, prefetch: int = 2):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_devices = n_devices
@@ -145,6 +145,7 @@ class PackedLoader:
         self.drop_last = drop_last
         self.dense = dense
         self.d_max = d_max
+        self.prefetch = prefetch
         self.pad = pad or self.compute_pad()
 
     def compute_pad(self) -> PadSizes:
@@ -181,6 +182,42 @@ class PackedLoader:
         return (len(self.ds) + per_step - 1) // per_step
 
     def __iter__(self):
+        """Iterate batches, packing `prefetch` steps ahead on a background
+        thread — the host-pipeline-parallelism replacement for the
+        reference's DataLoader(num_workers=8) (train.py:181): device steps
+        overlap with host packing instead of alternating with it."""
+        if getattr(self, "prefetch", 2) <= 0:
+            yield from self._iter_sync()
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=getattr(self, "prefetch", 2))
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for item in self._iter_sync():
+                    q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+    def _iter_sync(self):
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
