@@ -1,0 +1,61 @@
+"""Predictor path equivalence: flax vs folded fast path vs bf16, through
+the full evaluate() protocol, on the dense layout."""
+
+import jax
+import numpy as np
+import pytest
+
+from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+from yolat_tpu.eval.fast_forward import fold_params
+from yolat_tpu.eval.predict import make_predict_fn
+from yolat_tpu.eval.runner import evaluate
+from yolat_tpu.train.config import Config
+from yolat_tpu.train.loop import create_state
+from yolat_tpu.train.optim import make_optimizer
+
+
+@pytest.mark.slow
+class TestPredictPathEquivalence:
+    def test_fast_path_same_detections(self, synthetic_root):
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        cfg = Config(n_classes=ds.n_classes, data_aug=False)
+        loader = PackedLoader(ds, batch_size=2, n_devices=1, shuffle=False,
+                              dense=True)
+        batch = {k: v[0] for k, v in next(iter(loader)).items()}
+
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        state = create_state(cfg, tx, batch, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+
+        out_flax = {k: np.asarray(v) for k, v in
+                    make_predict_fn(cfg, max_det=32)(variables, batch).items()}
+        out_fast = {k: np.asarray(v) for k, v in
+                    make_predict_fn(cfg, max_det=32, fast=True,
+                                    folded=folded)(variables, batch).items()}
+        out_bf16 = {k: np.asarray(v) for k, v in
+                    make_predict_fn(cfg, max_det=32, fast=True, folded=folded,
+                                    bf16=True)(variables, batch).items()}
+
+        # identical kept sets and (for f32 fast path) near-identical boxes
+        np.testing.assert_array_equal(out_flax["kept"], out_fast["kept"])
+        np.testing.assert_array_equal(out_flax["valid"], out_fast["valid"])
+        v = out_flax["valid"]
+        np.testing.assert_allclose(out_fast["boxes"][v], out_flax["boxes"][v],
+                                   rtol=1e-3, atol=1e-2)
+        np.testing.assert_array_equal(out_fast["classes"][v],
+                                      out_flax["classes"][v])
+        # bf16: same predicted labels on valid detections
+        assert (out_bf16["pred_label"] == out_flax["pred_label"]).mean() > 0.99
+
+    def test_evaluate_with_fast_loader(self, synthetic_root):
+        ds = SESYDDataset(synthetic_root, "test", bbox_sampling_step=5)
+        cfg = Config(n_classes=ds.n_classes, data_aug=False)
+        loader = PackedLoader(ds, batch_size=2, n_devices=1, shuffle=False,
+                              dense=True)
+        batch = {k: v[0] for k, v in next(iter(loader)).items()}
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        state = create_state(cfg, tx, batch, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        result = evaluate(cfg, variables, loader, max_det=32)
+        assert np.isfinite(result["map_all"])

@@ -26,6 +26,16 @@ from yolat_tpu.utils.meters import AverageMeter
 
 def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     """Train per cfg; returns (state, results dict)."""
+    if cfg.graph not in ("bezier_cc_bb_iter",):
+        # the legacy graph families have library support (data/legacy.py,
+        # geom/hierarchical.py) but, as in the reference — where the
+        # architectures consuming them are absent from the repo
+        # (SURVEY.md: test.py:16 fails as shipped) — no packed training path
+        raise NotImplementedError(
+            f"graph '{cfg.graph}': only the canonical 'bezier_cc_bb_iter' "
+            "pipeline is trainable; legacy graph builders live in "
+            "yolat_tpu/data/legacy.py"
+        )
     train_ds = SESYDDataset(
         cfg.data_dir, "train", bbox_sampling_step=cfg.bbox_sampling_step,
         do_mixup=cfg.do_mixup > 0, seed=cfg.seed,
