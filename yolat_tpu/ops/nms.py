@@ -22,10 +22,14 @@ import jax.numpy as jnp
 MAX_WH = 4096.0  # class-offset magnitude (train.py:45)
 
 
-@partial(jax.jit, static_argnames=("max_det", "iou_thres", "conf_thres"))
+MAX_NMS = 30000  # candidate cap before suppression (train.py:47)
+
+
+@partial(jax.jit, static_argnames=("max_det", "iou_thres", "conf_thres",
+                                   "max_nms"))
 def single_image_nms(boxes, cls_scores, obj_scores, valid,
                      iou_thres: float = 0.5, conf_thres: float = 0.0,
-                     max_det: int = 300):
+                     max_det: int = 300, max_nms: int = MAX_NMS):
     """NMS over one image's proposals.
 
     Args:
@@ -61,6 +65,9 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
 
     n = M * K
     alive = cand_valid
+    if n > max_nms:
+        # arrays are score-sorted: keep the top max_nms candidates
+        alive = alive & (jnp.arange(n) < max_nms)
 
     def body(state):
         alive, out_idx, count = state
