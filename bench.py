@@ -154,6 +154,11 @@ def main():
                     "fast_path_images_per_sec": round(rate_fast, 3),
                     "fast_bf16_images_per_sec": round(rate_bf16, 3),
                     "train_images_per_sec": round(rate_train, 3),
+                    # parse->detect including (1-core) host preprocessing;
+                    # preprocessing is cached offline in both frameworks
+                    "e2e_svgs_per_sec_cold": round(
+                        1.0 / (preproc_s + 1.0 / rate_dev), 3
+                    ),
                     "cpu_images_per_sec": round(rate_cpu, 3)
                     if rate_cpu == rate_cpu
                     else None,
