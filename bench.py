@@ -133,6 +133,8 @@ def main():
 
     train_cfg = cfg.replace(data_aug=True)
     rate_train = time_train(train_cfg, state, batches)
+    rate_train_bf16 = time_train(train_cfg.replace(dtype="bfloat16"), state,
+                                 batches)
 
     try:
         cpu_dev = jax.devices("cpu")[0]
@@ -154,6 +156,7 @@ def main():
                     "fast_path_images_per_sec": round(rate_fast, 3),
                     "fast_bf16_images_per_sec": round(rate_bf16, 3),
                     "train_images_per_sec": round(rate_train, 3),
+                    "train_bf16_images_per_sec": round(rate_train_bf16, 3),
                     # parse->detect including (1-core) host preprocessing;
                     # preprocessing is cached offline in both frameworks
                     "e2e_svgs_per_sec_cold": round(

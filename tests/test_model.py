@@ -114,6 +114,43 @@ class TestTraining:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0] * 0.7, losses
 
+    def test_bf16_mixed_precision_training(self, tiny_batch):
+        """dtype='bfloat16' trains with f32 master params/BN stats, bf16
+        compute; loss decreases and the state stays f32."""
+        batch_np, n_classes = tiny_batch
+        cfg = _cfg(n_classes).replace(lr=1e-3, dtype="bfloat16")
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        state = create_state(cfg, tx, batch_np, jax.random.key(0))
+        step = make_train_step(cfg, tx)
+        stacked = stack_shards([batch_np])
+
+        losses = []
+        for i in range(15):
+            state, metrics = step(state, stacked, jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses
+        assert np.isfinite(losses).all()
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(state.batch_stats):
+            assert leaf.dtype == jnp.float32
+
+    def test_bf16_close_to_f32_first_step(self, tiny_batch):
+        """One bf16 step lands near the f32 step (same data, same key)."""
+        batch_np, n_classes = tiny_batch
+        import optax
+
+        tx = optax.sgd(1e-2)
+        stacked = stack_shards([batch_np])
+        outs = {}
+        for dt in ("float32", "bfloat16"):
+            cfg = _cfg(n_classes).replace(dtype=dt)
+            state = create_state(cfg, tx, batch_np, jax.random.key(0))
+            step = make_train_step(cfg, tx)
+            _, metrics = step(state, stacked, jax.random.key(5))
+            outs[dt] = float(metrics["loss"])
+        np.testing.assert_allclose(outs["bfloat16"], outs["float32"], rtol=0.05)
+
     def test_dp_equivalence(self, tiny_batch):
         """8-way DP with identical shards == single-device step.
 

@@ -67,6 +67,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--map_step", default=d.map_step, type=int)
     # tpu
     p.add_argument("--n_devices", default=d.n_devices, type=int)
+    p.add_argument("--dtype", default=d.dtype, type=str,
+                   choices=("float32", "bfloat16", "bf16"),
+                   help="training compute dtype; bfloat16 = mixed precision "
+                        "(bf16 matmuls, f32 master weights and BN stats)")
+    p.add_argument("--remat", default=d.remat, type=_bool,
+                   help="rematerialise fusion/message MLPs (memory lever)")
     return p
 
 

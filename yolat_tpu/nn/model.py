@@ -161,7 +161,9 @@ class SparseCADGCN(nn.Module):
 def detection_loss(pred_cls, labels, proposal_mask, classifier: str = "softmax"):
     """Masked classification loss over proposals (DetectionLoss,
     architecture3cc_rpn_gp_iter2.py:358-379). Returns a dict
-    {'loss', 'loss_cls'} like the reference."""
+    {'loss', 'loss_cls'} like the reference. Logits are upcast to f32 so the
+    log-softmax/NLL is stable under bf16 mixed-precision training."""
+    pred_cls = pred_cls.astype(jnp.float32)
     m = proposal_mask.astype(pred_cls.dtype)
     denom = jnp.maximum(m.sum(), 1.0)
     if classifier == "softmax":

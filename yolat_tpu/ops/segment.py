@@ -25,28 +25,41 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+def _acc_dtype(data):
+    """Accumulate low-precision floats (bf16/f16) in f32; segments can span
+    hundreds of rows and narrow-float running sums drift."""
+    if jnp.issubdtype(data.dtype, jnp.floating) and data.dtype != jnp.float64:
+        return jnp.float32
+    return data.dtype
+
+
 def segment_sum(data, segment_ids, num_segments: int, mask=None,
                 indices_are_sorted: bool = False):
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
-                               indices_are_sorted=indices_are_sorted)
+    out = jax.ops.segment_sum(
+        data.astype(_acc_dtype(data)), segment_ids,
+        num_segments=num_segments, indices_are_sorted=indices_are_sorted,
+    )
+    return out.astype(data.dtype)
 
 
 def segment_mean(data, segment_ids, num_segments: int, mask=None,
                  indices_are_sorted: bool = False):
+    acc = _acc_dtype(data)
     if mask is not None:
         m = _expand(mask, data)
         data = jnp.where(m, data, 0)
-        ones = jnp.where(mask, 1.0, 0.0)
+        ones = jnp.where(mask, 1.0, 0.0).astype(acc)
     else:
-        ones = jnp.ones(data.shape[0], dtype=data.dtype)
-    total = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
+        ones = jnp.ones(data.shape[0], dtype=acc)
+    total = jax.ops.segment_sum(data.astype(acc), segment_ids,
+                                num_segments=num_segments,
                                 indices_are_sorted=indices_are_sorted)
     count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments,
                                 indices_are_sorted=indices_are_sorted)
     count = jnp.maximum(count, 1.0)
-    return total / _expand_count(count, total)
+    return (total / _expand_count(count, total)).astype(data.dtype)
 
 
 def segment_max(data, segment_ids, num_segments: int, mask=None,

@@ -88,15 +88,42 @@ def create_state(cfg, tx, example_batch: dict, key,
     )
 
 
+# float batch fields that feed matmuls; cast to the compute dtype for
+# mixed-precision training (bbox/gt stay f32 — pixel geometry)
+_COMPUTE_KEYS = ("x", "pos", "e_attr", "nbr_attr", "e_attr_super")
+
+
+def compute_dtype_of(cfg):
+    name = str(getattr(cfg, "dtype", "float32")).lower()
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    return None
+
+
 def _step_body(model, tx, state: TrainState, batch: dict, key,
                data_aug: bool, classifier: str, axis_name: Optional[str],
-               drop_edge: float = 0.0):
+               drop_edge: float = 0.0, compute_dtype=None):
     batch = finalize_batch(batch, key=key, data_aug=data_aug,
                            drop_edge=drop_edge)
+    if compute_dtype is not None:
+        # mixed precision: bf16 activations/weights on the MXU, f32 master
+        # params + f32 BN batch stats (MaskedBatchNorm accumulates in f32
+        # regardless of input dtype); grads come back f32 through the cast
+        batch = {
+            k: (v.astype(compute_dtype) if k in _COMPUTE_KEYS else v)
+            for k, v in batch.items()
+        }
 
     def loss_fn(params):
+        p = params
+        if compute_dtype is not None:
+            p = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                params,
+            )
         (logits, _), mutated = model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
+            {"params": p, "batch_stats": state.batch_stats},
             batch,
             train=True,
             mutable=["batch_stats"],
@@ -130,6 +157,7 @@ def make_train_step(cfg, tx):
     """Single-device jitted train step: (state, batch[1, ...], key) ->
     (state, metrics)."""
     model = build_model(cfg, axis_name=None)
+    cdtype = compute_dtype_of(cfg)
 
     @jax.jit
     def step(state, batch, key):
@@ -138,7 +166,7 @@ def make_train_step(cfg, tx):
         )
         return _step_body(model, tx, state, batch, key, cfg.data_aug,
                           cfg.classifier, axis_name=None,
-                          drop_edge=cfg.drop_edge)
+                          drop_edge=cfg.drop_edge, compute_dtype=cdtype)
 
     return step
 
@@ -151,6 +179,7 @@ def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
     shard_map, so every device steps to identical state.
     """
     model = build_model(cfg, axis_name=axis_name)
+    cdtype = compute_dtype_of(cfg)
 
     def shard_step(state, batch, key):
         batch = jax.tree.map(
@@ -159,7 +188,8 @@ def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
         new_state, loss_dict = _step_body(model, tx, state, batch, key,
                                           cfg.data_aug, cfg.classifier,
                                           axis_name=axis_name,
-                                          drop_edge=cfg.drop_edge)
+                                          drop_edge=cfg.drop_edge,
+                                          compute_dtype=cdtype)
         return new_state, loss_dict
 
     mapped = jax.shard_map(
