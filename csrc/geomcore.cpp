@@ -210,4 +210,193 @@ long build_rect_proposals(const int32_t* xi, const int32_t* yi, long n_points,
   return n_sets;
 }
 
+// Full per-CC proposal pipeline: rectangle enumeration + point-set dedup +
+// acceptance filters + per-window features, one pass, no Python in the loop.
+// Replaces generate_proposals' per-proposal body (yolat_tpu/geom/
+// proposals.py; reference semantics Datasets/graph_dict3.py:556-705):
+//   * window accepted iff it has >=1 induced shape edge, extent > min_extent
+//     on both axes, and >=1 node-angle pair (graph_dict3.py:597,621,681);
+//   * induced edge endpoints are emitted as window-local indices (the rank
+//     of the endpoint in the window's ascending point-id list);
+//   * out_feats row: [min_x, min_y, max_x, max_y,  n_points, n_edges,
+//     n_90, n_less90, n_more90, w, h, angle mean/max/min/std,
+//     edge-dist mean/std]  (4 box coords + the 13-dim stat_feat).
+// n_distinct_out counts distinct non-empty point sets BEFORE filtering
+// (the caller's "CC produced candidate windows" invariant check).
+// Returns accepted window count, or -1 on capacity exhaustion.
+long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
+                     const double* pos, const int32_t* rects, long n_rects,
+                     const int64_t* eu, const int64_t* ev, long n_edges,
+                     const double* edist,
+                     const int64_t* su, const int64_t* sv, long n_supers,
+                     double angle_th, double min_extent,
+                     int64_t* out_ids, long max_total_ids, int64_t* out_id_off,
+                     int64_t* out_eids, long max_total_eids,
+                     int64_t* out_eid_off, int64_t* out_eloc,
+                     int64_t* out_sids, long max_total_sids,
+                     int64_t* out_sid_off, int64_t* out_sloc,
+                     double* out_feats, long max_sets,
+                     int64_t* n_distinct_out) {
+  std::unordered_set<uint64_t> seen;
+  seen.reserve(n_rects * 2);
+  std::vector<int64_t> ids;
+  ids.reserve(n_points);
+  std::vector<int64_t> loc(n_points, -1);  // point -> window-local rank
+  std::vector<std::vector<int64_t>> nbr;
+
+  long n_sets = 0, n_distinct = 0;
+  long total_ids = 0, total_eids = 0, total_sids = 0;
+  out_id_off[0] = 0;
+  out_eid_off[0] = 0;
+  out_sid_off[0] = 0;
+
+  for (long r = 0; r < n_rects; ++r) {
+    const int32_t x0 = rects[4 * r], x1 = rects[4 * r + 1];
+    const int32_t y0 = rects[4 * r + 2], y1 = rects[4 * r + 3];
+    ids.clear();
+    uint64_t h = 1469598103934665603ull;
+    for (long p = 0; p < n_points; ++p) {
+      if (xi[p] >= x0 && xi[p] <= x1 && yi[p] >= y0 && yi[p] <= y1) {
+        loc[p] = (int64_t)ids.size();
+        ids.push_back(p);
+        h ^= (uint64_t)p + 0x9e3779b97f4a7c15ull;
+        h *= 1099511628211ull;
+      }
+    }
+    const long nw = (long)ids.size();
+    if (nw == 0) continue;
+    bool fresh = seen.insert(h).second;
+    if (fresh) ++n_distinct;
+
+    bool accept = fresh;
+    double mnx = 0, mny = 0, mxx = 0, mxy = 0;
+    if (accept) {
+      mnx = mxx = pos[2 * ids[0]];
+      mny = mxy = pos[2 * ids[0] + 1];
+      for (long k = 1; k < nw; ++k) {
+        const double px = pos[2 * ids[k]], py = pos[2 * ids[k] + 1];
+        if (px < mnx) mnx = px;
+        if (px > mxx) mxx = px;
+        if (py < mny) mny = py;
+        if (py > mxy) mxy = py;
+      }
+      if (mxx - mnx < min_extent || mxy - mny < min_extent) accept = false;
+    }
+
+    long n_we = 0;
+    double dsum = 0.0, dsumsq = 0.0;
+    if (accept) {
+      // induced shape edges: both endpoints members (4 int compares each)
+      if ((long)nbr.size() < nw) nbr.resize(nw);
+      for (long k = 0; k < nw; ++k) nbr[k].clear();
+      long cap_e = max_total_eids - total_eids;
+      for (long e = 0; e < n_edges; ++e) {
+        const int64_t a = eu[e], b = ev[e];
+        if (xi[a] >= x0 && xi[a] <= x1 && yi[a] >= y0 && yi[a] <= y1 &&
+            xi[b] >= x0 && xi[b] <= x1 && yi[b] >= y0 && yi[b] <= y1) {
+          if (n_we >= cap_e) { for (long p : ids) loc[p] = -1; return -1; }
+          const int64_t la = loc[a], lb = loc[b];
+          out_eids[total_eids + n_we] = e;
+          out_eloc[2 * (total_eids + n_we)] = la;
+          out_eloc[2 * (total_eids + n_we) + 1] = lb;
+          nbr[la].push_back(lb);
+          nbr[lb].push_back(la);
+          dsum += edist[e];
+          dsumsq += edist[e] * edist[e];
+          ++n_we;
+        }
+      }
+      if (n_we == 0) accept = false;
+    }
+
+    double feats[13];
+    if (accept) {
+      // node-angle statistics over the induced subgraph (dedup'd neighbours)
+      long n90 = 0, nless = 0, nmore = 0, count = 0;
+      double asum = 0.0, asumsq = 0.0, amx = -1e300, amn = 1e300;
+      for (long k = 0; k < nw; ++k) {
+        auto& ns = nbr[k];
+        if (ns.size() < 2) continue;
+        std::sort(ns.begin(), ns.end());
+        ns.erase(std::unique(ns.begin(), ns.end()), ns.end());
+        const double ax = pos[2 * ids[k]], ay = pos[2 * ids[k] + 1];
+        for (size_t i = 0; i < ns.size(); ++i) {
+          const double v0x = pos[2 * ids[ns[i]]] - ax;
+          const double v0y = pos[2 * ids[ns[i]] + 1] - ay;
+          for (size_t j = i + 1; j < ns.size(); ++j) {
+            const double v1x = pos[2 * ids[ns[j]]] - ax;
+            const double v1y = pos[2 * ids[ns[j]] + 1] - ay;
+            const double dot = v0x * v1x + v0y * v1y;
+            if (dot <= -angle_th) ++nmore;
+            else if (dot >= angle_th) ++nless;
+            else if (std::fabs(dot) < angle_th) ++n90;
+            asum += dot;
+            asumsq += dot * dot;
+            if (dot > amx) amx = dot;
+            if (dot < amn) amn = dot;
+            ++count;
+          }
+        }
+      }
+      if (count == 0) {
+        accept = false;
+      } else {
+        const double amean = asum / count;
+        double avar = asumsq / count - amean * amean;
+        if (avar < 0) avar = 0;
+        const double dmean = dsum / n_we;
+        double dvar = dsumsq / n_we - dmean * dmean;
+        if (dvar < 0) dvar = 0;
+        feats[0] = (double)nw;
+        feats[1] = (double)n_we;
+        feats[2] = (double)n90;
+        feats[3] = (double)nless;
+        feats[4] = (double)nmore;
+        feats[5] = mxx - mnx;
+        feats[6] = mxy - mny;
+        feats[7] = amean;
+        feats[8] = amx;
+        feats[9] = amn;
+        feats[10] = std::sqrt(avar);
+        feats[11] = dmean;
+        feats[12] = std::sqrt(dvar);
+      }
+    }
+
+    if (accept) {
+      if (n_sets >= max_sets || total_ids + nw > max_total_ids) {
+        for (long p : ids) loc[p] = -1;
+        return -1;
+      }
+      long n_ws = 0;
+      const long cap_s = max_total_sids - total_sids;
+      for (long e = 0; e < n_supers; ++e) {
+        const int64_t a = su[e], b = sv[e];
+        if (xi[a] >= x0 && xi[a] <= x1 && yi[a] >= y0 && yi[a] <= y1 &&
+            xi[b] >= x0 && xi[b] <= x1 && yi[b] >= y0 && yi[b] <= y1) {
+          if (n_ws >= cap_s) { for (long p : ids) loc[p] = -1; return -1; }
+          out_sids[total_sids + n_ws] = e;
+          out_sloc[2 * (total_sids + n_ws)] = loc[a];
+          out_sloc[2 * (total_sids + n_ws) + 1] = loc[b];
+          ++n_ws;
+        }
+      }
+      for (int64_t v : ids) out_ids[total_ids++] = v;
+      total_eids += n_we;
+      total_sids += n_ws;
+      double* f = out_feats + 17 * n_sets;
+      f[0] = mnx; f[1] = mny; f[2] = mxx; f[3] = mxy;
+      for (int k = 0; k < 13; ++k) f[4 + k] = feats[k];
+      ++n_sets;
+      out_id_off[n_sets] = total_ids;
+      out_eid_off[n_sets] = total_eids;
+      out_sid_off[n_sets] = total_sids;
+    }
+
+    for (long p : ids) loc[p] = -1;
+  }
+  *n_distinct_out = n_distinct;
+  return n_sets;
+}
+
 }  // extern "C"

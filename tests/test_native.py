@@ -71,6 +71,35 @@ class TestAngleStats:
         got = _native.angle_stats_native(edges, pos, ANGLE_TH)
         assert got.get("empty")
 
+    def test_window_pipeline_matches_python_path(self, lib, synthetic_root,
+                                                 monkeypatch):
+        """Full-file parity: generate_proposals through the native window
+        pipeline == the pure per-proposal Python loop (std features allowed
+        one-pass-variance float noise)."""
+        from yolat_tpu.data.dataset import SESYDDataset
+
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5,
+                          cache=False)
+        pf_native, _, _ = ds.load(0)
+
+        import yolat_tpu.geom._native as native_mod
+
+        monkeypatch.setattr(native_mod, "window_pipeline_native",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(native_mod, "build_rect_proposals_native",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(native_mod, "enumerate_rect_sets_native",
+                            lambda *a, **k: None)
+        monkeypatch.setattr(native_mod, "angle_stats_native",
+                            lambda *a, **k: None)
+        pf_py, _, _ = ds.load(0)
+
+        d1, d2 = pf_native.to_dict(), pf_py.to_dict()
+        for k in d1:
+            a, b = np.asarray(d1[k], np.float64), np.asarray(d2[k], np.float64)
+            assert a.shape == b.shape, k
+            np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-8, err_msg=k)
+
     def test_duplicate_edges_deduped(self, lib):
         # parallel edges must not create duplicate neighbour pairs (the
         # reference uses neighbour *sets*, graph_dict3.py:652-656)

@@ -70,6 +70,20 @@ def load_library():
                 i64p, ctypes.c_long, i64p,
                 i64p, ctypes.c_long, i64p, ctypes.c_long,
             ]
+            f64p = ctypes.POINTER(ctypes.c_double)
+            lib.window_pipeline.restype = ctypes.c_long
+            lib.window_pipeline.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_long, f64p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+                i64p, i64p, ctypes.c_long, f64p,
+                i64p, i64p, ctypes.c_long,
+                ctypes.c_double, ctypes.c_double,
+                i64p, ctypes.c_long, i64p,
+                i64p, ctypes.c_long, i64p, i64p,
+                i64p, ctypes.c_long, i64p, i64p,
+                f64p, ctypes.c_long, i64p,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -155,6 +169,87 @@ def build_rect_proposals_native(xi, yi, rects, edges_cl, supers_cl):
                 )
                 for i in range(n)
             ]
+        cap_ids *= 4
+        cap_eids *= 4
+        cap_sids *= 4
+    return None
+
+
+def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
+                           edist, angle_th, min_extent):
+    """Full per-CC window pipeline (enumeration + dedup + filters + features)
+    in C++. Returns a dict of flat CSR arrays, or None (library unavailable /
+    capacity retry exhausted):
+      n_w, n_distinct, ids [T], id_off [n_w+1], eids [Te], eid_off, eloc
+      [Te,2] (window-local endpoints), sids [Ts], sid_off, sloc [Ts,2],
+      feats [n_w, 17] = box(4) + stat_feat(13).
+    """
+    lib = load_library()
+    if lib is None or len(rects) == 0:
+        return None
+    xi = np.ascontiguousarray(xi, dtype=np.int32)
+    yi = np.ascontiguousarray(yi, dtype=np.int32)
+    pos = np.ascontiguousarray(pos_cluster, dtype=np.float64)
+    rects = np.ascontiguousarray(rects, dtype=np.int32)
+    edges_cl = np.ascontiguousarray(edges_cl, dtype=np.int64).reshape(-1, 2)
+    supers_cl = np.ascontiguousarray(supers_cl, dtype=np.int64).reshape(-1, 2)
+    eu = np.ascontiguousarray(edges_cl[:, 0])
+    ev = np.ascontiguousarray(edges_cl[:, 1])
+    su = np.ascontiguousarray(supers_cl[:, 0])
+    sv = np.ascontiguousarray(supers_cl[:, 1])
+    edist = np.ascontiguousarray(edist, dtype=np.float64)
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    max_sets = len(rects)
+
+    cap_ids = max(len(xi) * 64, 1 << 16)
+    cap_eids = max(len(eu) * 64, 1 << 16)
+    cap_sids = max(len(su) * 64, 1 << 16)
+    for _ in range(3):
+        out_ids = np.empty(cap_ids, np.int64)
+        out_id_off = np.empty(max_sets + 1, np.int64)
+        out_eids = np.empty(cap_eids, np.int64)
+        out_eid_off = np.empty(max_sets + 1, np.int64)
+        out_eloc = np.empty((cap_eids, 2), np.int64)
+        out_sids = np.empty(cap_sids, np.int64)
+        out_sid_off = np.empty(max_sets + 1, np.int64)
+        out_sloc = np.empty((cap_sids, 2), np.int64)
+        out_feats = np.empty((max_sets, 17), np.float64)
+        n_distinct = np.zeros(1, np.int64)
+        n = lib.window_pipeline(
+            xi.ctypes.data_as(i32p), yi.ctypes.data_as(i32p), len(xi),
+            pos.ctypes.data_as(f64p),
+            rects.ctypes.data_as(i32p), len(rects),
+            eu.ctypes.data_as(i64p), ev.ctypes.data_as(i64p), len(eu),
+            edist.ctypes.data_as(f64p),
+            su.ctypes.data_as(i64p), sv.ctypes.data_as(i64p), len(su),
+            float(angle_th), float(min_extent),
+            out_ids.ctypes.data_as(i64p), cap_ids,
+            out_id_off.ctypes.data_as(i64p),
+            out_eids.ctypes.data_as(i64p), cap_eids,
+            out_eid_off.ctypes.data_as(i64p), out_eloc.ctypes.data_as(i64p),
+            out_sids.ctypes.data_as(i64p), cap_sids,
+            out_sid_off.ctypes.data_as(i64p), out_sloc.ctypes.data_as(i64p),
+            out_feats.ctypes.data_as(f64p), max_sets,
+            n_distinct.ctypes.data_as(i64p),
+        )
+        if n >= 0:
+            te, ts = int(out_eid_off[n]), int(out_sid_off[n])
+            return {
+                "n_w": int(n),
+                "n_distinct": int(n_distinct[0]),
+                "ids": out_ids[: int(out_id_off[n])].copy(),
+                "id_off": out_id_off[: n + 1].copy(),
+                "eids": out_eids[:te].copy(),
+                "eid_off": out_eid_off[: n + 1].copy(),
+                "eloc": out_eloc[:te].copy(),
+                "sids": out_sids[:ts].copy(),
+                "sid_off": out_sid_off[: n + 1].copy(),
+                "sloc": out_sloc[:ts].copy(),
+                "feats": out_feats[:n].copy(),
+            }
         cap_ids *= 4
         cap_eids *= 4
         cap_sids *= 4

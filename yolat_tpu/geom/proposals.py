@@ -89,6 +89,20 @@ def _iou_ios(box: np.ndarray, boxes: np.ndarray):
     return iou, ios
 
 
+def _iou_ios_many(boxes: np.ndarray, gt: np.ndarray):
+    """Vectorised _iou_ios: [P, 4] proposals x [G, 4] GT -> [P, G] each."""
+    ix0 = np.maximum(boxes[:, None, 0], gt[None, :, 0])
+    iy0 = np.maximum(boxes[:, None, 1], gt[None, :, 1])
+    ix1 = np.minimum(boxes[:, None, 2], gt[None, :, 2])
+    iy1 = np.minimum(boxes[:, None, 3], gt[None, :, 3])
+    inter = np.maximum(ix1 - ix0, 0) * np.maximum(iy1 - iy0, 0)
+    a1 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    a2 = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
+    iou = inter / (a1[:, None] + a2[None, :] - inter + 1e-16)
+    ios = inter / a2[None, :]
+    return iou, ios
+
+
 def _intersecting_gt(box_cc: np.ndarray, gt: np.ndarray) -> np.ndarray:
     """Indices of GT boxes strictly intersecting the CC box
     (det_util.intersect_bb_idx:343-362)."""
@@ -361,6 +375,30 @@ def generate_proposals(
         edges_cl = np.searchsorted(cluster, edge[cc_edge_ids])
         supers_cl = np.searchsorted(cluster, edge_super[cc_super_ids])
 
+        # fast path: the whole window pipeline (enumeration, dedup, filters,
+        # features) in one native call, consumed in bulk below
+        swept = _sweep_rects(pos_cluster, bbox_sampling_step)
+        bulk = None
+        if swept is not None:
+            from yolat_tpu.geom._native import window_pipeline_native
+
+            xi, yi, rects = swept
+            bulk = window_pipeline_native(
+                xi, yi, pos_cluster, rects, edges_cl, supers_cl,
+                e_attr[cc_edge_ids][:, -1], ANGLE_TH, MIN_EXTENT,
+            )
+        if bulk is not None:
+            if bulk["n_distinct"] == 0:
+                continue
+            if len(gt_bbox) and gt_valid.shape[0] == 0:
+                raise ValueError(
+                    "connected component intersects no ground-truth box"
+                )
+            _consume_bulk(acc, bulk, cluster, pos_cluster, is_super, e_attr,
+                          e_attr_super, cc_edge_ids, cc_super_ids, gt_bbox,
+                          gt_labels, gt_valid, n_classes, normalize_bbox)
+            continue
+
         cores = _cc_proposal_cores(pos_cluster, bbox_sampling_step,
                                    edges_cl, supers_cl)
         if not cores:
@@ -451,6 +489,51 @@ def generate_proposals(
     return acc.finish()
 
 
+def _consume_bulk(acc, bulk, cluster, pos_cluster, is_super, e_attr,
+                  e_attr_super, cc_edge_ids, cc_super_ids, gt_bbox, gt_labels,
+                  gt_valid, n_classes, normalize_bbox):
+    """Vectorised epilogue of the native window pipeline: GT labelling,
+    per-window position normalisation, and one bulk accumulator append for
+    the whole CC (same arrays the per-proposal loop would emit)."""
+    n_w = bulk["n_w"]
+    if n_w == 0:
+        return
+    feats = bulk["feats"]
+    boxes = feats[:, :4]
+    stat_feats = feats[:, 4:]
+    id_off = bulk["id_off"]
+    counts = np.diff(id_off)
+
+    ids_flat = bulk["ids"]
+    node_ids = cluster[ids_flat]
+    pos_rows = pos_cluster[ids_flat]
+    if normalize_bbox:
+        wh = boxes[:, 2:4] - boxes[:, 0:2]
+        pos_rows = (pos_rows - np.repeat(boxes[:, 0:2], counts, axis=0)) \
+            / np.repeat(wh, counts, axis=0)
+
+    if len(gt_valid):
+        gtb = gt_bbox[gt_valid]
+        iou, ios = _iou_ios_many(boxes, gtb)
+        idx = np.argmax(iou, axis=1)
+        rows = np.arange(n_w)
+        hit = iou[rows, idx] > IOU_LABEL_TH
+        labels = np.where(hit, gt_labels[gt_valid[idx]], n_classes - 1)
+        targets = np.where(hit[:, None], gtb[idx], 0.0)
+        has_obj = (ios[rows, idx] > IOS_OBJ_TH).astype(np.int64)
+    else:
+        labels = np.full(n_w, n_classes - 1, np.int64)
+        targets = np.zeros((n_w, 4))
+        has_obj = np.zeros(n_w, np.int64)
+
+    acc.add_cc_bulk(
+        pos_rows, is_super[node_ids], id_off,
+        bulk["eloc"], bulk["eid_off"], e_attr[cc_edge_ids[bulk["eids"]]],
+        bulk["sloc"], bulk["sid_off"], e_attr_super[cc_super_ids[bulk["sids"]]],
+        labels, boxes, targets, stat_feats, has_obj,
+    )
+
+
 class _Accumulator:
     """Flat concatenation bookkeeping for proposals (graph_dict3.py:359-379,
     717-768)."""
@@ -497,6 +580,37 @@ class _Accumulator:
         self.slice_pos.append(self.offset)
         self.slice_edge.append(self.slice_edge[-1] + len(edges_local))
         self.slice_super.append(self.slice_super[-1] + len(supers_local))
+
+    def add_cc_bulk(self, pos_rows, is_super_rows, id_off, eloc, eid_off,
+                    e_attr_rows, sloc, sid_off, e_attr_super_rows, labels,
+                    boxes, targets, stats, has_obj):
+        """Append one CC's worth of windows at once (native pipeline path);
+        includes the close_cc bookkeeping (root = argmax-area window)."""
+        n_w = len(labels)
+        if n_w == 0:
+            return
+        pid0 = len(self.labels)
+        counts = np.diff(id_off)
+        node_starts = self.offset + id_off[:-1]
+        self.pos.append(pos_rows)
+        self.is_super.append(np.asarray(is_super_rows, dtype=bool))
+        self.edge.append(eloc + np.repeat(node_starts, np.diff(eid_off))[:, None])
+        self.edge_super.append(sloc + np.repeat(node_starts, np.diff(sid_off))[:, None])
+        self.e_attr.append(e_attr_rows.reshape(-1, 6))
+        self.e_attr_super.append(e_attr_super_rows.reshape(-1, 6))
+        self.labels.extend(int(v) for v in labels)
+        self.bbox.extend(np.asarray(boxes, dtype=np.float64))
+        self.bbox_targets.extend(np.asarray(targets, dtype=np.float64))
+        self.stat_feats.extend(np.asarray(stats, dtype=np.float64))
+        self.has_obj.extend(int(v) for v in has_obj)
+        self.bbox_idx.append(np.repeat(np.arange(pid0, pid0 + n_w), counts))
+        self.slice_pos.extend((self.offset + id_off[1:]).tolist())
+        self.slice_edge.extend((self.slice_edge[-1] + eid_off[1:]).tolist())
+        self.slice_super.extend((self.slice_super[-1] + sid_off[1:]).tolist())
+        self.offset += int(id_off[-1])
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        self.root_of_cc.append(pid0 + int(np.argmax(area)))
+        self.cc_slice.append(pid0 + n_w)
 
     def close_cc(self, n_before: int):
         n_after = len(self.labels)
