@@ -12,6 +12,38 @@ from yolat_tpu.cli import test as cli_test
 from yolat_tpu.cli import train as cli_train
 
 
+class TestPreprocessOptions:
+    def test_parallel_and_hierarchical(self, synthetic_root):
+        """--workers and --hierarchical: same stats.pkl as serial, plus the
+        YOLaT++ hierarchical graph sidecars."""
+        import pickle
+
+        cli_preprocess.main(
+            ["--data_dir", synthetic_root, "--bbox_sampling_step", "5",
+             "--workers", "2", "--hierarchical"]
+        )
+        with open(os.path.join(synthetic_root, "stats.pkl"), "rb") as f:
+            stats_par = pickle.load(f)
+        cli_preprocess.main(
+            ["--data_dir", synthetic_root, "--bbox_sampling_step", "5"]
+        )
+        with open(os.path.join(synthetic_root, "stats.pkl"), "rb") as f:
+            stats_ser = pickle.load(f)
+        assert stats_par == stats_ser
+
+        hier = [
+            f
+            for f in os.listdir(os.path.join(synthetic_root, "floorplans-syn"))
+            if ".hier." in f and f.endswith(".pkl")
+        ]
+        assert len(hier) == 5
+        with open(os.path.join(synthetic_root, "floorplans-syn", hier[0]),
+                  "rb") as f:
+            g = pickle.load(f)
+        assert g["n_super_nodes"] == len(g["cc"])
+        assert "super_shape" in g["edge"] and "super_super" in g["edge"]
+
+
 @pytest.mark.slow
 class TestCLIPipeline:
     def test_full_pipeline(self, synthetic_root, tmp_path):

@@ -15,10 +15,19 @@ This implementation realises that design over the packed batch:
   Curve level      one token per Bezier/shape edge built from
                    [e_attr || x_src || x_dst], MLP-encoded, mean-scattered
                    to both endpoints — curve evidence flows into points.
-  Primitive level  per-proposal pooling (as the canonical head) plus the
-                   owning CC's context: the root proposal's pooled feature,
-                   gathered through root_slot and concatenated — the
-                   primitive token every sub-proposal sees.
+  Primitive level  (a) super-edge propagation: one relative-attr conv pass
+                   over the packed `edge_super` family — the intra-CC clique
+                   + cross-CC containment edges the offline builder emits
+                   (build_graph_bbox.py:109-160; carried by the canonical
+                   batch but unused by the canonical model,
+                   architecture3cc_rpn_gp_iter2.py:196-216) — so every point
+                   sees its primitive's full-clique context; (b) per-proposal
+                   pooling (as the canonical head) plus the owning CC's
+                   context: the root proposal's pooled feature, gathered
+                   through root_slot and concatenated — the primitive token
+                   every sub-proposal sees (the parent->child level of
+                   build_graph_hierarchical.py:230-283, flattened to
+                   root_slot pointers at pack time).
 
 Head and loss match the canonical SparseCADGCN so YOLaT++ drops into the
 same train/eval pipeline (arch registry key 'yolat_pp').
@@ -98,9 +107,24 @@ class YOLaTPlusPlus(nn.Module):
             curve_tok, edge[:, 0], x.shape[0], mask=edge_mask
         )
 
+        # ---- primitive level (a): super-edge clique propagation ---------
+        es = batch["edge_super"]
+        es_mask = batch["super_mask"]
+        s_i = feats[-1][es[:, 1]]
+        s_j = feats[-1][es[:, 0]]
+        prim_in = jnp.concatenate([s_i, s_j - s_i, batch["e_attr_super"]],
+                                  axis=1)
+        prim_tok = MLP([2 * self.channels + 4, self.channels], act=self.act,
+                       norm=self.norm, axis_name=self.axis_name,
+                       name="super_edge_mlp")(prim_in, mask=es_mask,
+                                              train=train)
+        prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
+                                    mask=es_mask)
+
         lo = self.n_blocks - self.n_blocks_out
-        cat = jnp.concatenate(feats[lo:] + [curve_at_node], axis=1)
-        fusion_dims = self.channels * self.n_blocks_out + self.channels
+        cat = jnp.concatenate(feats[lo:] + [curve_at_node, prim_at_node],
+                              axis=1)
+        fusion_dims = self.channels * self.n_blocks_out + 2 * self.channels
         fusion = MLP([fusion_dims, 1024], act=self.act, norm=self.norm,
                      axis_name=self.axis_name, name="fusion_block")(
             cat, mask=node_mask, train=train
