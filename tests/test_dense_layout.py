@@ -72,3 +72,27 @@ class TestModelEquivalence:
         np.testing.assert_allclose(
             np.asarray(l1)[m], np.asarray(l2)[m], rtol=2e-4, atol=2e-5
         )
+
+    @pytest.mark.parametrize(
+        "conv", ["attr_edge", "multilayer_edge", "attr_edge_gp",
+                 "attr_edge_cf", "edge", "mr"]
+    )
+    def test_registry_convs_sparse_dense_same_logits(self, conv):
+        """Every dense-capable registry conv: same params, same logits in
+        both layouts (eval mode — BN batch-stat populations match too, but
+        eval isolates the layout math)."""
+        batch_np, _ = random_packed_batch(seed=3, n_images=2)
+        model = SparseCADGCN(n_classes=17, conv=conv)
+
+        sparse = finalize_batch(jax.tree.map(jnp.asarray, batch_np))
+        variables = model.init({"params": jax.random.key(0)}, sparse, train=True)
+
+        dense_np = add_dense_neighbors(batch_np)
+        dense = finalize_batch(jax.tree.map(jnp.asarray, dense_np))
+
+        l1, _ = model.apply(variables, sparse, train=False)
+        l2, _ = model.apply(variables, dense, train=False)
+        m = batch_np["proposal_mask"]
+        np.testing.assert_allclose(
+            np.asarray(l1)[m], np.asarray(l2)[m], rtol=2e-4, atol=2e-5
+        )

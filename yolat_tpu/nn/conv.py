@@ -52,6 +52,21 @@ def _gather_ij(x, edge):
     return x[edge[:, 1]], x[edge[:, 0]]
 
 
+def _dense_mean(msg_mlp, f, nbr_mask, out_channels: int, train: bool):
+    """Apply a message MLP over the dense neighbour axis and masked-mean it.
+
+    f: [N, D, F] per-(node, neighbour-slot) message inputs. The MLP runs on
+    the flattened [N*D, F] (BatchNorm batch stats over masked edge rows,
+    same population as the sparse path); empty rows contribute 0 and empty
+    nodes aggregate to 0 (torch_scatter convention).
+    """
+    N, D = f.shape[0], f.shape[1]
+    msg = msg_mlp(f.reshape(N * D, -1), nbr_mask.reshape(N * D),
+                  train).reshape(N, D, out_channels)
+    m = nbr_mask[..., None].astype(msg.dtype)
+    return (msg * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+
+
 class AttrEdgeGP2(nn.Module):
     """Canonical conv: dual-stream attr edge conv with global-pool stream.
 
@@ -117,13 +132,22 @@ class AttrEdgeConv(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, edge, e_attr, edge_mask, node_mask=None, train: bool = True):
-        x_i, x_j = _gather_ij(x, edge)
-        f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
+    def __call__(self, x, edge, e_attr, edge_mask, node_mask=None,
+                 train: bool = True, nbr_idx=None, nbr_attr=None,
+                 nbr_mask=None):
         dims = [self.in_channels + 4] + [self.out_channels] * self.layers
-        msg = MLP(dims, act=self.act, norm=self.norm, axis_name=self.axis_name,
-                  name="nn")(f, mask=edge_mask, train=train)
-        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        mlp = MLP(dims, act=self.act, norm=self.norm,
+                  axis_name=self.axis_name, name="nn")
+        if nbr_idx is not None:
+            f = jnp.concatenate(
+                [x[nbr_idx] - x[:, None, :], nbr_attr], axis=-1
+            )
+            agg = _dense_mean(mlp, f, nbr_mask, self.out_channels, train)
+        else:
+            x_i, x_j = _gather_ij(x, edge)
+            f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
+            msg = mlp(f, mask=edge_mask, train=train)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
         return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
 
 
@@ -138,14 +162,23 @@ class AttrEdgeGP(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, edge, e_attr, edge_mask, node_mask=None, train: bool = True):
+    def __call__(self, x, edge, e_attr, edge_mask, node_mask=None,
+                 train: bool = True, nbr_idx=None, nbr_attr=None,
+                 nbr_mask=None):
         c = self.in_channels
         x_feat, x_root = x[:, :c], x[:, c:]
-        x_i, x_j = _gather_ij(x_feat, edge)
-        f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
-        msg = MLP([2 * c + 4, self.out_channels], act=self.act, norm=self.norm,
-                  axis_name=self.axis_name, name="nn")(f, mask=edge_mask, train=train)
-        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        mlp = MLP([2 * c + 4, self.out_channels], act=self.act, norm=self.norm,
+                  axis_name=self.axis_name, name="nn")
+        if nbr_idx is not None:
+            x_nbr = x_feat[nbr_idx]
+            x_i = jnp.broadcast_to(x_feat[:, None, :], x_nbr.shape)
+            f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)
+            agg = _dense_mean(mlp, f, nbr_mask, self.out_channels, train)
+        else:
+            x_i, x_j = _gather_ij(x_feat, edge)
+            f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
+            msg = mlp(f, mask=edge_mask, train=train)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
         out = agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x_feat)
         out = out + MLP([x_root.shape[1], self.out_channels], act=self.act,
                         norm=self.norm, axis_name=self.axis_name, name="mlp")(
@@ -167,26 +200,44 @@ class AttrEdgeConvCF(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, pos, edge, e_attr, edge_mask, node_mask=None, train: bool = True):
-        x_i, x_j = _gather_ij(x, edge)
-        p_i, p_j = _gather_ij(pos, edge)
-        diff = p_j - p_i
+    def __call__(self, x, pos, edge, e_attr, edge_mask, node_mask=None,
+                 train: bool = True, nbr_idx=None, nbr_attr=None,
+                 nbr_mask=None):
+        dense = nbr_idx is not None
+        if dense:
+            N, D = nbr_idx.shape
+            x_nbr = x[nbr_idx]
+            x_i3 = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
+            diff = (pos[nbr_idx] - pos[:, None, :]).reshape(N * D, 2)
+            f = jnp.concatenate([x_nbr - x_i3, nbr_attr],
+                                axis=-1).reshape(N * D, -1)
+            emask = nbr_mask.reshape(N * D)
+        else:
+            x_i, x_j = _gather_ij(x, edge)
+            p_i, p_j = _gather_ij(pos, edge)
+            diff = p_j - p_i
+            f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
+            emask = edge_mask
         con0 = (diff[:, 0] > 0).astype(jnp.int32)
         con1 = (diff[:, 1] > 0).astype(jnp.int32)
         con2 = (jnp.abs(diff[:, 0]) - jnp.abs(diff[:, 1]) > 0).astype(jnp.int32)
         octant = con0 + con1 * 2 + con2 * 4
 
-        f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
         branches = []
         for b in range(8):
             branches.append(
                 MLP([self.in_channels + 4, self.out_channels, self.out_channels],
                     act=self.act, norm=self.norm, axis_name=self.axis_name,
-                    name=f"mlp_{b}")(f, mask=edge_mask, train=train)
+                    name=f"mlp_{b}")(f, mask=emask, train=train)
             )
         stacked = jnp.stack(branches, axis=1)  # [E, 8, C]
         msg = jnp.take_along_axis(stacked, octant[:, None, None], axis=1)[:, 0]
-        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+        if dense:
+            msg = msg.reshape(N, D, self.out_channels)
+            m = nbr_mask[..., None].astype(msg.dtype)
+            agg = (msg * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+        else:
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
         return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
 
 
@@ -201,16 +252,22 @@ class EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
-                 edge_weight=None, train: bool = True):
-        x_i, x_j = _gather_ij(x, edge)
-        f = jnp.concatenate([x_j - x_i, x_i], axis=1)
-        msg = MLP([self.in_channels * 2, self.out_channels], act=self.act,
-                  norm=self.norm, axis_name=self.axis_name, name="nn")(
-            f, mask=edge_mask, train=train
-        )
-        if edge_weight is not None:
-            msg = msg * edge_weight[:, None]
-        agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+                 edge_weight=None, train: bool = True, nbr_idx=None,
+                 nbr_attr=None, nbr_mask=None):
+        mlp = MLP([self.in_channels * 2, self.out_channels], act=self.act,
+                  norm=self.norm, axis_name=self.axis_name, name="nn")
+        if nbr_idx is not None and edge_weight is None:
+            x_nbr = x[nbr_idx]
+            x_i = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
+            f = jnp.concatenate([x_nbr - x_i, x_i], axis=-1)
+            agg = _dense_mean(mlp, f, nbr_mask, self.out_channels, train)
+        else:
+            x_i, x_j = _gather_ij(x, edge)
+            f = jnp.concatenate([x_j - x_i, x_i], axis=1)
+            msg = mlp(f, mask=edge_mask, train=train)
+            if edge_weight is not None:
+                msg = msg * edge_weight[:, None]
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
         return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
 
 
@@ -225,9 +282,16 @@ class MRConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
-                 train: bool = True):
-        x_i, x_j = _gather_ij(x, edge)
-        rel = segment_max(x_j - x_i, edge[:, 1], x.shape[0], mask=edge_mask)
+                 train: bool = True, nbr_idx=None, nbr_attr=None,
+                 nbr_mask=None):
+        if nbr_idx is not None:
+            diff = x[nbr_idx] - x[:, None, :]
+            m = nbr_mask[..., None]
+            rel = jnp.where(m, diff, -1e30).max(axis=1)
+            rel = jnp.where(rel <= -1e29, 0.0, rel)
+        else:
+            x_i, x_j = _gather_ij(x, edge)
+            rel = segment_max(x_j - x_i, edge[:, 1], x.shape[0], mask=edge_mask)
         return MLP([self.in_channels * 2, self.out_channels], act=self.act,
                    norm=self.norm, axis_name=self.axis_name, name="nn")(
             jnp.concatenate([x, rel], axis=1), mask=node_mask, train=train

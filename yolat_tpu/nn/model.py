@@ -55,15 +55,36 @@ class Backbone(nn.Module):
                  nbr_idx=None, nbr_attr=None, nbr_mask=None):
         dual = self.conv == "attr_edge_gp2"
 
+        # convs with a dense neighbour-table branch (reverse-propagation
+        # convs — gcn/gin/sage/gat/gen — would need an out-neighbour table
+        # and stay on the sparse path)
+        dense_capable = {"attr_edge", "multilayer_edge", "attr_edge_gp",
+                         "attr_edge_cf", "edge", "mr"}
+        nbr_kw = (
+            dict(nbr_idx=nbr_idx, nbr_attr=nbr_attr, nbr_mask=nbr_mask)
+            if nbr_idx is not None and self.conv in dense_capable
+            else {}
+        )
+
         def apply_conv(layer, f, f_super):
             if dual:
                 return layer(f, f_super, edge, e_attr, edge_mask, node_mask,
                              train=train, nbr_idx=nbr_idx, nbr_attr=nbr_attr,
                              nbr_mask=nbr_mask)
             if self.conv == "attr_edge_cf":
-                out = layer(f, pos, edge, e_attr, edge_mask, node_mask, train=train)
+                out = layer(f, pos, edge, e_attr, edge_mask, node_mask,
+                            train=train, **nbr_kw)
+            elif self.conv == "attr_edge_gp":
+                # gp carries [features || root-features] through x
+                # (EdgConvGlobalPool, torch_vertex.py:343-425): the root half
+                # is the proposal-pooled feature gathered back to its nodes
+                root = segment_mean(f, bbox_idx, n_proposals, mask=node_mask,
+                                    indices_are_sorted=True)[bbox_idx]
+                out = layer(jnp.concatenate([f, root], axis=1), edge, e_attr,
+                            edge_mask, node_mask, train=train, **nbr_kw)
             else:
-                out = layer(f, edge, e_attr, edge_mask, node_mask, train=train)
+                out = layer(f, edge, e_attr, edge_mask, node_mask, train=train,
+                            **nbr_kw)
             return out, out
 
         f, f_super = apply_conv(
