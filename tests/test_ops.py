@@ -104,7 +104,8 @@ def host_nms(boxes, scores, iou_th):
 
 
 class TestNMS:
-    def test_single_class_matches_host(self):
+    @pytest.mark.parametrize("algorithm", ["fixpoint", "loop"])
+    def test_single_class_matches_host(self, algorithm):
         rng = np.random.default_rng(0)
         M = 24
         xy = rng.uniform(0, 90, size=(M, 2))
@@ -119,11 +120,42 @@ class TestNMS:
             jnp.ones(M, bool),
             iou_thres=0.5,
             max_det=32,
+            algorithm=algorithm,
         )
         got_valid = np.asarray(out["valid"])
         got_boxes = np.asarray(out["boxes"])[got_valid]
         want = host_nms(boxes, scores, 0.5)
         np.testing.assert_allclose(got_boxes, boxes[want], rtol=1e-6)
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+    def test_fixpoint_equals_loop_fuzz(self, seed):
+        """The matrix fixed-point NMS is the exact greedy solution: same
+        detections (boxes, scores, classes, order) as the sequential loop on
+        dense multi-class candidates with heavy overlap."""
+        rng = np.random.default_rng(seed)
+        M, K = 60, 3
+        xy = rng.uniform(0, 60, size=(M, 2))
+        wh = rng.uniform(10, 40, size=(M, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        cls = rng.uniform(0, 1, size=(M, K)).astype(np.float32)
+        obj = rng.uniform(0.1, 1, size=M).astype(np.float32)
+        valid = rng.uniform(size=M) > 0.1
+
+        kw = dict(iou_thres=0.45, max_det=64)
+        a = single_image_nms(jnp.array(boxes), jnp.array(cls),
+                             jnp.array(obj), jnp.array(valid),
+                             algorithm="fixpoint", **kw)
+        b = single_image_nms(jnp.array(boxes), jnp.array(cls),
+                             jnp.array(obj), jnp.array(valid),
+                             algorithm="loop", **kw)
+        va, vb = np.asarray(a["valid"]), np.asarray(b["valid"])
+        assert va.sum() == vb.sum()
+        np.testing.assert_allclose(np.asarray(a["boxes"])[va],
+                                   np.asarray(b["boxes"])[vb], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(a["scores"])[va],
+                                   np.asarray(b["scores"])[vb], rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(a["classes"])[va],
+                                      np.asarray(b["classes"])[vb])
 
     def test_class_offset_prevents_cross_class_suppression(self):
         boxes = np.array([[0, 0, 10, 10], [1, 1, 10, 10]], np.float32)

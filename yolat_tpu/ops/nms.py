@@ -26,10 +26,11 @@ MAX_NMS = 30000  # candidate cap before suppression (train.py:47)
 
 
 @partial(jax.jit, static_argnames=("max_det", "iou_thres", "conf_thres",
-                                   "max_nms"))
+                                   "max_nms", "algorithm", "topk"))
 def single_image_nms(boxes, cls_scores, obj_scores, valid,
                      iou_thres: float = 0.5, conf_thres: float = 0.0,
-                     max_det: int = 300, max_nms: int = MAX_NMS):
+                     max_det: int = 300, max_nms: int = MAX_NMS,
+                     algorithm: str = "fixpoint", topk: int = 4096):
     """NMS over one image's proposals.
 
     Args:
@@ -39,6 +40,19 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
       obj_scores: [M] objectness (1 - p_bg).
       valid:      [M] bool, padding mask.
       max_det:    fixed output size.
+      algorithm:  'fixpoint' (default) — exact greedy NMS as the fixed point
+                  of the suppression recurrence over the top-`topk`
+                  candidates' IoU matrix: kept_i = valid_i and no kept j<i
+                  (score order) with IoU>th suppresses i. Iterating that map
+                  from kept=valid converges to the UNIQUE fixed point — the
+                  greedy solution — in (suppression-chain depth + 1)
+                  data-parallel sweeps, typically <10, instead of one
+                  sequential while-loop step per detection (~max_det steps).
+                  'loop' — the literal greedy loop over ALL candidates
+                  (torchvision semantics oracle; exact for any input size).
+      topk:       fixpoint candidate cap (clamped to max_nms; the reference
+                  itself truncates to the top max_nms=30000 by score,
+                  train.py:47,96).
 
     Returns dict with detection arrays of length max_det:
       boxes [max_det, 4], scores [max_det], classes [max_det] (int32),
@@ -55,6 +69,11 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
     classes = jnp.tile(jnp.arange(K, dtype=jnp.int32), (M,))
     box_rep = jnp.repeat(boxes, K, axis=0)
     offset_boxes = box_rep + (classes[:, None].astype(boxes.dtype) * MAX_WH)
+
+    if algorithm == "fixpoint":
+        return _fixpoint_nms(flat_conf, cand_valid, classes, box_rep,
+                             offset_boxes, iou_thres, max_det,
+                             min(topk, max_nms, M * K))
 
     order = jnp.argsort(-jnp.where(cand_valid, flat_conf, -jnp.inf))
     flat_conf = flat_conf[order]
@@ -106,6 +125,71 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
         "boxes": det_boxes,
         "scores": det_scores,
         "classes": det_classes,
+        "valid": det_valid,
+    }
+
+
+def _fixpoint_nms(flat_conf, cand_valid, classes, box_rep, offset_boxes,
+                  iou_thres: float, max_det: int, C: int):
+    """Exact greedy NMS over the top-C candidates via fixed-point iteration.
+
+    Greedy NMS is the recurrence kept_i = valid_i AND no j<i (score order)
+    with kept_j and IoU(i,j) > th. Any fixed point of
+        F(k)_i = valid_i AND NOT any_j (sup[i, j] AND k_j)
+    (sup strictly lower-triangular in score order) satisfies that recurrence,
+    and the recurrence has a unique solution — so iterating F to a fixed
+    point IS greedy NMS. After t sweeps every candidate whose longest
+    suppression chain is <= t is settled, so it converges in chain-depth + 1
+    sweeps (single digits in practice), each one [C, C] data-parallel work
+    instead of a sequential pick per detection.
+    """
+    scores = jnp.where(cand_valid, flat_conf, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(scores, C)  # descending
+    tvalid = cand_valid[top_idx]
+    ob = offset_boxes[top_idx]
+    bx = box_rep[top_idx]
+    cl = classes[top_idx]
+
+    ix0 = jnp.maximum(ob[:, None, 0], ob[None, :, 0])
+    iy0 = jnp.maximum(ob[:, None, 1], ob[None, :, 1])
+    ix1 = jnp.minimum(ob[:, None, 2], ob[None, :, 2])
+    iy1 = jnp.minimum(ob[:, None, 3], ob[None, :, 3])
+    inter = jnp.clip(ix1 - ix0, 0, None) * jnp.clip(iy1 - iy0, 0, None)
+    area = (ob[:, 2] - ob[:, 0]) * (ob[:, 3] - ob[:, 1])
+    iou = inter / (area[:, None] + area[None, :] - inter + 1e-16)
+    # j suppresses i only if j outranks i (strictly lower triangle)
+    sup = (iou > iou_thres) & (
+        jnp.arange(C)[None, :] < jnp.arange(C)[:, None]
+    )
+
+    def step(kept):
+        return tvalid & ~jnp.any(sup & kept[None, :], axis=1)
+
+    def cond(state):
+        kept, prev = state
+        return jnp.any(kept != prev)
+
+    def body(state):
+        kept, _ = state
+        return step(kept), kept
+
+    kept, _ = jax.lax.while_loop(cond, body, (step(tvalid), tvalid))
+
+    rank = jnp.cumsum(kept) - 1
+    sel = kept & (rank < max_det)
+    slot = jnp.where(sel, rank, max_det)  # overflow row dropped below
+    det_boxes = jnp.zeros((max_det + 1, 4), bx.dtype).at[slot].set(
+        jnp.where(sel[:, None], bx, 0.0))[:max_det]
+    det_scores = jnp.zeros((max_det + 1,), top_scores.dtype).at[slot].set(
+        jnp.where(sel, top_scores, 0.0))[:max_det]
+    det_classes = jnp.full((max_det + 1,), -1, jnp.int32).at[slot].set(
+        jnp.where(sel, cl, -1))[:max_det]
+    count = jnp.minimum(kept.sum(), max_det)
+    det_valid = jnp.arange(max_det) < count
+    return {
+        "boxes": det_boxes,
+        "scores": det_scores,
+        "classes": jnp.where(det_valid, det_classes, -1),
         "valid": det_valid,
     }
 
