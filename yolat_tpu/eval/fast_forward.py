@@ -94,6 +94,7 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     bbox_idx = batch["bbox_idx"]
     n_prop = batch["labels"].shape[0]
 
+    conv_params = folded["convs"]
     if bf16:
         folded = jax.tree.map(
             lambda v: v.astype(jnp.bfloat16)
@@ -102,21 +103,29 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
         )
         x = x.astype(jnp.bfloat16)
         batch = {**batch, "nbr_attr": batch["nbr_attr"].astype(jnp.bfloat16)}
-        use_pallas = False  # the Pallas kernel is f32-specialised
+        # default to the XLA path at bf16: the kernel's 0/1 expansion
+        # matmuls (expand + neighbour-sum) cost ~4x the useful message
+        # FLOPs at D=8, and XLA's own bf16 gather+reduce fusion measures
+        # faster (193 vs 165 img/s on v5e). The kernel still supports
+        # bf16 (tests/test_pallas.py) for D<=4 workloads where the
+        # expansion overhead halves.
 
     message = (
-        partial(fused_dense_message, interpret=interpret)
+        partial(fused_dense_message, interpret=interpret, bf16=bf16)
         if use_pallas
         else fused_dense_message_reference
     )
 
     f, s = x, x
     feats, feats_super = [], []
-    for conv in folded["convs"]:
+    for i, conv in enumerate(conv_params):
+        c = conv if use_pallas else folded["convs"][i]
         f = message(f, batch["nbr_idx"], batch["nbr_attr"], batch["nbr_mask"],
-                    conv["w1"], conv["sc1"], conv["w2"], conv["sc2"],
-                    conv["wr"], conv["br"])
-        s = _folded(s, (conv["wn"], conv["scn"]))
+                    c["w1"], c["sc1"], c["w2"], c["sc2"],
+                    c["wr"], c["br"])
+        if use_pallas and bf16:
+            f = f.astype(jnp.bfloat16)
+        s = _folded(s, (folded["convs"][i]["wn"], folded["convs"][i]["scn"]))
         feats.append(f)
         feats_super.append(s)
 

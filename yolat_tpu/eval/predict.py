@@ -56,8 +56,10 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
     if fast:
         from yolat_tpu.eval.fast_forward import fast_forward
 
-        # the Pallas kernel is TPU-only; CPU runs take the jnp reference
-        use_pallas = jax.default_backend() == "tpu"
+        # the Pallas kernel is TPU-only; CPU runs take the jnp reference.
+        # At bf16 the XLA path wins (see fast_forward for the measurement),
+        # so the kernel serves the f32 mode.
+        use_pallas = jax.default_backend() == "tpu" and not bf16
 
     @jax.jit
     def predict(variables, batch):

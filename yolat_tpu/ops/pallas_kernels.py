@@ -53,29 +53,31 @@ def _fused_message_kernel(x_ref, xnbr_ref, attr_ref, maskf_ref, invcnt_ref,
     """
     x = x_ref[:]
     e = exp_ref[:]
+    cdt = x.dtype  # f32 or bf16 operands; every dot accumulates in f32
 
     s_i = jnp.dot(x, w1d_ref[:], preferred_element_type=jnp.float32)
     h = (
         jnp.dot(xnbr_ref[:], w1b_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(attr_ref[:], w1c_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(e, s_i, preferred_element_type=jnp.float32)
+        + jnp.dot(e, s_i.astype(cdt), preferred_element_type=jnp.float32)
     )
     h = jnp.maximum(h * sc1_ref[0, :] + sc1_ref[1, :], 0.0)
-    h = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    h = jnp.dot(h.astype(cdt), w2_ref[:], preferred_element_type=jnp.float32)
     h = jnp.maximum(h * sc2_ref[0, :] + sc2_ref[1, :], 0.0)
 
     h = h * maskf_ref[:]
-    summed = jnp.dot(e.T, h, preferred_element_type=jnp.float32)
+    summed = jnp.dot(e.T, h.astype(cdt), preferred_element_type=jnp.float32)
     agg = summed * invcnt_ref[:]
 
     skip = jnp.dot(x, wr_ref[:], preferred_element_type=jnp.float32)
     out_ref[:] = agg + skip + br_ref[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret", "bf16"))
 def fused_dense_message(x, nbr_idx, nbr_attr, nbr_mask,
                         w1, sc1, w2, sc2, wr, br,
-                        block_n: int = 256, interpret: bool = False):
+                        block_n: int = 256, interpret: bool = False,
+                        bf16: bool = False):
     """Fused eval-mode canonical conv over the dense neighbour layout.
 
     Args:
@@ -84,6 +86,9 @@ def fused_dense_message(x, nbr_idx, nbr_attr, nbr_mask,
       w1 [2Ci+A, Co]; sc1 [2, Co] folded BN (scale row 0, shift row 1 —
       shift already includes the Dense bias); w2 [Co, Co]; sc2 [2, Co];
       wr [Ci, Co]; br [1, Co].
+      bf16     serve in bfloat16: matmul operands bf16 (half the HBM
+               traffic, double MXU rate), every accumulation and the
+               BN-scale epilogues in f32; output f32.
 
     Returns [N, Co].
     """
@@ -91,24 +96,28 @@ def fused_dense_message(x, nbr_idx, nbr_attr, nbr_mask,
     d = nbr_idx.shape[1]
     co = w1.shape[1]
     block_n = min(block_n, n)
+    cdt = jnp.bfloat16 if bf16 else jnp.float32
     if n % block_n != 0:
         # pad sizes are multiples of 256/512 in practice; odd sizes take the
         # jnp reference path rather than a partial-block kernel
         return fused_dense_message_reference(
-            x, nbr_idx, nbr_attr, nbr_mask, w1, sc1, w2, sc2, wr, br
-        )
+            x.astype(cdt), nbr_idx, nbr_attr.astype(cdt), nbr_mask,
+            w1.astype(cdt), sc1, w2.astype(cdt), sc2, wr.astype(cdt), br
+        ).astype(jnp.float32)
 
+    x = x.astype(cdt)
     x_nbr = x[nbr_idx.reshape(-1)]  # XLA gather; [N*D, Ci]
-    attr = nbr_attr.reshape(n * d, -1)
+    attr = nbr_attr.reshape(n * d, -1).astype(cdt)
     maskf = nbr_mask.reshape(n * d, 1).astype(jnp.float32)
     inv_cnt = 1.0 / jnp.maximum(
         nbr_mask.astype(jnp.float32).sum(axis=1, keepdims=True), 1.0
     )
     # weight split by input rows of W1 = [W1a; W1b; W1c]
+    w1 = w1.astype(jnp.float32)
     w1a, w1b, w1c = w1[:ci], w1[ci : 2 * ci], w1[2 * ci :]
     w1d = w1a - w1b
     # expansion matrix: edge row (i*D + k) <- node row i
-    exp_mat = jnp.repeat(jnp.eye(block_n, dtype=jnp.float32), d, axis=0)
+    exp_mat = jnp.repeat(jnp.eye(block_n, dtype=cdt), d, axis=0)
 
     grid = (n // block_n,)
     bd = block_n * d
@@ -141,16 +150,16 @@ def fused_dense_message(x, nbr_idx, nbr_attr, nbr_mask,
             transcendentals=0,
         ),
     )(
-        x.astype(jnp.float32),
-        x_nbr.astype(jnp.float32),
-        attr.astype(jnp.float32),
+        x,
+        x_nbr,
+        attr,
         maskf,
         inv_cnt,
         exp_mat,
-        w1d.astype(jnp.float32), w1b.astype(jnp.float32), w1c.astype(jnp.float32),
+        w1d.astype(cdt), w1b.astype(cdt), w1c.astype(cdt),
         sc1.astype(jnp.float32),
-        w2.astype(jnp.float32), sc2.astype(jnp.float32),
-        wr.astype(jnp.float32), br.reshape(1, -1).astype(jnp.float32),
+        w2.astype(cdt), sc2.astype(jnp.float32),
+        wr.astype(cdt), br.reshape(1, -1).astype(jnp.float32),
     )
     return out
 
