@@ -65,44 +65,65 @@ def time_predict(cfg, variables, batches, device, iters=8, fast=False,
     ]
     dev_vars = jax.device_put(variables, device)
 
-    # warmup/compile
-    jax.block_until_ready(predict(dev_vars, dev_batches[0]))
+    # warmup/compile (fetch: block_until_ready under the axon tunnel can
+    # return before remote execution finishes — a host fetch cannot)
+    np.asarray(predict(dev_vars, dev_batches[0])["scores"])
 
     n_images = sum(int(b["n_images"]) for b in dev_batches)
-    # dispatch the whole run asynchronously and block once: throughput is
-    # measured with the dispatch pipeline full (the axon tunnel's ~100ms
-    # round-trip otherwise dominates and measures the link, not the chip)
+    # dispatch the whole run asynchronously and fetch the LAST result once:
+    # the device stream executes in order, so the last completing implies
+    # all completed, and the full pipeline hides dispatch latency
     t0 = time.perf_counter()
     outs = []
     for _ in range(iters):
         for b in dev_batches:
             outs.append(predict(dev_vars, b))
-    jax.block_until_ready(outs)
+    np.asarray(outs[-1]["scores"])
     dt = time.perf_counter() - t0
     return n_images * iters / dt
 
 
 def time_train(cfg, state, batches, iters=16):
-    """Training throughput (images/sec) with a full dispatch pipeline."""
+    """Training throughput (images/sec), measured as ONE on-device
+    lax.scan chain of iters*len(batches) train steps.
+
+    Train steps form a sequential state chain, so dispatching them one by
+    one measures the axon tunnel's per-dispatch latency (observed swings of
+    25-360 img/s for identical programs), not the chip. A scanned multi-step
+    chain is one dispatch; batches stay device-resident and are selected by
+    step index inside the loop."""
     import jax
+    import jax.numpy as jnp
 
     from yolat_tpu.train.loop import make_train_step
     from yolat_tpu.train.optim import make_optimizer
 
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
     step = make_train_step(cfg, tx)
-    key = jax.random.key(0)
-    state, _ = step(state, batches[0], key)  # compile
-    jax.block_until_ready(state)
+    stack = {k: jnp.asarray(np.stack([b[k] for b in batches]))
+             for k in batches[0]}
+    S = len(batches)
+    n_steps = iters * S
 
+    @jax.jit
+    def run(state, stack, key):
+        def body(carry, i):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            b = jax.tree.map(lambda a: a[i % S], stack)
+            st, m = step(st, b, sub)
+            return (st, k), m["loss"]
+
+        (st, _), losses = jax.lax.scan(body, (state, key),
+                                       jnp.arange(n_steps))
+        return st, losses
+
+    _, losses = run(state, stack, jax.random.key(0))  # compile + warm
+    np.asarray(losses)  # fetch = reliable completion barrier (see above)
     n_images = sum(int(b["n_images"][0]) for b in batches)
     t0 = time.perf_counter()
-    metrics = None
-    for i in range(iters):
-        for b in batches:
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, b, sub)
-    jax.block_until_ready((state, metrics))
+    _, losses = run(state, stack, jax.random.key(1))
+    np.asarray(losses)
     dt = time.perf_counter() - t0
     return n_images * iters / dt
 

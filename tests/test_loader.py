@@ -1,0 +1,54 @@
+"""PackedLoader: bucketed padding and multi-host manifest sharding."""
+
+import numpy as np
+
+from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+
+
+class TestBucketedPadding:
+    def test_buckets_cover_all_files_with_smaller_pads(self, synthetic_root):
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        one = PackedLoader(ds, batch_size=1, shuffle=False, buckets=1)
+        two = PackedLoader(ds, batch_size=1, shuffle=False, buckets=2)
+
+        assert len(two._bucket_pads) == 2
+        # every file assigned exactly one bucket
+        assert sorted(np.asarray(two._bucket_of).tolist()).count(0) + \
+            sorted(np.asarray(two._bucket_of).tolist()).count(1) == len(ds)
+        # the small bucket's pad is no larger than the single-bucket pad
+        small = min(two._bucket_pads, key=lambda p: p.n_nodes)
+        assert small.n_nodes <= one.pad.n_nodes
+        assert small.n_proposals <= one.pad.n_proposals
+
+        # iteration yields every image exactly once across buckets
+        seen = 0
+        for batch in two:
+            seen += int(batch["n_images"][0])
+        assert seen == len(ds)
+        assert len(list(two)) == len(two)
+
+    def test_batches_never_mix_buckets(self, synthetic_root):
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        loader = PackedLoader(ds, batch_size=2, shuffle=True, buckets=2,
+                              seed=3)
+        pads = {tuple(b["pos"].shape) for b in loader}
+        # at most one shape per bucket
+        assert 1 <= len(pads) <= 2
+
+
+class TestHostSharding:
+    def test_hosts_partition_the_manifest(self, synthetic_root):
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        full = PackedLoader(ds, batch_size=1, shuffle=False)
+        h0 = PackedLoader(ds, batch_size=1, shuffle=False, host_id=0,
+                          n_hosts=2)
+        h1 = PackedLoader(ds, batch_size=1, shuffle=False, host_id=1,
+                          n_hosts=2)
+        n0 = sum(int(b["n_images"][0]) for b in h0)
+        n1 = sum(int(b["n_images"][0]) for b in h1)
+        assert n0 + n1 == len(ds)
+        assert set(h0._local_files.tolist()) | set(h1._local_files.tolist()) \
+            == set(range(len(ds)))
+        assert not set(h0._local_files.tolist()) & set(h1._local_files.tolist())
+        # pad sizes are global: all hosts compile the same program
+        assert h0.pad.key() == h1.pad.key() == full.pad.key()

@@ -130,12 +130,25 @@ class PackedLoader:
     Each device shard packs `batch_size` images into one flat padded graph.
     Pad sizes are fixed across the epoch (computed from the dataset once) so
     XLA compiles a single program per loader.
+
+    buckets > 1 partitions the manifest into size quantiles with one
+    PadSizes each — small images stop paying the largest image's padding at
+    the cost of `buckets` compiled programs (the bucketed-padding design of
+    SURVEY.md section 7). Batches never mix buckets; epoch order interleaves
+    buckets pseudo-randomly.
+
+    host_id/n_hosts shard the manifest across processes for multi-host
+    training (each host loads files[host_id::n_hosts] — the per-host data
+    pipeline of a jax.distributed deployment); pad sizes stay global so all
+    hosts compile identical programs.
     """
 
     def __init__(self, dataset: SESYDDataset, batch_size: int = 4,
                  n_devices: int = 1, shuffle: bool = True, seed: int = 0,
                  pad: PadSizes | None = None, drop_last: bool = False,
-                 dense: bool = False, d_max: int = 8, prefetch: int = 2):
+                 dense: bool = False, d_max: int | None = None,
+                 prefetch: int = 2, buckets: int = 1, host_id: int = 0,
+                 n_hosts: int = 1):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_devices = n_devices
@@ -146,15 +159,38 @@ class PackedLoader:
         self.dense = dense
         self.d_max = d_max
         self.prefetch = prefetch
-        self.pad = pad or self.compute_pad()
+        self.buckets = max(1, buckets)
+        self.host_id = host_id
+        self.n_hosts = n_hosts
+        self._local_files = np.arange(len(dataset))[host_id::n_hosts]
+        if pad is not None:
+            self.pad = pad
+            self.buckets = 1
+            self._bucket_pads = [pad]
+            self._bucket_of = np.zeros(len(dataset), np.int32)
+        else:
+            self.pad = self.compute_pad()
+        if self.d_max is None:
+            # size the dense neighbour axis to the dataset's actual max
+            # in-degree (SESYD shape graphs: <=3) instead of a blanket 8 —
+            # the conv's edge-side FLOPs/HBM traffic scale linearly with D
+            need = getattr(self, "_max_indegree", None)
+            if need is None:
+                self.d_max = 8
+            else:
+                self.d_max = max(4, int(2 ** np.ceil(np.log2(max(need, 1)))))
 
     def compute_pad(self) -> PadSizes:
         """Worst-case per-shard pad sizes over all possible batch windows:
         the sum of the `batch_size` largest per-file counts per dimension.
-        One streaming pass; files are not retained in memory."""
+        One streaming pass over the FULL manifest (host-independent, so
+        every host compiles the same programs); files are not retained in
+        memory. With buckets > 1 also assigns every file a size bucket and
+        computes one PadSizes per bucket."""
         from yolat_tpu.data.packing import round_up
 
-        nodes, edges, supers, props, gts = [], [], [], [], [1]
+        nodes, edges, supers, props, gts = [], [], [], [], []
+        max_indeg = 1
         for i in range(len(self.ds)):
             f, (gt, _), _ = self.ds.load(i)
             nodes.append(len(f.pos))
@@ -162,24 +198,49 @@ class PackedLoader:
             supers.append(len(f.edge_super))
             props.append(f.n_proposals)
             gts.append(len(gt))
+            if len(f.edge):
+                max_indeg = max(max_indeg,
+                                int(np.bincount(f.edge[:, 1]).max()))
+        self._max_indegree = max_indeg
 
-        def topsum(vals, mult):
-            return round_up(sum(sorted(vals)[-self.batch_size :]), mult)
+        def pad_for(idx):
+            def topsum(vals, mult):
+                sub = sorted(vals[i] for i in idx)[-self.batch_size:]
+                return round_up(sum(sub), mult)
 
-        return PadSizes(
-            topsum(nodes, 512),
-            topsum(edges, 512),
-            topsum(supers, 2048),
-            topsum(props, 64),
-            round_up(max(gts), 16),
-            self.batch_size,
-        )
+            return PadSizes(
+                topsum(nodes, 512),
+                topsum(edges, 512),
+                topsum(supers, 2048),
+                topsum(props, 64),
+                round_up(max([1] + [gts[i] for i in idx]), 16),
+                self.batch_size,
+            )
+
+        all_idx = list(range(len(self.ds)))
+        self._bucket_of = np.zeros(len(self.ds), np.int32)
+        if self.buckets > 1 and len(self.ds) >= self.buckets:
+            by_size = np.argsort(np.asarray(nodes), kind="stable")
+            groups = np.array_split(by_size, self.buckets)
+            self._bucket_pads = []
+            for b, g in enumerate(groups):
+                self._bucket_of[g] = b
+                self._bucket_pads.append(pad_for(list(g)))
+        else:
+            self._bucket_pads = [pad_for(all_idx)]
+        return self._bucket_pads[int(np.argmax(
+            [p.n_nodes for p in self._bucket_pads]))]
 
     def __len__(self):
         per_step = self.batch_size * self.n_devices
-        if self.drop_last:
-            return len(self.ds) // per_step
-        return (len(self.ds) + per_step - 1) // per_step
+        total = 0
+        for b in range(len(self._bucket_pads)):
+            n = int((self._bucket_of[self._local_files] == b).sum())
+            if self.drop_last:
+                total += n // per_step
+            else:
+                total += (n + per_step - 1) // per_step
+        return total
 
     def __iter__(self):
         """Iterate batches, packing `prefetch` steps ahead on a background
@@ -218,15 +279,29 @@ class PackedLoader:
             raise err[0]
 
     def _iter_sync(self):
-        order = np.arange(len(self.ds))
-        if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        rng = np.random.default_rng(self.seed + self.epoch)
         self.epoch += 1
         per_step = self.batch_size * self.n_devices
-        for start in range(0, len(order), per_step):
-            window = order[start : start + per_step]
-            if len(window) < per_step and self.drop_last:
-                return
+
+        # per-bucket windows over this host's manifest slice, then one
+        # pseudo-random interleave across buckets
+        steps = []
+        for b in range(len(self._bucket_pads)):
+            order = self._local_files[
+                self._bucket_of[self._local_files] == b
+            ].copy()
+            if self.shuffle:
+                rng.shuffle(order)
+            for start in range(0, len(order), per_step):
+                window = order[start : start + per_step]
+                if len(window) < per_step and self.drop_last:
+                    break
+                steps.append((b, window))
+        if self.shuffle and len(self._bucket_pads) > 1:
+            rng.shuffle(steps)
+
+        for b, window in steps:
+            pad = self._bucket_pads[b]
             shards = []
             for d in range(self.n_devices):
                 idxs = window[d * self.batch_size : (d + 1) * self.batch_size]
@@ -235,7 +310,7 @@ class PackedLoader:
                     [l[0] for l in loads],
                     [l[1] for l in loads],
                     [l[2] for l in loads],
-                    self.pad,
+                    pad,
                 )
                 if self.dense:
                     from yolat_tpu.data.packing import add_dense_neighbors
