@@ -73,6 +73,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "(bf16 matmuls, f32 master weights and BN stats)")
     p.add_argument("--remat", default=d.remat, type=_bool,
                    help="rematerialise fusion/message MLPs (memory lever)")
+    p.add_argument("--dense_layout", default=d.dense_layout, type=_bool,
+                   help="dense neighbour-table layout (TPU-preferred)")
+    p.add_argument("--buckets", default=d.buckets, type=int,
+                   help="size-bucketed padding: compiled programs per loader")
     return p
 
 

@@ -68,6 +68,9 @@ class Config:
     remat: bool = False             # rematerialise fusion/message MLPs
     n_devices: int = 1
     dtype: str = "float32"
+    dense_layout: bool = True       # dense neighbour tables (TPU-preferred;
+                                    # sparse edge lists when False)
+    buckets: int = 1                # size-bucketed padding (programs per loader)
     pretrained_model: str = ""
 
     def replace(self, **kw) -> "Config":

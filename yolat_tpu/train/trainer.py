@@ -59,10 +59,12 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
 
     train_loader = PackedLoader(
         train_ds, batch_size=cfg.batch_size, n_devices=cfg.n_devices,
-        shuffle=True, seed=cfg.seed,
+        shuffle=True, seed=cfg.seed, dense=cfg.dense_layout,
+        buckets=cfg.buckets,
     )
     test_loader = PackedLoader(
         test_ds, batch_size=cfg.batch_size * 2, n_devices=1, shuffle=False,
+        dense=cfg.dense_layout,
     )
 
     steps_per_epoch = max(len(train_loader), 1)
