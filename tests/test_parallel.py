@@ -9,6 +9,7 @@ from jax.sharding import PartitionSpec as P
 
 from yolat_tpu.parallel.mesh import make_mesh, replicate, shard_leading_axis
 from yolat_tpu.parallel.partition import (
+    edge_sharded_gp2_layer,
     generate_sub_graphs,
     random_partition_graph,
     sharded_segment_mean,
@@ -82,6 +83,56 @@ class TestShardedSegment:
             flat[fseg == s].mean(axis=0) if (fseg == s).any() else np.zeros(C)
             for s in range(S)
         ])
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+class TestEdgeShardedConv:
+    def test_matches_single_device_eval_conv(self):
+        """Giant-SVG path: canonical eval conv with edges sharded over the
+        8-device mesh == the single-device folded conv (same math as
+        eval/fast_forward's reference impl, flat-edge form)."""
+        from yolat_tpu.ops.segment import segment_mean
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(4)
+        N, Ci, Co, A = 24, 5, 16, 4
+        E = 64  # 8 per shard
+        x = rng.normal(size=(N, Ci)).astype(np.float32)
+        edge = rng.integers(0, N, size=(E, 2)).astype(np.int32)
+        e_attr = rng.normal(size=(E, A)).astype(np.float32)
+        edge_mask = rng.random(E) > 0.2
+
+        conv = {
+            "w1": rng.normal(size=(2 * Ci + A, Co)).astype(np.float32) * 0.3,
+            "sc1": np.stack([np.ones(Co), np.zeros(Co)]).astype(np.float32),
+            "w2": rng.normal(size=(Co, Co)).astype(np.float32) * 0.3,
+            "sc2": np.stack([np.ones(Co), np.zeros(Co)]).astype(np.float32),
+            "wr": rng.normal(size=(Ci, Co)).astype(np.float32) * 0.3,
+            "br": rng.normal(size=(Co,)).astype(np.float32),
+        }
+
+        # single-device reference (flat edge list, folded eval math)
+        x_i, x_j = x[edge[:, 1]], x[edge[:, 0]]
+        f = np.concatenate([x_i, x_j - x_i, e_attr], axis=1)
+        h = np.maximum(f @ conv["w1"], 0.0)
+        h = np.maximum(h @ conv["w2"], 0.0)
+        agg = np.asarray(segment_mean(jnp.asarray(h), jnp.asarray(edge[:, 1]),
+                                      N, mask=jnp.asarray(edge_mask)))
+        want = agg + x @ conv["wr"] + conv["br"]
+
+        def fn(x, edge, e_attr, emask, conv):
+            return edge_sharded_gp2_layer(conv, x, edge[0], e_attr[0],
+                                          emask[0], "data")
+
+        out = jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data"), P()),
+                out_specs=P(), check_vma=False,
+            )
+        )(x, edge.reshape(8, E // 8, 2), e_attr.reshape(8, E // 8, A),
+          edge_mask.reshape(8, E // 8), jax.tree.map(jnp.asarray, conv))
+
         np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
 
 

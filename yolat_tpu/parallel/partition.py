@@ -55,6 +55,34 @@ def sharded_segment_sum(data, segment_ids, num_segments: int, axis_name: str,
     return jax.lax.psum(local, axis_name)
 
 
+def edge_sharded_gp2_layer(conv, x, edge, e_attr, edge_mask, axis_name: str):
+    """Eval-mode canonical conv (AttrRelativeEdgeConvGlobalPool2 message
+    path) with the EDGE SET sharded across the mesh axis — the giant-SVG
+    scaling path (SURVEY.md section 2.5c / section 5: this domain's analog
+    of sequence parallelism is graph size).
+
+    Call inside shard_map with:
+      x          [N, Ci]  node features, REPLICATED (P()),
+      edge       [E/D, 2] this device's edge shard (P(axis)),
+      e_attr     [E/D, A] / edge_mask [E/D] sharded alike,
+      conv       folded conv params (eval/fast_forward.fold_params entry:
+                 w1, sc1, w2, sc2, wr, br).
+
+    Each device gathers + runs the message MLP for its edge shard only;
+    the masked mean is two psums (partial sums + partial counts) over ICI.
+    Returns the REPLICATED [N, Co] layer output — bitwise the single-device
+    eval conv up to reduction order.
+    """
+    n = x.shape[0]
+    x_i = x[edge[:, 1]]
+    x_j = x[edge[:, 0]]
+    f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
+    h = jnp.maximum(f @ conv["w1"] * conv["sc1"][0] + conv["sc1"][1], 0.0)
+    h = jnp.maximum(h @ conv["w2"] * conv["sc2"][0] + conv["sc2"][1], 0.0)
+    agg = sharded_segment_mean(h, edge[:, 1], n, axis_name, mask=edge_mask)
+    return agg + x @ conv["wr"] + conv["br"].reshape(1, -1)
+
+
 def sharded_segment_mean(data, segment_ids, num_segments: int, axis_name: str,
                          mask=None):
     from yolat_tpu.ops.segment import segment_sum
