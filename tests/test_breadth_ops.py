@@ -115,6 +115,28 @@ class TestDynamicBlocks:
         out, _ = dense.init_with_output(jax.random.key(0), x, nmask, train=False)
         assert out.shape == (24, 16)
 
+    def test_res_block_multi_edge(self):
+        """Multi-edge-family residual block: per-family conv + residual,
+        max-pooled across families (torch_vertex.py:831-857)."""
+        from yolat_tpu.nn.dynamic import ResBlockMultiEdge
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(20, 8)).astype(np.float32))
+        edges = [jnp.asarray(rng.integers(0, 20, size=(16, 2)).astype(np.int32))
+                 for _ in range(3)]
+        masks = [jnp.asarray(rng.random(16) > 0.2) for _ in range(3)]
+        block = ResBlockMultiEdge(8, conv="edge", n_edges=3)
+        out, _ = block.init_with_output(jax.random.key(0), x, edges,
+                                        edge_masks=masks, train=False)
+        assert out.shape == (20, 8)
+        assert np.isfinite(np.asarray(out)).all()
+        # max over families dominates each individual family's output
+        params = block.init(jax.random.key(0), x, edges, edge_masks=masks,
+                            train=False)
+        single = block.apply(params, x, [edges[0]] * 3,
+                             edge_masks=[masks[0]] * 3, train=False)
+        assert (np.asarray(out) >= np.asarray(single) - 1e-5).any()
+
 
 class TestDenseMirror:
     def test_batched_index_select(self):

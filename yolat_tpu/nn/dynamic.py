@@ -191,3 +191,36 @@ class DenseGraphBlock(nn.Module):
                          act=self.act, norm=self.norm, axis_name=self.axis_name)
         out = body(x, edge, e_attr, edge_mask, node_mask, train=train)
         return jnp.concatenate([x, out], axis=1)
+
+
+class ResBlockMultiEdge(nn.Module):
+    """ResBlockMultiEdge (torch_vertex.py:831-857): one residual conv per
+    edge FAMILY (e.g. shape / super / control), features max-pooled across
+    the family axis — the reference's multi-relation composition block."""
+
+    channels: int
+    conv: str = "edge"
+    n_edges: int = 3
+    act: str = "relu"
+    norm: Optional[str] = None
+    res_scale: float = 1.0
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, edges, e_attrs=None, edge_masks=None,
+                 node_mask=None, train: bool = True):
+        """edges: sequence of [E_i, 2]; e_attrs/edge_masks: matching
+        sequences (or None)."""
+        feats = []
+        for i in range(self.n_edges):
+            body = make_conv(self.conv, self.channels, self.channels,
+                             act=self.act, norm=self.norm,
+                             axis_name=self.axis_name)
+            out = body(
+                x, edges[i],
+                None if e_attrs is None else e_attrs[i],
+                None if edge_masks is None else edge_masks[i],
+                node_mask, train=train,
+            )
+            feats.append(out + x * self.res_scale)
+        return jnp.stack(feats, axis=-1).max(axis=-1)
