@@ -44,6 +44,30 @@ class TestPreprocessOptions:
         assert "super_shape" in g["edge"] and "super_super" in g["edge"]
 
 
+class TestScannedTraining:
+    def test_scan_steps_trains_and_logs(self, synthetic_root, tmp_path):
+        """scan_steps>1: multi-step lax.scan dispatch path trains (loss
+        decreases) and logs one scalar per step, remainder handled."""
+        import json
+
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.trainer import run_training
+
+        cfg = Config(
+            data_dir=synthetic_root, batch_size=1, total_epochs=2,
+            eval_start=99, lr=1e-3, data_aug=False, print_freq=2,
+            bbox_sampling_step=5, root_dir=str(tmp_path / "log"),
+            scan_steps=2,
+        )
+        _, results = run_training(cfg)
+        with open(os.path.join(results["exp_dir"], "scalars.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        losses = [r["value"] for r in rows if r["tag"] == "loss"]
+        # 3 train files x batch 1 x 2 epochs = 6 steps, all logged
+        assert len(losses) == 6
+        assert losses[-1] < losses[0]
+
+
 @pytest.mark.slow
 class TestCLIPipeline:
     def test_full_pipeline(self, synthetic_root, tmp_path):

@@ -77,6 +77,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="dense neighbour-table layout (TPU-preferred)")
     p.add_argument("--buckets", default=d.buckets, type=int,
                    help="size-bucketed padding: compiled programs per loader")
+    p.add_argument("--scan_steps", default=d.scan_steps, type=int,
+                   help="train steps per device dispatch (lax.scan chain)")
     return p
 
 

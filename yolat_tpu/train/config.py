@@ -71,6 +71,8 @@ class Config:
     dense_layout: bool = True       # dense neighbour tables (TPU-preferred;
                                     # sparse edge lists when False)
     buckets: int = 1                # size-bucketed padding (programs per loader)
+    scan_steps: int = 1             # train steps per device dispatch (lax.scan
+                                    # chain; amortises remote-link latency)
     pretrained_model: str = ""
 
     def replace(self, **kw) -> "Config":

@@ -171,6 +171,36 @@ def make_train_step(cfg, tx):
     return step
 
 
+def make_scan_train_step(cfg, tx, n_steps: int):
+    """Multi-step train chain: ONE dispatch executes `n_steps` sequential
+    train steps via lax.scan over a stacked batch pytree [K, ...].
+
+    Remote-attached devices (axon-style tunnels) pay ~100ms per dispatch;
+    a sequential state chain dispatched step-by-step is latency-bound, not
+    compute-bound. Scanning K steps amortises that to one round-trip.
+    Returns (state, metrics) where metrics values are [K]-shaped per-step
+    arrays.
+    """
+    model = build_model(cfg, axis_name=None)
+    cdtype = compute_dtype_of(cfg)
+
+    @jax.jit
+    def run(state, stacked, key):
+        def body(carry, batch):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, metrics = _step_body(model, tx, st, batch, sub, cfg.data_aug,
+                                     cfg.classifier, axis_name=None,
+                                     drop_edge=cfg.drop_edge,
+                                     compute_dtype=cdtype)
+            return (st, k), metrics
+
+        (st, _), metrics = jax.lax.scan(body, (state, key), stacked)
+        return st, metrics
+
+    return run
+
+
 def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
     """Data-parallel train step over a ('data',) mesh.
 

@@ -102,6 +102,11 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
         step_fn = make_dp_train_step(cfg, tx, mesh)
     else:
         step_fn = make_train_step(cfg, tx)
+    scan_fn = None
+    if cfg.scan_steps > 1 and cfg.n_devices == 1:
+        from yolat_tpu.train.loop import make_scan_train_step
+
+        scan_fn = make_scan_train_step(cfg, tx, cfg.scan_steps)
 
     losses = AverageMeter()
     test_value = 0.0
@@ -113,12 +118,29 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
         pending = []  # (iter, device metrics) — fetched only at print_freq,
         # so steps dispatch asynchronously (a per-step float() sync costs a
         # full device round-trip; on remote-attached devices that dominates)
-        for batch in train_loader:
-            key, sub = jax.random.split(key)
-            state, metrics = step_fn(state, batch, sub)
-            it += 1
-            pending.append((it, metrics))
-            if it % cfg.print_freq == 0 or (max_steps is not None and it >= max_steps):
+
+        def run_steps(chunk):
+            """Dispatch a list of loader batches: one scanned chain when the
+            chunk is full-size and same-shaped, per-step otherwise."""
+            nonlocal state, key, it
+            if scan_fn is not None and len(chunk) == cfg.scan_steps:
+                stacked = {k: np.stack([b[k][0] for b in chunk])
+                           for k in chunk[0]}
+                key, sub = jax.random.split(key)
+                state, ms = scan_fn(state, stacked, sub)
+                for j in range(len(chunk)):
+                    it += 1
+                    pending.append((it, {k: v[j] for k, v in ms.items()}))
+            else:
+                for b in chunk:
+                    key, sub = jax.random.split(key)
+                    state, m = step_fn(state, b, sub)
+                    it += 1
+                    pending.append((it, m))
+
+        def maybe_log():
+            nonlocal pending
+            if len(pending) >= cfg.print_freq or (max_steps is not None and it >= max_steps):
                 for it_i, m in pending:
                     loss_i = float(m["loss"])
                     losses.update(loss_i)
@@ -130,9 +152,27 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
                     epoch, it, losses.avg, losses.val,
                 )
                 losses.reset()
+
+        chunk = []
+        chunk_shape = None
+        for batch in train_loader:
+            shape = batch["pos"].shape
+            if chunk and (shape != chunk_shape or scan_fn is None):
+                run_steps(chunk)
+                maybe_log()
+                chunk = []
+            chunk.append(batch)
+            chunk_shape = shape
+            if scan_fn is None or len(chunk) == cfg.scan_steps:
+                run_steps(chunk)
+                maybe_log()
+                chunk = []
             if max_steps is not None and it >= max_steps:
                 done = True
                 break
+        if chunk:
+            run_steps(chunk)
+            maybe_log()
         for it_i, m in pending:
             loss_i = float(m["loss"])
             losses.update(loss_i)
