@@ -110,6 +110,33 @@ class TestLegacyDatasets:
         line_rows = feats[:, 0:4].any(axis=1)
         assert line_rows.any()
 
+    def test_legacy_dataset_variants(self, synthetic_root):
+        """LegacySVGDataset: all three reference graph variants load with
+        consistent per-node targets (strict=False: uncovered strokes ->
+        background)."""
+        from yolat_tpu.data.legacy import LegacySVGDataset
+
+        for graph in ("bezier", "bezier_edge_attr", "shape"):
+            ds = LegacySVGDataset(synthetic_root, "train", graph=graph)
+            item = ds[0]
+            n = len(item["pos"])
+            assert item["x"].shape[0] == n
+            assert item["gt_cls"].shape == (n,)
+            assert item["gt_bbox_node"].shape == (n, 4)
+            if graph == "shape":
+                assert item["x"].shape[1] == 17
+                assert len(item["edge"]) == len(item["edge_weight"])
+            else:
+                assert item["e_attr"].shape == (len(item["edge"]), 4)
+                assert (item["edge"] < n).all()
+            if graph == "bezier_edge_attr":
+                # control column is the last x feature; all stripped
+                assert (item["x"][:, -1] == 0).all()
+            # uncovered nodes got the background class, covered ones a
+            # valid symbol class
+            bg = ds.n_classes - 1
+            assert ((item["gt_cls"] == bg) | (item["gt_obj"] >= 0)).all()
+
     def test_proximity_edges(self):
         pos = np.array([[0.0, 0.0], [0.001, 0.0], [0.5, 0.5]])
         edges, w = proximity_edges(pos, th=5e-3)

@@ -70,8 +70,14 @@ def build_graph_v1(doc: SVGDocument, v1_edge_attr: bool = True) -> dict:
 
 
 def node_ground_truth(graph: dict, gt_bbox: np.ndarray, gt_labels: np.ndarray,
-                      th: float = 1e-3):
-    """Per-node (gt_box [N,4], gt_cls [N], gt_obj [N])."""
+                      th: float = 1e-3, strict: bool = True,
+                      background: int | None = None):
+    """Per-node (gt_box [N,4], gt_cls [N], gt_obj [N]).
+
+    strict=True hard-errors on a node outside every GT box (the reference's
+    invariant, svg.py:131-212); strict=False labels such nodes `background`
+    with gt_obj = -1 (needed on scenes whose GT does not cover every
+    stroke)."""
     pos = np.asarray(graph["pos"], dtype=np.float64)
     is_control = np.asarray(graph["attr"]["is_control"]).reshape(-1) > 0.5
     n = len(pos)
@@ -89,10 +95,14 @@ def node_ground_truth(graph: dict, gt_bbox: np.ndarray, gt_labels: np.ndarray,
             & (p[1] - gt_bbox[:, 1] >= -th)
             & (p[0] - gt_bbox[:, 2] <= th)
             & (p[1] - gt_bbox[:, 3] <= th)
-        )
+        ) if len(gt_bbox) else np.zeros(0, bool)
         idx = np.where(inside)[0]
         if len(idx) == 0:
-            raise ValueError(f"node {p} outside all ground-truth boxes")
+            if strict:
+                raise ValueError(f"node {p} outside all ground-truth boxes")
+            gt_cls[i] = -1 if background is None else background
+            gt_obj[i] = -1
+            continue
         if len(idx) > 1:
             d = np.linalg.norm(gt_bbox[idx, 0:2] - p[None, :], axis=1)
             idx = idx[np.argsort(d, kind="stable")]
@@ -119,16 +129,18 @@ def strip_control_nodes(graph: dict):
     """Drop control nodes, reindex shape edges (svg3.py:297-320)."""
     is_control = np.asarray(graph["attr"]["is_control"]).reshape(-1) > 0.5
     o2n = np.cumsum(~is_control) - 1
-    keep_edge = []
-    for a, b in np.asarray(graph["edge"]["shape"], dtype=np.int64):
-        if not is_control[a] and not is_control[b]:
-            keep_edge.append([o2n[a], o2n[b]])
+    edges = np.asarray(graph["edge"]["shape"], dtype=np.int64).reshape(-1, 2)
+    keep_rows = ~is_control[edges[:, 0]] & ~is_control[edges[:, 1]] \
+        if len(edges) else np.zeros(0, bool)
+    e_attr = np.asarray(graph["edge_attr"]["shape"])
     out = {
         "pos": graph["pos"][~is_control],
         "attr": {k: np.asarray(v).reshape(len(is_control), -1)[~is_control]
                  for k, v in graph["attr"].items()},
-        "edge": {"shape": np.asarray(keep_edge, dtype=np.int64).reshape(-1, 2)},
-        "edge_attr": dict(graph["edge_attr"]),
+        "edge": {"shape": o2n[edges[keep_rows]]},
+        "edge_attr": {**graph["edge_attr"],
+                      "shape": e_attr[keep_rows] if len(e_attr) == len(edges)
+                      else e_attr},
     }
     return out, ~is_control
 
@@ -173,6 +185,84 @@ def shape_features(doc: SVGDocument):
         feats.append(f)
     return (np.asarray(feats).reshape(-1, 17),
             np.asarray(centers).reshape(-1, 2))
+
+
+class LegacySVGDataset:
+    """Manifest-driven on-the-fly legacy dataset — the Datasets/svg.py
+    ('bezier'), svg2.py ('shape'), svg3.py ('bezier_edge_attr': v1 graph
+    with control nodes stripped) surface, returning per-node classification
+    targets (the node-GT regime of the reference's absent centernet archs).
+
+    Each item is a dict of numpy arrays:
+      pos [N,2], x [N,F] (graph-variant features), edge [E,2],
+      e_attr [E,4] (bezier variants) / edge_weight [E] (shape variant),
+      gt_bbox_node [N,4], gt_cls [N], gt_obj [N], gt_bbox [G,4],
+      gt_labels [G], wh (2,).
+    """
+
+    def __init__(self, root: str, partition: str = "train",
+                 graph: str = "bezier", mode: str | None = None,
+                 class_dict: dict | None = None, strict: bool = False):
+        from yolat_tpu.data.dataset import SESYDDataset
+
+        if graph not in ("bezier", "shape", "bezier_edge_attr"):
+            raise NotImplementedError(f"legacy graph {graph}")
+        self._base = SESYDDataset(root, partition, cache=False, mode=mode,
+                                  class_dict=class_dict)
+        self.graph = graph
+        self.strict = strict
+        self.n_classes = self._base.n_classes
+
+    def __len__(self):
+        return len(self._base)
+
+    def __getitem__(self, idx: int) -> dict:
+        from yolat_tpu.geom.svg_io import read_ground_truth_boxes
+
+        path = self._base.files[idx]
+        doc = SVGDocument.from_file(path)
+        w, h = doc.width, doc.height
+        gt_bbox, gt_labels = read_ground_truth_boxes(
+            path.replace(".svg", ".xml"), w, h, self._base.class_dict
+        )
+        background = self.n_classes - 1
+
+        if self.graph == "shape":
+            x, pos = shape_features(doc)
+            edge, weight = proximity_edges(pos)
+            g = {
+                "pos": pos,
+                "attr": {"is_control": np.zeros((len(pos), 1))},
+                "edge": {"control": np.zeros((0, 2), np.int64)},
+            }
+            gt_bb, gt_cls, gt_obj = node_ground_truth(
+                g, gt_bbox, gt_labels, strict=self.strict,
+                background=background,
+            )
+            return dict(pos=pos, x=x, edge=edge, edge_weight=weight,
+                        gt_bbox_node=gt_bb, gt_cls=gt_cls, gt_obj=gt_obj,
+                        gt_bbox=gt_bbox, gt_labels=gt_labels,
+                        wh=np.array([w, h]))
+
+        g = build_graph_v1(doc, v1_edge_attr=True)
+        gt_bb, gt_cls, gt_obj = node_ground_truth(
+            g, gt_bbox, gt_labels, strict=self.strict, background=background
+        )
+        if self.graph == "bezier_edge_attr":
+            g, keep = strip_control_nodes(g)
+            gt_bb, gt_cls, gt_obj = gt_bb[keep], gt_cls[keep], gt_obj[keep]
+        pos = np.asarray(g["pos"])
+        x = np.concatenate(
+            [pos,
+             np.asarray(g["attr"]["color"]).reshape(len(pos), -1),
+             np.asarray(g["attr"]["is_control"]).reshape(len(pos), 1)],
+            axis=1,
+        )
+        return dict(pos=pos, x=x, edge=np.asarray(g["edge"]["shape"]),
+                    e_attr=np.asarray(g["edge_attr"]["shape"])[:, 0:4],
+                    gt_bbox_node=gt_bb, gt_cls=gt_cls, gt_obj=gt_obj,
+                    gt_bbox=gt_bbox, gt_labels=gt_labels,
+                    wh=np.array([w, h]))
 
 
 def proximity_edges(pos: np.ndarray, th: float = 5e-3):
