@@ -25,17 +25,24 @@ def main():
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--step", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--dataset", type=str, default="floorplans",
+                   choices=("floorplans", "diagrams"))
+    p.add_argument("--dtype", type=str, default="float32")
     args = p.parse_args()
 
-    from yolat_tpu.data.synthetic import write_dataset
+    from yolat_tpu.data.synthetic import write_dataset, write_diagram_dataset
     from yolat_tpu.train.config import Config
     from yolat_tpu.train.trainer import run_training
 
     os.makedirs(args.root, exist_ok=True)
     if not os.path.exists(os.path.join(args.root, "train_list.txt")):
-        write_dataset(args.root, n_train=args.n_train, n_test=args.n_test,
-                      seed=11, width=2000.0, height=1500.0, n_rooms=6,
-                      symbols_per_room=(1, 3))
+        if args.dataset == "diagrams":
+            write_diagram_dataset(args.root, n_train=args.n_train,
+                                  n_test=args.n_test, seed=11)
+        else:
+            write_dataset(args.root, n_train=args.n_train, n_test=args.n_test,
+                          seed=11, width=2000.0, height=1500.0, n_rooms=6,
+                          symbols_per_room=(1, 3))
 
     eval_start = args.eval_start or max(args.epochs - 10, 1)
     cfg = Config(
@@ -50,6 +57,7 @@ def main():
         bbox_sampling_step=args.step,
         root_dir=os.path.join(args.root, "log"),
         print_freq=20,
+        dtype=args.dtype,
     )
     t0 = time.time()
     state, results = run_training(cfg)
