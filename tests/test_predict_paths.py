@@ -48,7 +48,8 @@ class TestPredictPathEquivalence:
         # bf16: same predicted labels on valid detections
         assert (out_bf16["pred_label"] == out_flax["pred_label"]).mean() > 0.99
 
-    def test_evaluate_with_fast_loader(self, synthetic_root):
+    @pytest.mark.parametrize("serve", ["flax", "fast", "fast_bf16"])
+    def test_evaluate_with_fast_loader(self, synthetic_root, serve):
         ds = SESYDDataset(synthetic_root, "test", bbox_sampling_step=5)
         cfg = Config(n_classes=ds.n_classes, data_aug=False)
         loader = PackedLoader(ds, batch_size=2, n_devices=1, shuffle=False,
@@ -57,5 +58,5 @@ class TestPredictPathEquivalence:
         tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
         state = create_state(cfg, tx, batch, jax.random.key(0))
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        result = evaluate(cfg, variables, loader, max_det=32)
+        result = evaluate(cfg, variables, loader, max_det=32, serve=serve)
         assert np.isfinite(result["map_all"])

@@ -66,17 +66,29 @@ def main(argv=None):
     p.add_argument("--merge_nms", action="store_true",
                    help="weighted-merge NMS on raw proposals (the reference "
                         "detect.py post-processing) instead of hard NMS")
+    p.add_argument("--serve_mode", default="flax",
+                   choices=("flax", "fast", "fast_bf16"),
+                   help="flax = parity path; fast/fast_bf16 = folded-BN "
+                        "serving engine (bf16 is the TPU serving default)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
     ds = SESYDDataset(cfg.data_dir, "test",
                       bbox_sampling_step=cfg.bbox_sampling_step)
     cfg = cfg.replace(n_classes=ds.n_classes)
-    loader = PackedLoader(ds, batch_size=1, n_devices=1, shuffle=False)
+    loader = PackedLoader(ds, batch_size=1, n_devices=1, shuffle=False,
+                          dense=True)
     example = {k: v[0] for k, v in next(iter(loader)).items()}
     state, _, _ = load_checkpoint(cfg, example)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    predict = make_predict_fn(cfg, max_det=cfg.max_det)
+    fast = args.serve_mode in ("fast", "fast_bf16")
+    folded = None
+    if fast:
+        from yolat_tpu.eval.fast_forward import fold_params
+
+        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+    predict = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
+                              folded=folded, bf16=args.serve_mode == "fast_bf16")
 
     class_names = [""] * cfg.n_classes
     for k, v in ds.class_dict.items():

@@ -21,7 +21,12 @@ def load_checkpoint(cfg, example_batch):
 
 
 def main(argv=None):
-    args = build_parser("yolat_tpu evaluation").parse_args(argv)
+    p = build_parser("yolat_tpu evaluation")
+    p.add_argument("--serve_mode", default="flax",
+                   choices=("flax", "fast", "fast_bf16"),
+                   help="flax = parity path; fast/fast_bf16 = folded-BN "
+                        "serving engine (bf16 is the TPU serving default)")
+    args = p.parse_args(argv)
     cfg = config_from_args(args)
     partition = cfg.phase if cfg.phase in ("train", "test", "val") else "test"
 
@@ -29,13 +34,14 @@ def main(argv=None):
                       bbox_sampling_step=cfg.bbox_sampling_step)
     cfg = cfg.replace(n_classes=ds.n_classes)
     loader = PackedLoader(ds, batch_size=cfg.batch_size, n_devices=1,
-                          shuffle=False)
+                          shuffle=False, dense=True)
 
     example = {k: v[0] for k, v in next(iter(loader)).items()}
     state, epoch, best = load_checkpoint(cfg, example)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    results = evaluate(cfg, variables, loader, verbose=True)
+    results = evaluate(cfg, variables, loader, verbose=True,
+                       serve=args.serve_mode)
     print(format_confusion(results["confusion"], ds.class_dict))
     print(f"checkpoint epoch={epoch} best={best:.4f}")
 

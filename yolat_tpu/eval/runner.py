@@ -13,8 +13,19 @@ from yolat_tpu.eval.metrics import Evaluator
 from yolat_tpu.eval.predict import make_predict_fn
 
 
-def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False):
-    predict = make_predict_fn(cfg, max_det=max_det)
+def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
+             serve: str = "flax"):
+    """serve: 'flax' (parity path), 'fast' (folded-BN engine + Pallas), or
+    'fast_bf16' (the serving default on TPU — bf16 matmuls, f32 epilogues).
+    The fast modes need the loader's dense neighbour layout."""
+    fast = serve in ("fast", "fast_bf16")
+    folded = None
+    if fast:
+        from yolat_tpu.eval.fast_forward import fold_params
+
+        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+    predict = make_predict_fn(cfg, max_det=max_det, fast=fast, folded=folded,
+                              bf16=serve == "fast_bf16")
     ev = Evaluator(cfg.n_classes)
 
     for stacked in loader:
