@@ -102,6 +102,19 @@ class TestEvaluator:
         assert out["confusion"][1, 2] == 1
 
 
+class _TakeFiles:
+    """Iterate the first N single-image steps of a loader."""
+
+    def __init__(self, loader, n):
+        self.loader, self.n = loader, n
+
+    def __iter__(self):
+        for i, b in enumerate(self.loader):
+            if i >= self.n:
+                return
+            yield b
+
+
 class TestEndToEnd:
     @pytest.mark.slow
     def test_train_then_eval(self, synthetic_root):
@@ -131,6 +144,40 @@ class TestEndToEnd:
         result = evaluate(cfg, variables, loader, max_det=64)
         assert np.isfinite(result["map_50"])
         assert result["top1_acc"] > 0.5
+
+    def test_dp_evaluate_matches_single_device(self, synthetic_root):
+        """Data-parallel evaluation over a 2-device mesh produces the same
+        metrics as the single-device loop on the same images."""
+        from jax.sharding import Mesh
+
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        cfg = Config(n_classes=ds.n_classes, data_aug=False)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+
+        loader1 = PackedLoader(ds, batch_size=1, n_devices=1, shuffle=False,
+                               drop_last=True)
+        loader2 = PackedLoader(ds, batch_size=1, n_devices=2, shuffle=False,
+                               drop_last=True, pad=loader1.pad)
+
+        batch = {k: v[0] for k, v in next(iter(loader1)).items()}
+        state = create_state(cfg, tx, batch, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        r1 = evaluate(cfg, variables, loader1, max_det=32)
+        mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+        r2 = evaluate(cfg, variables, loader2, max_det=32, mesh=mesh)
+        # loader2 drops the odd file; restrict comparison to shared stats
+        assert np.isfinite(r2["map_all"])
+        np.testing.assert_allclose(r2["top1_acc"], r2["top1_acc"])
+        # same images evaluated both ways must agree when counts match
+        loader1b = PackedLoader(ds, batch_size=1, n_devices=1, shuffle=False,
+                                drop_last=True, pad=loader1.pad)
+        # first two files only (what loader2 covered)
+        ev_imgs = 2
+        r1b = evaluate(cfg, variables,
+                       _TakeFiles(loader1b, ev_imgs), max_det=32)
+        np.testing.assert_allclose(r2["map_50"], r1b["map_50"], rtol=1e-5)
+        np.testing.assert_allclose(r2["top1_acc"], r1b["top1_acc"], rtol=1e-5)
 
     def test_two_pass_selection_mask(self, synthetic_root):
         """kept == is_root | (root predicted background), valid rows only."""

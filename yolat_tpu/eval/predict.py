@@ -49,6 +49,15 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
       pred_label [P], kept [P] — per-proposal argmax + selection mask, for
       the reference's proposal top-1 / confusion metrics (train.py:383-388).
     """
+    core = make_predict_core(cfg, n_images=n_images, max_det=max_det,
+                             fast=fast, folded=folded, bf16=bf16)
+    return jax.jit(core)
+
+
+def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
+                      fast: bool = False, folded=None, bf16: bool = False):
+    """The un-jitted predict body: (variables, batch) -> detections dict.
+    Wrapped by make_predict_fn (jit) and make_dp_predict_fn (shard_map)."""
     model = build_model(cfg, axis_name=None)
     n_classes = cfg.n_classes
     background = n_classes - 1
@@ -61,7 +70,6 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
         # so the kernel serves the f32 mode.
         use_pallas = jax.default_backend() == "tpu" and not bf16
 
-    @jax.jit
     def predict(variables, batch):
         batch = finalize_batch(jax.tree.map(jnp.asarray, batch))
         if fast:
@@ -127,3 +135,25 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
         return nms
 
     return predict
+
+
+def make_dp_predict_fn(cfg, mesh, axis_name: str = "data", max_det: int = 300,
+                       fast: bool = False, folded=None, bf16: bool = False):
+    """Data-parallel serving: (variables, batch[D, ...]) -> detections with a
+    leading device axis. Variables replicated, batch shards P(axis_name);
+    each device runs the full predict (forward + NMS) on its shard — the
+    multi-chip counterpart of the reference's single-GPU eval loop
+    (train.py:324-509), one compiled program across the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    core = make_predict_core(cfg, max_det=max_det, fast=fast, folded=folded,
+                             bf16=bf16)
+
+    def shard_fn(variables, batch):
+        out = core(variables, jax.tree.map(lambda x: x[0], batch))
+        return jax.tree.map(lambda x: x[None], out)
+
+    mapped = jax.shard_map(shard_fn, mesh=mesh,
+                           in_specs=(P(), P(axis_name)),
+                           out_specs=P(axis_name), check_vma=False)
+    return jax.jit(mapped)

@@ -14,25 +14,41 @@ from yolat_tpu.eval.predict import make_predict_fn
 
 
 def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
-             serve: str = "flax"):
+             serve: str = "flax", mesh=None):
     """serve: 'flax' (parity path), 'fast' (folded-BN engine + Pallas), or
     'fast_bf16' (the serving default on TPU — bf16 matmuls, f32 epilogues).
-    The fast modes need the loader's dense neighbour layout."""
+    The fast modes need the loader's dense neighbour layout. With `mesh`,
+    the loader's device shards evaluate data-parallel over the ('data',)
+    axis (one compiled shard_map program); metrics accumulate on host."""
     fast = serve in ("fast", "fast_bf16")
     folded = None
     if fast:
         from yolat_tpu.eval.fast_forward import fold_params
 
         folded = fold_params(variables, n_blocks=cfg.n_blocks)
-    predict = make_predict_fn(cfg, max_det=max_det, fast=fast, folded=folded,
-                              bf16=serve == "fast_bf16")
+    if mesh is not None:
+        from yolat_tpu.eval.predict import make_dp_predict_fn
+
+        predict_dp = make_dp_predict_fn(cfg, mesh, max_det=max_det, fast=fast,
+                                        folded=folded,
+                                        bf16=serve == "fast_bf16")
+    else:
+        predict = make_predict_fn(cfg, max_det=max_det, fast=fast,
+                                  folded=folded, bf16=serve == "fast_bf16")
     ev = Evaluator(cfg.n_classes)
 
     for stacked in loader:
         n_dev = stacked["pos"].shape[0]
+        if mesh is not None:
+            all_out = {k: np.asarray(v)
+                       for k, v in predict_dp(variables, stacked).items()}
         for d in range(n_dev):
             batch = {k: v[d] for k, v in stacked.items()}
-            out = {k: np.asarray(v) for k, v in predict(variables, batch).items()}
+            if mesh is not None:
+                out = {k: v[d] for k, v in all_out.items()}
+            else:
+                out = {k: np.asarray(v)
+                       for k, v in predict(variables, batch).items()}
 
             # proposal-level metrics over kept (root + expanded children)
             kept = out["kept"]
