@@ -44,6 +44,26 @@ class TestPreprocessOptions:
         assert "super_shape" in g["edge"] and "super_super" in g["edge"]
 
 
+class TestDPTrainer:
+    def test_n_devices_2_end_to_end(self, synthetic_root, tmp_path):
+        """run_training with n_devices=2 on the virtual mesh: DP train step
+        + DP shard_map evaluation produce finite metrics."""
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.trainer import run_training
+
+        cfg = Config(
+            data_dir=synthetic_root, batch_size=1, n_devices=2,
+            total_epochs=1, eval_start=1, lr=1e-3, data_aug=False,
+            print_freq=1, bbox_sampling_step=5,
+            root_dir=str(tmp_path / "log"),
+        )
+        _, results = run_training(cfg)
+        import numpy as np
+
+        assert np.isfinite(results["map_all"])
+        assert 0.0 <= results["top1_acc"] <= 1.0
+
+
 class TestScannedTraining:
     def test_scan_steps_trains_and_logs(self, synthetic_root, tmp_path):
         """scan_steps>1: multi-step lax.scan dispatch path trains (loss

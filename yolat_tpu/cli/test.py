@@ -33,15 +33,21 @@ def main(argv=None):
     ds = SESYDDataset(cfg.data_dir, partition,
                       bbox_sampling_step=cfg.bbox_sampling_step)
     cfg = cfg.replace(n_classes=ds.n_classes)
-    loader = PackedLoader(ds, batch_size=cfg.batch_size, n_devices=1,
-                          shuffle=False, dense=True)
+    loader = PackedLoader(ds, batch_size=cfg.batch_size,
+                          n_devices=cfg.n_devices, shuffle=False, dense=True)
 
     example = {k: v[0] for k, v in next(iter(loader)).items()}
     state, epoch, best = load_checkpoint(cfg, example)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    mesh = None
+    if cfg.n_devices > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[: cfg.n_devices]), ("data",))
     results = evaluate(cfg, variables, loader, verbose=True,
-                       serve=args.serve_mode)
+                       serve=args.serve_mode, mesh=mesh)
     print(format_confusion(results["confusion"], ds.class_dict))
     print(f"checkpoint epoch={epoch} best={best:.4f}")
 

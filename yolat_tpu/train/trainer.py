@@ -63,8 +63,8 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
         buckets=cfg.buckets,
     )
     test_loader = PackedLoader(
-        test_ds, batch_size=cfg.batch_size * 2, n_devices=1, shuffle=False,
-        dense=cfg.dense_layout,
+        test_ds, batch_size=cfg.batch_size * 2, n_devices=cfg.n_devices,
+        shuffle=False, dense=cfg.dense_layout,
     )
 
     steps_per_epoch = max(len(train_loader), 1)
@@ -95,6 +95,7 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
         logging.info("resumed from %s (tag %s) at epoch %d",
                      restore_dir, tag, start_epoch)
 
+    mesh = None
     if cfg.n_devices > 1:
         from jax.sharding import Mesh
 
@@ -180,7 +181,7 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
 
         if epoch >= cfg.eval_start or done or epoch == cfg.total_epochs:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            results = evaluate(cfg, variables, test_loader)
+            results = evaluate(cfg, variables, test_loader, mesh=mesh)
             test_value = results["test_value"]
             logging.info(
                 "Epoch:%d MAP@0.5:%.4f MAP@ALL:%.4f top1:%.4f (%.1fs)",
