@@ -206,6 +206,26 @@ class TestNMS:
 
 
 class TestKNN:
+    def test_segment_restriction(self):
+        """segment_ids keep kNN within each packed image (knn_matrix
+        per-sample batch semantics, torch_edge.py:66-99)."""
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(24, 3)).astype(np.float32))
+        seg = jnp.asarray(np.repeat(np.arange(3), 8))
+        from yolat_tpu.ops.knn import knn_graph
+
+        edge, emask = knn_graph(x, k=4, segment_ids=seg)
+        src, dst = np.asarray(edge[0]), np.asarray(edge[1])
+        m = np.asarray(emask)
+        assert m.sum() > 0
+        assert (np.asarray(seg)[src[m]] == np.asarray(seg)[dst[m]]).all()
+        # tiny segment (< k members): cross picks masked, not emitted
+        seg2 = jnp.asarray(np.array([0, 0] + [1] * 22))
+        edge2, emask2 = knn_graph(x, k=4, segment_ids=seg2)
+        s2, d2 = np.asarray(edge2[0]), np.asarray(edge2[1])
+        m2 = np.asarray(emask2)
+        assert (np.asarray(seg2)[s2[m2]] == np.asarray(seg2)[d2[m2]]).all()
+
     def test_matches_bruteforce(self):
         rng = np.random.default_rng(2)
         x = rng.normal(size=(20, 3)).astype(np.float32)

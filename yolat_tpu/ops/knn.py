@@ -18,13 +18,16 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("k",))
-def knn_graph(x, k: int, mask=None):
+def knn_graph(x, k: int, mask=None, segment_ids=None):
     """k nearest neighbours per point (excluding self).
 
     Args:
       x:    [N, C] points.
       k:    neighbour count.
       mask: [N] bool validity (padded points are never neighbours).
+      segment_ids: [N] int — restrict neighbours to the same segment (the
+        flat-packed-batch analog of the reference's per-sample batch-offset
+        kNN, torch_edge.knn_matrix:66-99: neighbours never cross images).
 
     Returns (edge_index [2, N*k] int32 (src=neighbour j, dst=centre i),
              edge_mask [N*k] bool).
@@ -36,6 +39,9 @@ def knn_graph(x, k: int, mask=None):
     neg_d = neg_d - jnp.eye(n, dtype=x.dtype) * 1e30
     if mask is not None:
         neg_d = jnp.where(mask[None, :], neg_d, -1e30)
+    if segment_ids is not None:
+        same = segment_ids[:, None] == segment_ids[None, :]
+        neg_d = jnp.where(same, neg_d, -1e30)
     _, idx = jax.lax.top_k(neg_d, k)  # [N, k] neighbour ids
 
     dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
@@ -43,6 +49,9 @@ def knn_graph(x, k: int, mask=None):
     edge_mask = jnp.ones(n * k, dtype=bool)
     if mask is not None:
         edge_mask = mask[dst] & mask[src]
+    if segment_ids is not None:
+        # segments smaller than k force cross-segment picks; mask them out
+        edge_mask = edge_mask & (segment_ids[dst] == segment_ids[src])
     return jnp.stack([src, dst], axis=0), edge_mask
 
 
