@@ -37,18 +37,24 @@ class TestBucketedPadding:
 
 
 class TestHostSharding:
-    def test_hosts_partition_the_manifest(self, synthetic_root):
+    def test_hosts_split_a_common_step_schedule(self, synthetic_root):
+        """Hosts take disjoint slices of ONE global step schedule with
+        EQUAL step counts (unequal or differently-shaped per-host step
+        sequences would deadlock the collectives in a jax.distributed
+        run); pads are global so programs are identical."""
         ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
-        full = PackedLoader(ds, batch_size=1, shuffle=False)
-        h0 = PackedLoader(ds, batch_size=1, shuffle=False, host_id=0,
+        full = PackedLoader(ds, batch_size=1, shuffle=True, seed=7)
+        h0 = PackedLoader(ds, batch_size=1, shuffle=True, seed=7, host_id=0,
                           n_hosts=2)
-        h1 = PackedLoader(ds, batch_size=1, shuffle=False, host_id=1,
+        h1 = PackedLoader(ds, batch_size=1, shuffle=True, seed=7, host_id=1,
                           n_hosts=2)
-        n0 = sum(int(b["n_images"][0]) for b in h0)
-        n1 = sum(int(b["n_images"][0]) for b in h1)
-        assert n0 + n1 == len(ds)
-        assert set(h0._local_files.tolist()) | set(h1._local_files.tolist()) \
-            == set(range(len(ds)))
-        assert not set(h0._local_files.tolist()) & set(h1._local_files.tolist())
+        s0 = list(h0)
+        s1 = list(h1)
+        # equal counts, always (3 files -> 1 step each, 1 dropped this epoch)
+        assert len(s0) == len(s1) == len(h0) == len(h1) == 1
+        # disjoint images within the epoch
+        imgs0 = {tuple(b["gt_bbox"][0].ravel()[:8]) for b in s0}
+        imgs1 = {tuple(b["gt_bbox"][0].ravel()[:8]) for b in s1}
+        assert not imgs0 & imgs1
         # pad sizes are global: all hosts compile the same program
         assert h0.pad.key() == h1.pad.key() == full.pad.key()

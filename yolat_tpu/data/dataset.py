@@ -137,10 +137,14 @@ class PackedLoader:
     SURVEY.md section 7). Batches never mix buckets; epoch order interleaves
     buckets pseudo-randomly.
 
-    host_id/n_hosts shard the manifest across processes for multi-host
-    training (each host loads files[host_id::n_hosts] — the per-host data
-    pipeline of a jax.distributed deployment); pad sizes stay global so all
-    hosts compile identical programs.
+    host_id/n_hosts shard the epoch across processes for multi-host
+    training (the per-host data pipeline of a jax.distributed deployment).
+    Every host builds the SAME global step schedule (identical rng
+    consumption) and takes steps[host_id::n_hosts], truncated so all hosts
+    execute exactly the same number of steps with the same bucket-shape
+    sequence structure — a host running extra or differently-shaped steps
+    would deadlock the collectives. Pad sizes stay global so all hosts
+    compile identical programs.
     """
 
     def __init__(self, dataset: SESYDDataset, batch_size: int = 4,
@@ -162,7 +166,6 @@ class PackedLoader:
         self.buckets = max(1, buckets)
         self.host_id = host_id
         self.n_hosts = n_hosts
-        self._local_files = np.arange(len(dataset))[host_id::n_hosts]
         if pad is not None:
             self.pad = pad
             self.buckets = 1
@@ -235,11 +238,13 @@ class PackedLoader:
         per_step = self.batch_size * self.n_devices
         total = 0
         for b in range(len(self._bucket_pads)):
-            n = int((self._bucket_of[self._local_files] == b).sum())
+            n = int((self._bucket_of == b).sum())
             if self.drop_last:
                 total += n // per_step
             else:
                 total += (n + per_step - 1) // per_step
+        if self.n_hosts > 1:
+            total //= self.n_hosts
         return total
 
     def __iter__(self):
@@ -283,13 +288,12 @@ class PackedLoader:
         self.epoch += 1
         per_step = self.batch_size * self.n_devices
 
-        # per-bucket windows over this host's manifest slice, then one
-        # pseudo-random interleave across buckets
+        # GLOBAL step schedule — identical on every host (rng consumption is
+        # host-independent): per-bucket windows over the full manifest, then
+        # one pseudo-random interleave across buckets
         steps = []
         for b in range(len(self._bucket_pads)):
-            order = self._local_files[
-                self._bucket_of[self._local_files] == b
-            ].copy()
+            order = np.arange(len(self.ds))[self._bucket_of == b]
             if self.shuffle:
                 rng.shuffle(order)
             for start in range(0, len(order), per_step):
@@ -299,6 +303,12 @@ class PackedLoader:
                 steps.append((b, window))
         if self.shuffle and len(self._bucket_pads) > 1:
             rng.shuffle(steps)
+
+        if self.n_hosts > 1:
+            # equal step counts per host; trailing steps dropped this epoch
+            # (a different shuffle reaches them next epoch)
+            even = (len(steps) // self.n_hosts) * self.n_hosts
+            steps = steps[:even][self.host_id :: self.n_hosts]
 
         for b, window in steps:
             pad = self._bucket_pads[b]

@@ -96,14 +96,10 @@ class AttrEdgeGP2(nn.Module):
         lin_r = nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")
 
         if nbr_idx is not None:
-            N, D = nbr_idx.shape
             x_nbr = x[nbr_idx]                        # [N, D, C]
             x_i = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
             f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)
-            msg = msg_mlp(f.reshape(N * D, -1), nbr_mask.reshape(N * D),
-                          train).reshape(N, D, self.out_channels)
-            m = nbr_mask[..., None].astype(msg.dtype)
-            agg = (msg * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+            agg = _dense_mean(msg_mlp, f, nbr_mask, self.out_channels, train)
         else:
             x_i, x_j = _gather_ij(x, edge)
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)

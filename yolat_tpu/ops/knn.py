@@ -34,9 +34,11 @@ def knn_graph(x, k: int, mask=None, segment_ids=None):
     """
     n = x.shape[0]
     x2 = jnp.sum(x * x, axis=1)
-    # negative squared distance, self excluded via -inf diagonal
+    # negative squared distance; self excluded with a penalty BELOW the
+    # mask/segment penalty so top_k tie-breaks never resurrect the self
+    # edge when a segment has <= k members
     neg_d = 2.0 * (x @ x.T) - x2[:, None] - x2[None, :]
-    neg_d = neg_d - jnp.eye(n, dtype=x.dtype) * 1e30
+    neg_d = neg_d - jnp.eye(n, dtype=x.dtype) * 2e30
     if mask is not None:
         neg_d = jnp.where(mask[None, :], neg_d, -1e30)
     if segment_ids is not None:
@@ -46,9 +48,9 @@ def knn_graph(x, k: int, mask=None, segment_ids=None):
 
     dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), k)
     src = idx.reshape(-1).astype(jnp.int32)
-    edge_mask = jnp.ones(n * k, dtype=bool)
+    edge_mask = src != dst  # belt and braces vs tie-broken self picks
     if mask is not None:
-        edge_mask = mask[dst] & mask[src]
+        edge_mask = edge_mask & mask[dst] & mask[src]
     if segment_ids is not None:
         # segments smaller than k force cross-segment picks; mask them out
         edge_mask = edge_mask & (segment_ids[dst] == segment_ids[src])

@@ -40,19 +40,25 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
       obj_scores: [M] objectness (1 - p_bg).
       valid:      [M] bool, padding mask.
       max_det:    fixed output size.
-      algorithm:  'fixpoint' (default) — exact greedy NMS as the fixed point
-                  of the suppression recurrence over the top-`topk`
+      algorithm:  'fixpoint' (default) — greedy NMS as the fixed point of
+                  the suppression recurrence over the top-`topk`
                   candidates' IoU matrix: kept_i = valid_i and no kept j<i
                   (score order) with IoU>th suppresses i. Iterating that map
                   from kept=valid converges to the UNIQUE fixed point — the
                   greedy solution — in (suppression-chain depth + 1)
                   data-parallel sweeps, typically <10, instead of one
                   sequential while-loop step per detection (~max_det steps).
+                  EXACT over the top-topk candidates; candidates below that
+                  score rank are dropped (the same kind of truncation as
+                  the reference's own max_nms=30000 cap, train.py:47,96 —
+                  just tighter, because the IoU matrix is O(topk^2) memory).
+                  A greedy survivor ranked below topk is only possible when
+                  more than topk - max_det higher-scored candidates are
+                  suppressed first; raise `topk` (cfg.nms_topk) for dense
+                  scenes or use 'loop' for unbounded exactness.
                   'loop' — the literal greedy loop over ALL candidates
                   (torchvision semantics oracle; exact for any input size).
-      topk:       fixpoint candidate cap (clamped to max_nms; the reference
-                  itself truncates to the top max_nms=30000 by score,
-                  train.py:47,96).
+      topk:       fixpoint candidate cap (clamped to max_nms).
 
     Returns dict with detection arrays of length max_det:
       boxes [max_det, 4], scores [max_det], classes [max_det] (int32),

@@ -186,6 +186,13 @@ def make_scan_train_step(cfg, tx, n_steps: int):
 
     @jax.jit
     def run(state, stacked, key):
+        lead = {k: v.shape[0] for k, v in stacked.items()
+                if hasattr(v, "shape") and v.ndim > 0}
+        assert all(n == n_steps for n in lead.values()), (
+            f"stacked batch leading dims {set(lead.values())} != "
+            f"n_steps={n_steps}"
+        )
+
         def body(carry, batch):
             st, k = carry
             k, sub = jax.random.split(k)

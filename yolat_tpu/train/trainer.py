@@ -157,7 +157,11 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
         chunk = []
         chunk_shape = None
         for batch in train_loader:
-            shape = batch["pos"].shape
+            # full shape signature: buckets can share one dim's pad (e.g.
+            # node count) while differing in others — keying on pos alone
+            # would stack mismatched batches
+            shape = tuple(sorted((k, getattr(v, "shape", ()))
+                                 for k, v in batch.items()))
             if chunk and (shape != chunk_shape or scan_fn is None):
                 run_steps(chunk)
                 maybe_log()
@@ -171,7 +175,7 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
             if max_steps is not None and it >= max_steps:
                 done = True
                 break
-        if chunk:
+        if chunk and not done:
             run_steps(chunk)
             maybe_log()
         for it_i, m in pending:
