@@ -44,6 +44,23 @@ class TestPreprocessOptions:
         assert "super_shape" in g["edge"] and "super_super" in g["edge"]
 
 
+class TestBucketedScanTraining:
+    def test_buckets_with_scan_steps(self, synthetic_root, tmp_path):
+        """buckets=2 + scan_steps=2: chunks group by full shape signature
+        (mixing bucket shapes in one stack would raise in np.stack)."""
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.trainer import run_training
+
+        cfg = Config(
+            data_dir=synthetic_root, batch_size=1, total_epochs=2,
+            eval_start=99, lr=1e-3, data_aug=False, print_freq=1,
+            bbox_sampling_step=5, root_dir=str(tmp_path / "log"),
+            scan_steps=2, buckets=2,
+        )
+        _, results = run_training(cfg)
+        assert "best_value" in results
+
+
 class TestDPTrainer:
     def test_n_devices_2_end_to_end(self, synthetic_root, tmp_path):
         """run_training with n_devices=2 on the virtual mesh: DP train step
