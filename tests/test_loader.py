@@ -36,6 +36,37 @@ class TestBucketedPadding:
         assert 1 <= len(pads) <= 2
 
 
+class TestReferenceCacheCompat:
+    def test_reference_pkl_graphs_load(self, synthetic_root, tmp_path):
+        """A dataset preprocessed by the reference (<file>.pkl graph dicts,
+        build_graph_bbox.py schema) loads without re-running the geometry
+        kernel — the migration path for existing users."""
+        import pickle
+        import shutil
+
+        ds0 = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        g = ds0._graph(ds0.files[0])
+
+        # clone one file into a fresh root with a reference-style .pkl and
+        # NO svg-derivable graph cache
+        root = tmp_path / "refdata"
+        sub = root / "floorplans-syn"
+        sub.mkdir(parents=True)
+        base = ds0.files[0]
+        shutil.copy(base, sub / "f.svg")
+        shutil.copy(base.replace(".svg", ".xml"), sub / "f.xml")
+        with open(sub / "f.pkl", "wb") as f:
+            pickle.dump(g, f)
+        (root / "train_list.txt").write_text("floorplans-syn/f.svg\n")
+
+        ds = SESYDDataset(str(root), "train", bbox_sampling_step=5)
+        g2 = ds._graph(ds.files[0])
+        np.testing.assert_array_equal(np.asarray(g2["pos"]),
+                                      np.asarray(g["pos"]))
+        pf, (gt, gl), wh = ds.load(0)
+        assert pf.n_proposals > 0
+
+
 class TestHostSharding:
     def test_hosts_split_a_common_step_schedule(self, synthetic_root):
         """Hosts take disjoint slices of ONE global step schedule with

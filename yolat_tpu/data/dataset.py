@@ -93,6 +93,19 @@ class SESYDDataset:
         if self.cache and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)
+        # migration path: the reference caches its offline graphs as
+        # <file>.pkl with the same schema (build_graph_bbox.py:302-381 —
+        # pos/attr/edge/edge_attr/img_width/img_height/cc); load those
+        # directly so preprocessed reference datasets work unchanged
+        ref_path = path.replace(".svg", ".pkl")
+        if self.cache and os.path.exists(ref_path):
+            with open(ref_path, "rb") as f:
+                g = pickle.load(f)
+            required = {"pos", "attr", "edge", "edge_attr", "cc"}
+            if isinstance(g, dict) and required <= set(g):
+                g.setdefault("img_width", g.get("img_width", 1.0))
+                g.setdefault("img_height", g.get("img_height", 1.0))
+                return g
         doc = SVGDocument.from_file(path)
         g = build_svg_graph(doc, mode=self.mode)
         if self.cache:
