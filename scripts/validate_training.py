@@ -28,6 +28,8 @@ def main():
     p.add_argument("--dataset", type=str, default="floorplans",
                    choices=("floorplans", "diagrams"))
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="train steps per device dispatch (remote-link lever)")
     args = p.parse_args()
 
     from yolat_tpu.data.synthetic import write_dataset, write_diagram_dataset
@@ -58,6 +60,7 @@ def main():
         root_dir=os.path.join(args.root, "log"),
         print_freq=20,
         dtype=args.dtype,
+        scan_steps=args.scan_steps,
     )
     t0 = time.time()
     state, results = run_training(cfg)
