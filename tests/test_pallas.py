@@ -8,6 +8,36 @@ import pytest
 
 from yolat_tpu.data.packing import add_dense_neighbors, finalize_batch
 from yolat_tpu.data.toy import random_packed_batch
+
+
+class TestSegmentMaxSortedKernel:
+    def test_matches_xla_segment_max(self):
+        """Scatter-free sorted segmented max (interpret mode) == the
+        production masked segment_max, incl. masked rows, segments spanning
+        node blocks, and empty segments."""
+        import numpy as np
+
+        from yolat_tpu.ops.pallas_kernels import segment_max_sorted_pallas
+        from yolat_tpu.ops.segment import segment_max
+
+        rng = np.random.default_rng(3)
+        N, C, P = 1024, 384, 29
+        cuts = np.sort(rng.choice(np.arange(1, N), P - 2, replace=False))
+        ids = np.cumsum(np.bincount(cuts, minlength=N)).astype(np.int32)
+        # empty trailing segment P-1 exists (no rows assigned)
+        x = rng.normal(size=(N, C)).astype(np.float32)
+        mask = rng.random(N) > 0.2
+
+        got = segment_max_sorted_pallas(
+            jnp.asarray(x), jnp.asarray(ids), jnp.asarray(mask), P,
+            block_n=256, col_tile=384, interpret=True,
+        )
+        want = segment_max(jnp.asarray(x), jnp.asarray(ids), P,
+                           mask=jnp.asarray(mask), indices_are_sorted=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        # empty segment yields 0
+        assert (np.asarray(got)[P - 1] == 0).all()
 from yolat_tpu.eval.fast_forward import fast_forward, fold_params
 from yolat_tpu.nn.model import SparseCADGCN
 from yolat_tpu.ops.pallas_kernels import (

@@ -164,6 +164,138 @@ def fused_dense_message(x, nbr_idx, nbr_attr, nbr_mask,
     return out
 
 
+_SEG_BIG = -1e30
+
+
+def _segment_max_kernel(p0_ref, x_ref, ids_ref, mask_ref, rows_ref, out_ref,
+                        *, block_n: int, ms: int):
+    """One (column-tile, node-block) step of the sorted segmented max.
+
+    Within the block: log-shift suffix-max constrained to equal segment ids
+    (VMEM-local, log2(Bn) sweeps). The per-segment block maxima live at each
+    segment's first row; they are gathered into a dense [Bn] local-segment
+    tile with a 0/1 selection MATMUL built from an iota==rows compare (no
+    per-row dynamic addressing), then combined into the resident output with
+    one dynamic-slice read-modify-max at this block's first segment id.
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[:] = jnp.full_like(out_ref, _SEG_BIG)
+
+    v = jnp.where(mask_ref[:] != 0, x_ref[:], jnp.asarray(_SEG_BIG, x_ref.dtype))
+    ids = ids_ref[:]  # [Bn, 1] int32
+
+    k = 1
+    while k < block_n:
+        pad_v = jnp.full((k, v.shape[1]), _SEG_BIG, v.dtype)
+        pad_i = jnp.full((k, 1), -1, ids.dtype)
+        v_shift = jnp.concatenate([v[k:], pad_v], axis=0)
+        ids_shift = jnp.concatenate([ids[k:], pad_i], axis=0)
+        v = jnp.where(ids_shift == ids, jnp.maximum(v, v_shift), v)
+        k *= 2
+
+    rows = rows_ref[0, 0, :]  # [MS] int32, -1 = no segment q starts here
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, ms), 0)
+    sel = (iota == rows[None, :]).astype(v.dtype)  # [Bn rows, MS q]
+    w = jnp.dot(sel.T, v, preferred_element_type=jnp.float32).astype(v.dtype)
+    # q validity as a [MS, 1] column without any 1-bit reshape (Mosaic
+    # rejects i1 minor-dim insertion): sel's column sum is 1 iff q starts
+    valid_col = jnp.dot(sel.T, jnp.ones((block_n, 1), v.dtype),
+                        preferred_element_type=jnp.float32)
+    w = jnp.where(valid_col > 0.5, w, jnp.asarray(_SEG_BIG, v.dtype))
+
+    # p0 is pre-aligned to 8 on host (Mosaic requires 8-aligned dynamic
+    # sublane starts); q indices already carry the alignment offset
+    p0 = pl.multiple_of(p0_ref[i], 8)
+    cur = out_ref[pl.ds(p0, ms), :]
+    out_ref[pl.ds(p0, ms), :] = jnp.maximum(cur, w)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "block_n", "col_tile",
+                                    "interpret"))
+def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
+                              block_n: int = 512, col_tile: int = 384,
+                              interpret: bool = False):
+    """Masked segment max over SORTED segment ids, scatter-free.
+
+    XLA lowers jax.ops.segment_max to a scatter-max that runs ~15x below
+    HBM bandwidth at detection scale ([137k, 1152]: 4.8ms vs a 1.3ms read
+    pass, measured on v5e). Sorted ids make the reduction a sequential-grid
+    streaming problem: per node block, a VMEM suffix-max + one one-hot
+    gather matmul + one dynamic-slice RMW into the resident output tile.
+
+    MEASURED OUTCOME (v5e, [137728, 1152], mean run 32): f32 5.1ms vs XLA
+    5.3ms; bf16 5.4ms vs XLA 4.9ms — the in-VMEM log-shift sweeps (log2(Bn)
+    shifted compares over the whole block) cost about what the scatter
+    saves, so this kernel is kept as a verified alternative, NOT routed
+    into the hot path. ops/segment.py remains the production
+    implementation; the hot-path win against scatter came from the
+    gather-compare backward there instead.
+
+    Empty segments return 0 (torch_scatter convention). Falls back to the
+    XLA path for shapes that don't tile.
+    """
+    n, c = x.shape
+    if n % block_n != 0 or c % col_tile != 0:
+        from yolat_tpu.ops.segment import segment_max
+
+        return segment_max(x, segment_ids, num_segments, mask=mask,
+                           indices_are_sorted=True)
+    nb = n // block_n
+    ids = segment_ids.astype(jnp.int32)
+
+    # per-block tables (tiny XLA scatter over int rows):
+    #   p0[i] = first segment id of block i
+    #   rows_by_q[i, q] = row-in-block where local segment q = pid - p0
+    #   starts (-1 where q has no start in the block). q < block_n always:
+    #   ids are sorted, so the id span within a block is bounded by the
+    #   number of id changes, which is < block_n.
+    ms = block_n + 128  # local-pid span + 8-alignment slack, 128-tiled
+    row_in_blk = jnp.arange(n, dtype=jnp.int32) % block_n
+    blk = jnp.arange(n, dtype=jnp.int32) // block_n
+    prev = jnp.concatenate([ids[:1] - 1, ids[:-1]])
+    start = (row_in_blk == 0) | (ids != prev)
+    p0 = (ids[::block_n] // 8) * 8  # aligned dynamic-slice starts
+    q = ids - p0[blk]               # < block_n + 8 <= ms
+    rows_by_q = jnp.full((nb, ms), -1, jnp.int32).at[blk, q].max(
+        jnp.where(start, row_in_blk, -1)
+    )
+    # Mosaic block-shape rule: last two dims of a VMEM block must be
+    # (8k, 128k)-divisible — carry the table as [Nb, 8, MS] (row 0 used)
+    rows_by_q = jnp.broadcast_to(rows_by_q[:, None, :], (nb, 8, ms))
+
+    maskf = mask.astype(jnp.int32).reshape(n, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # p0 [Nb]
+        grid=(c // col_tile, nb),
+        in_specs=[
+            pl.BlockSpec((block_n, col_tile), lambda j, i, p0: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda j, i, p0: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda j, i, p0: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, ms), lambda j, i, p0: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_segments + ms, col_tile),
+                               lambda j, i, p0: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_segment_max_kernel, block_n=block_n, ms=ms),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_segments + ms, c), x.dtype),
+        interpret=interpret,
+    )(p0, x, ids.reshape(n, 1), maskf, rows_by_q)
+    out = out[:num_segments]
+    return jnp.where(out <= _SEG_BIG / 2, 0.0, out)
+
+
 def fused_dense_message_reference(x, nbr_idx, nbr_attr, nbr_mask,
                                   w1, sc1, w2, sc2, wr, br):
     """jnp reference implementation (same math, XLA-scheduled)."""
