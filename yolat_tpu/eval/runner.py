@@ -25,6 +25,11 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
     if fast:
         from yolat_tpu.eval.fast_forward import fold_params
 
+        if getattr(loader, "dense", True) is False:
+            raise ValueError(
+                f"serve='{serve}' needs the dense neighbour layout; build "
+                "the loader with dense=True"
+            )
         folded = fold_params(variables, n_blocks=cfg.n_blocks)
     if mesh is not None:
         from yolat_tpu.eval.predict import make_dp_predict_fn
