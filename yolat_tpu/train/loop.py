@@ -63,6 +63,16 @@ def build_model(cfg, axis_name: Optional[str] = None):
         from yolat_tpu.nn.yolat_pp import YOLaTPlusPlus
 
         return YOLaTPlusPlus(**kw)
+    if arch not in CANONICAL_ARCHS:
+        # the reference CLI dispatches more names (votenet, two_stage*,
+        # cluster, ... — cad_recognition/test.py:60-85) whose modules are
+        # absent from the reference repo itself (SURVEY.md: test.py:16
+        # fails as shipped); fail loudly instead of silently substituting
+        raise NotImplementedError(
+            f"arch '{arch}': not implemented (the reference repo ships no "
+            f"module for it either); available: "
+            f"{sorted(CANONICAL_ARCHS)} + ['yolat_pp']"
+        )
     return SparseCADGCN(conv=cfg.conv, **kw)
 
 
