@@ -47,8 +47,22 @@ class TestReferenceCacheCompat:
         ds0 = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
         g = ds0._graph(ds0.files[0])
 
-        # clone one file into a fresh root with a reference-style .pkl and
-        # NO svg-derivable graph cache
+        # clone one file into a fresh root with a reference-LAYOUT .pkl
+        # (positions nested as pos['spatial'], [N,1] attr columns, [E,2]
+        # edge rows — build_graph_bbox.py:330-365) and NO svg-derivable
+        # graph cache
+        ref_style = {
+            "pos": {"spatial": np.asarray(g["pos"], np.float64)},
+            "attr": {k: np.asarray(v).reshape(len(g["pos"]), -1)
+                     for k, v in g["attr"].items()},
+            "edge": {k: np.asarray(v, np.int64).reshape(-1, 2)
+                     for k, v in g["edge"].items()},
+            "edge_attr": {k: np.asarray(v, np.float64)
+                          for k, v in g["edge_attr"].items()},
+            "cc": g["cc"],
+            "img_width": g["img_width"],
+            "img_height": g["img_height"],
+        }
         root = tmp_path / "refdata"
         sub = root / "floorplans-syn"
         sub.mkdir(parents=True)
@@ -56,7 +70,7 @@ class TestReferenceCacheCompat:
         shutil.copy(base, sub / "f.svg")
         shutil.copy(base.replace(".svg", ".xml"), sub / "f.xml")
         with open(sub / "f.pkl", "wb") as f:
-            pickle.dump(g, f)
+            pickle.dump(ref_style, f)
         (root / "train_list.txt").write_text("floorplans-syn/f.svg\n")
 
         ds = SESYDDataset(str(root), "train", bbox_sampling_step=5)

@@ -8,23 +8,32 @@ import pytest
 
 from yolat_tpu.data.packing import add_dense_neighbors, finalize_batch
 from yolat_tpu.data.toy import random_packed_batch
+from yolat_tpu.eval.fast_forward import fast_forward, fold_params
+from yolat_tpu.nn.model import SparseCADGCN
+from yolat_tpu.ops.pallas_kernels import (
+    fused_dense_message,
+    fused_dense_message_reference,
+    segment_max_sorted_pallas,
+)
+from yolat_tpu.ops.segment import segment_max
 
 
 class TestSegmentMaxSortedKernel:
-    def test_matches_xla_segment_max(self):
+    @pytest.mark.parametrize("gapped", [False, True])
+    def test_matches_xla_segment_max(self, gapped):
         """Scatter-free sorted segmented max (interpret mode) == the
         production masked segment_max, incl. masked rows, segments spanning
-        node blocks, and empty segments."""
-        import numpy as np
-
-        from yolat_tpu.ops.pallas_kernels import segment_max_sorted_pallas
-        from yolat_tpu.ops.segment import segment_max
-
+        node blocks, empty trailing segments, and (gapped=True) interior
+        empty segments — sorted-but-gapped ids exercise the rank-densify
+        remap."""
         rng = np.random.default_rng(3)
         N, C, P = 1024, 384, 29
         cuts = np.sort(rng.choice(np.arange(1, N), P - 2, replace=False))
         ids = np.cumsum(np.bincount(cuts, minlength=N)).astype(np.int32)
-        # empty trailing segment P-1 exists (no rows assigned)
+        if gapped:
+            # open interior gaps: every other id doubled -> odd ids empty
+            ids = ids * 2
+            P = int(ids.max()) + 2
         x = rng.normal(size=(N, C)).astype(np.float32)
         mask = rng.random(N) > 0.2
 
@@ -38,12 +47,6 @@ class TestSegmentMaxSortedKernel:
                                    rtol=1e-6, atol=1e-6)
         # empty segment yields 0
         assert (np.asarray(got)[P - 1] == 0).all()
-from yolat_tpu.eval.fast_forward import fast_forward, fold_params
-from yolat_tpu.nn.model import SparseCADGCN
-from yolat_tpu.ops.pallas_kernels import (
-    fused_dense_message,
-    fused_dense_message_reference,
-)
 
 
 def _random_kernel_inputs(seed=0, n=256, d=4, ci=64, co=64, a=4):

@@ -103,8 +103,12 @@ class SESYDDataset:
                 g = pickle.load(f)
             required = {"pos", "attr", "edge", "edge_attr", "cc"}
             if isinstance(g, dict) and required <= set(g):
-                g.setdefault("img_width", g.get("img_width", 1.0))
-                g.setdefault("img_height", g.get("img_height", 1.0))
+                if isinstance(g["pos"], dict):
+                    # reference layout: positions nested as
+                    # node_dict['pos']['spatial'] (build_graph_bbox.py:353)
+                    g = {**g, "pos": g["pos"]["spatial"]}
+                g.setdefault("img_width", 1.0)
+                g.setdefault("img_height", 1.0)
                 return g
         doc = SVGDocument.from_file(path)
         g = build_svg_graph(doc, mode=self.mode)

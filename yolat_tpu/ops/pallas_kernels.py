@@ -215,10 +215,11 @@ def _segment_max_kernel(p0_ref, x_ref, ids_ref, mask_ref, rows_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "block_n", "col_tile",
-                                    "interpret"))
+                                    "interpret", "ids_are_dense"))
 def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
                               block_n: int = 512, col_tile: int = 384,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              ids_are_dense: bool = False):
     """Masked segment max over SORTED segment ids, scatter-free.
 
     XLA lowers jax.ops.segment_max to a scatter-max that runs ~15x below
@@ -236,7 +237,11 @@ def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
     gather-compare backward there instead.
 
     Empty segments return 0 (torch_scatter convention). Falls back to the
-    XLA path for shapes that don't tile.
+    XLA path for shapes that don't tile. Sorted-but-GAPPED ids (interior
+    empty segments) would overflow a block's local-id window, so ids are
+    rank-densified first and results scattered back to the original slots;
+    ids_are_dense=True (e.g. flat-packed proposal batches, whose ids are
+    consecutive by construction) skips that remap.
     """
     n, c = x.shape
     if n % block_n != 0 or c % col_tile != 0:
@@ -245,7 +250,14 @@ def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
         return segment_max(x, segment_ids, num_segments, mask=mask,
                            indices_are_sorted=True)
     nb = n // block_n
-    ids = segment_ids.astype(jnp.int32)
+    orig_ids = segment_ids.astype(jnp.int32)
+    if ids_are_dense:
+        ids = orig_ids
+    else:
+        change = jnp.concatenate(
+            [jnp.ones(1, bool), orig_ids[1:] != orig_ids[:-1]]
+        )
+        ids = (jnp.cumsum(change) - 1).astype(jnp.int32)
 
     # per-block tables (tiny XLA scatter over int rows):
     #   p0[i] = first segment id of block i
@@ -293,7 +305,17 @@ def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
         interpret=interpret,
     )(p0, x, ids.reshape(n, 1), maskf, rows_by_q)
     out = out[:num_segments]
-    return jnp.where(out <= _SEG_BIG / 2, 0.0, out)
+    out = jnp.where(out <= _SEG_BIG / 2, 0.0, out)
+    if not ids_are_dense:
+        # scatter rank rows back to their original (possibly gapped) ids;
+        # unused rank slots target the dropped sentinel row
+        orig_of_rank = jnp.full((num_segments,), num_segments,
+                                jnp.int32).at[ids].min(orig_ids)
+        tgt = jnp.where(orig_of_rank < num_segments, orig_of_rank,
+                        num_segments)
+        out = jnp.zeros((num_segments + 1, c), out.dtype).at[tgt].set(
+            out)[:num_segments]
+    return out
 
 
 def fused_dense_message_reference(x, nbr_idx, nbr_attr, nbr_mask,
