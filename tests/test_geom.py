@@ -285,3 +285,37 @@ class TestEndToEndDocument:
         )
         assert len(boxes) == len(labels) > 0
         assert (boxes >= 0).all() and (boxes <= 1).all()
+
+
+class TestDegenerateSVGs:
+    """Degenerate inputs must flow through the full preprocessor without
+    crashing (the reference hard-exits only on unknown node types /
+    unsupported shapes — SURVEY.md section 4)."""
+
+    CASES = {
+        "single_line": '<svg width="100" height="100">'
+                       '<line x1="10" y1="10" x2="90" y2="90" stroke="black"/></svg>',
+        "single_circle": '<svg width="100" height="100">'
+                         '<circle cx="50" cy="50" r="20" stroke="black" fill="none"/></svg>',
+        "zero_len_line": '<svg width="100" height="100">'
+                         '<line x1="50" y1="50" x2="50" y2="50" stroke="black"/>'
+                         '<line x1="10" y1="10" x2="90" y2="10" stroke="black"/></svg>',
+    }
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_full_preprocess_no_crash(self, name, tmp_path):
+        from yolat_tpu.geom.graph_build import build_svg_graph
+        from yolat_tpu.geom.proposals import generate_proposals
+        from yolat_tpu.geom.svg_io import SVGDocument
+
+        p = tmp_path / f"{name}.svg"
+        p.write_text(self.CASES[name])
+        doc = SVGDocument.from_file(str(p))
+        g = build_svg_graph(doc)
+        assert len(g["pos"]) > 0
+        pf = generate_proposals(g, np.array([[0.0, 0.0, 1.0, 1.0]]),
+                                np.array([0]), 3, bbox_sampling_step=5)
+        assert pf.n_proposals >= 0  # 0 is legitimate (no angle pairs)
+        # a lone circle always yields proposals (angles exist)
+        if name == "single_circle":
+            assert pf.n_proposals > 0
