@@ -52,67 +52,6 @@ def _gather_ij(x, edge):
     return x[edge[:, 1]], x[edge[:, 0]]
 
 
-class _DenseParams(nn.Module):
-    """Bare Dense parameters (kernel/bias) under nn.Dense's naming — lets a
-    parameter-compatible module compute the matmul itself."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", KAIMING, (self.in_features, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
-class SplitMessageMLP(nn.Module):
-    """The canonical conv's 2-stage message MLP over the dense neighbour
-    layout, parameter-tree-identical to
-    MLP([2C+A, C, C], relu+batch, name='nn') — a checkpoint trained with
-    either computes identically in the other.
-
-    Stage 1 is evaluated with W1 split by its input rows
-    ([x_i || x_nbr-x_i || attr] @ W1 = (x@(W1a-W1b))_i + (x@W1b)_nbr +
-    attr@W1c): the x-side matmuls run per NODE (D-fold fewer MACs) and the
-    gather moves after the matmul — no [N*D, 2C+A] concat buffer. Same
-    pre-activations to float tolerance, so the BatchNorm batch statistics
-    match the fused formulation exactly.
-    """
-
-    in_channels: int
-    out_channels: int
-    attr_dim: int = 4
-    axis_name: Optional[str] = None
-
-    @nn.compact
-    def __call__(self, x, nbr_idx, nbr_attr, nbr_mask, train: bool = True):
-        from yolat_tpu.nn.layers import MaskedBatchNorm
-
-        ci, co, a = self.in_channels, self.out_channels, self.attr_dim
-        N, D = nbr_idx.shape
-        k1, b1 = _DenseParams(2 * ci + a, co, name="dense_0")()
-        w1a, w1b, w1c = k1[:ci], k1[ci : 2 * ci], k1[2 * ci :]
-        s_i = x @ (w1a - w1b)
-        s_nbr = x @ w1b
-        pre = s_nbr[nbr_idx] + nbr_attr @ w1c + s_i[:, None, :] + b1
-        emask = nbr_mask.reshape(N * D)
-        h = pre.reshape(N * D, co)
-        h = MaskedBatchNorm(co, axis_name=self.axis_name, name="bn_0")(
-            h, mask=emask, train=train
-        )
-        h = nn.relu(h)
-        k2, b2 = _DenseParams(co, co, name="dense_1")()
-        h = h @ k2 + b2
-        h = MaskedBatchNorm(co, axis_name=self.axis_name, name="bn_1")(
-            h, mask=emask, train=train
-        )
-        h = nn.relu(h)
-        msg = h.reshape(N, D, co)
-        m = nbr_mask[..., None].astype(msg.dtype)
-        return (msg * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
-
-
 def _dense_mean(msg_mlp, f, nbr_mask, out_channels: int, train: bool):
     """Apply a message MLP over the dense neighbour axis and masked-mean it.
 
@@ -147,27 +86,21 @@ class AttrEdgeGP2(nn.Module):
     @nn.compact
     def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask,
                  train: bool = True, nbr_idx=None, nbr_attr=None, nbr_mask=None):
+        msg_mlp = maybe_remat_mlp(self.remat)(
+            [self.in_channels * 2 + 4, self.out_channels, self.out_channels],
+            act="relu",
+            norm="batch",
+            axis_name=self.axis_name,
+            name="nn",
+        )
         lin_r = nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")
 
         if nbr_idx is not None:
-            # weight-split message MLP (parameter-compatible with the
-            # sparse branch's MLP below — same 'nn' tree)
-            cls = SplitMessageMLP
-            if self.remat:
-                cls = nn.remat(SplitMessageMLP, static_argnums=(5,))
-            agg = cls(self.in_channels, self.out_channels,
-                      axis_name=self.axis_name, name="nn")(
-                x, nbr_idx, nbr_attr, nbr_mask, train
-            )
+            x_nbr = x[nbr_idx]                        # [N, D, C]
+            x_i = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
+            f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)
+            agg = _dense_mean(msg_mlp, f, nbr_mask, self.out_channels, train)
         else:
-            msg_mlp = maybe_remat_mlp(self.remat)(
-                [self.in_channels * 2 + 4, self.out_channels,
-                 self.out_channels],
-                act="relu",
-                norm="batch",
-                axis_name=self.axis_name,
-                name="nn",
-            )
             x_i, x_j = _gather_ij(x, edge)
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
             msg = msg_mlp(f, edge_mask, train)
