@@ -66,13 +66,20 @@ def segment_max(data, segment_ids, num_segments: int, mask=None,
                 indices_are_sorted: bool = False):
     """Max-reduce; empty segments produce 0 (torch_scatter convention).
 
-    Uses a custom VJP: XLA's native segment_max backward gathers the [S, C]
-    output back to [N, C] and re-compares — at detection scale
-    (N ~ 10^6 proposal-duplicated nodes x 1152 features) that gather is the
-    single largest training allocation. Here the forward saves the argmax
-    row per (segment, column) (an [S, C] int32) and the backward is a pure
-    scatter of the cotangent — torch_scatter's gradient convention (ties
-    send the full gradient to one winner) rather than XLA's split-on-ties.
+    Uses a custom VJP with a compare-based backward:
+    dx[n, c] = g[seg[n], c] iff data[n, c] equals its segment's max (pure
+    gathers + one compare over [N, C]). Two rejected alternatives, both
+    measured at [137k nodes, 1152 ch] detection scale on v5e:
+      * XLA scatter backward (.at[rows, cols].add): serializes, ~25x slower;
+      * saved-argmax single-winner backward (previous implementation): the
+        per-(segment, column) argmax is a segment-min over an [N, C] int32
+        iota that XLA defers into the backward — 13.7ms fwd+bwd vs 9.0ms
+        for the compare form.
+    Tie convention: ALL rows achieving the max receive the full cotangent
+    (torch_scatter sends it to one winner). Exact float ties occur only on
+    duplicated rows and post-relu zeros; relu'(z<0) = 0 kills the latter's
+    leaked gradient upstream, and the training quality gate
+    (scripts/validate_training.py) re-validated mAP under this convention.
     """
     if mask is None:
         mask = jnp.ones(data.shape[0], dtype=bool)
@@ -97,34 +104,18 @@ def _segment_max_core(data, mask, segment_ids, num_segments,
 
 def _segment_max_fwd(data, mask, segment_ids, num_segments,
                      indices_are_sorted):
-    masked, raw = _masked_max(data, mask, segment_ids, num_segments,
-                              indices_are_sorted)
+    _, raw = _masked_max(data, mask, segment_ids, num_segments,
+                         indices_are_sorted)
     out = jnp.where(raw <= _NEG_INF / 2, 0.0, raw)
-    # first row index achieving the max, per (segment, column); masking is
-    # folded in here so the backward needs no [N, C] masked re-compare
-    # (at detection scale that select is a multi-GB buffer)
-    n = data.shape[0]
-    big = jnp.int32(n)
-    rows = jax.lax.broadcasted_iota(jnp.int32, data.shape, 0)
-    hit = masked == raw[segment_ids]
-    argmax = jax.ops.segment_min(
-        jnp.where(hit, rows, big), segment_ids, num_segments=num_segments,
-        indices_are_sorted=indices_are_sorted,
-    )
-    return out, (argmax, raw <= _NEG_INF / 2, segment_ids, n)
+    return out, (data, mask, raw, segment_ids)
 
 
 def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
-    # gather-compare backward: dx[n, c] = g[seg[n], c] iff n is the saved
-    # argmax row of (seg[n], c). Pure gathers + a compare — XLA's TPU
-    # scatter (the .at[rows, cols].add formulation) serializes and measured
-    # ~25x slower at [137k nodes, 1152 ch] detection scale.
-    argmax, empty, segment_ids, n = res
-    g = jnp.where(empty, 0.0, g)
-    g_rows = g[segment_ids]            # [N, C]
-    am_rows = argmax[segment_ids]      # [N, C] int32
-    rows = jax.lax.broadcasted_iota(jnp.int32, am_rows.shape, 0)
-    dx = jnp.where(am_rows == rows, g_rows, 0.0)
+    data, mask, raw, segment_ids = res
+    # empty segments have raw = -inf, which no valid (masked) row equals,
+    # so their cotangent is dropped without an explicit `empty` select
+    hit = (data == raw[segment_ids]) & _expand(mask, data)
+    dx = jnp.where(hit, g[segment_ids], 0).astype(data.dtype)
     return dx, None, None
 
 
