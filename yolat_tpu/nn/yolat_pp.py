@@ -67,6 +67,7 @@ class YOLaTPlusPlus(nn.Module):
     classifier: str = "softmax"
     remat: bool = False
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
@@ -87,7 +88,8 @@ class YOLaTPlusPlus(nn.Module):
         for i in range(self.n_blocks):
             conv = make_conv("attr_edge_gp2", c_in if i == 0 else self.channels,
                              self.channels, act=self.act, norm=self.norm,
-                             axis_name=self.axis_name)
+                             axis_name=self.axis_name,
+                             sorted_edges=self.sorted_edges)
             f, s = conv(f, s, edge, batch["e_attr"], edge_mask, node_mask,
                         train=train, nbr_idx=batch.get("nbr_idx"),
                         nbr_attr=batch.get("nbr_attr"),
@@ -102,10 +104,10 @@ class YOLaTPlusPlus(nn.Module):
         curve_tok = MLP([4 + 2 * self.channels, self.channels], act=self.act,
                         norm=self.norm, axis_name=self.axis_name,
                         name="curve_mlp")(curve_in, mask=edge_mask, train=train)
-        curve_at_node = segment_mean(curve_tok, edge[:, 1], x.shape[0],
-                                     mask=edge_mask) + segment_mean(
-            curve_tok, edge[:, 0], x.shape[0], mask=edge_mask
-        )
+        curve_at_node = segment_mean(
+            curve_tok, edge[:, 1], x.shape[0], mask=edge_mask,
+            indices_are_sorted=self.sorted_edges,
+        ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask)
 
         # ---- primitive level (a): super-edge clique propagation ---------
         es = batch["edge_super"]
@@ -119,7 +121,8 @@ class YOLaTPlusPlus(nn.Module):
                        name="super_edge_mlp")(prim_in, mask=es_mask,
                                               train=train)
         prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
-                                    mask=es_mask)
+                                    mask=es_mask,
+                                    indices_are_sorted=self.sorted_edges)
 
         lo = self.n_blocks - self.n_blocks_out
         cat = jnp.concatenate(feats[lo:] + [curve_at_node, prim_at_node],

@@ -72,8 +72,16 @@ class Config:
     remat: bool = False             # rematerialise fusion/message MLPs
     n_devices: int = 1
     dtype: str = "float32"
-    dense_layout: bool = True       # dense neighbour tables (TPU-preferred;
-                                    # sparse edge lists when False)
+    dense_layout: bool = True       # dense neighbour tables for SERVING
+                                    # (folded-BN fast path); training always
+                                    # runs the sparse sorted-edge branch
+                                    # unless train_layout='dense'
+    train_layout: str = "sparse"    # 'sparse' (dst-sorted edge list — the
+                                    # fast train path: 4x fewer message rows
+                                    # than the D-slot table at SESYD degree
+                                    # skew) or 'dense'
+    sorted_edges: bool = True       # pack_files emits dst-sorted edges; set
+                                    # False only for ad-hoc batch sources
     buckets: int = 1                # size-bucketed padding (programs per loader)
     scan_steps: int = 1             # train steps per device dispatch (lax.scan
                                     # chain; amortises remote-link latency)

@@ -57,9 +57,14 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     writer = ScalarWriter(exp_dir)
     ckpt = CheckpointManager(ckpt_dir)
 
+    # the train step runs the sparse sorted-edge branch (train_layout
+    # default), so its loader skips the host-side dense-table build; the
+    # eval loader keeps the dense layout for the folded-BN serving paths
+    train_dense = (cfg.dense_layout
+                   and getattr(cfg, "train_layout", "sparse") == "dense")
     train_loader = PackedLoader(
         train_ds, batch_size=cfg.batch_size, n_devices=cfg.n_devices,
-        shuffle=True, seed=cfg.seed, dense=cfg.dense_layout,
+        shuffle=True, seed=cfg.seed, dense=train_dense,
         buckets=cfg.buckets,
     )
     test_loader = PackedLoader(
