@@ -53,3 +53,63 @@ class TestSegmentMaxVJP:
         mask = jnp.array([False, False])
         g = jax.grad(lambda d: segment_max(d, seg, 1, mask=mask).sum())(data)
         np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+class TestPoolPlan:
+    """Two-level contiguous-segment reductions (ops/segment.pool_plan)."""
+
+    def _case(self, seed, S=23, C=5):
+        rng = np.random.default_rng(seed)
+        lens = rng.integers(0, 25, S)
+        seg = np.repeat(np.arange(S), lens)
+        n = ((len(seg) + 7) // 8) * 8 + 8 * int(rng.integers(0, 3))
+        nv = int(lens.sum())
+        seg = np.concatenate([seg, np.full(n - nv, S - 1)]).astype(np.int32)
+        mask = np.zeros(n, bool)
+        mask[:nv] = True
+        x = rng.normal(size=(n, C)).astype(np.float32)
+        from yolat_tpu.ops.segment import pool_plan
+
+        plan = pool_plan(seg, S)
+        pt = tuple(jnp.asarray(plan[k]) for k in
+                   ("pool_blk_first", "pool_blk_full", "pool_bnd_rows",
+                    "pool_bnd_seg", "pool_bnd_mask"))
+        return jnp.asarray(x), jnp.asarray(seg), jnp.asarray(mask), S, pt
+
+    def test_matches_scatter_path(self):
+        from yolat_tpu.ops.segment import segment_max, segment_mean, segment_sum
+
+        for seed in range(4):
+            x, seg, mask, S, pt = self._case(seed)
+            for fn in (segment_max, segment_mean, segment_sum):
+                a = fn(x, seg, S, mask=mask, indices_are_sorted=True)
+                b = fn(x, seg, S, mask=mask, plan=pt)
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-5)
+
+    def test_max_grad_matches(self):
+        from yolat_tpu.ops.segment import segment_max
+
+        x, seg, mask, S, pt = self._case(7)
+        g1 = jax.grad(lambda d: segment_max(d, seg, S, mask=mask).sum())(x)
+        g2 = jax.grad(lambda d: segment_max(d, seg, S, mask=mask,
+                                            plan=pt).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+
+    def test_packed_batch_carries_plan(self):
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.ops.segment import plan_of, segment_max
+
+        batch, _ = random_packed_batch()
+        pt = plan_of(batch)
+        assert pt is not None
+        x = np.random.default_rng(0).normal(
+            size=(batch["pos"].shape[0], 3)).astype(np.float32)
+        P = batch["labels"].shape[0]
+        a = segment_max(jnp.asarray(x), jnp.asarray(batch["bbox_idx"]), P,
+                        mask=jnp.asarray(batch["node_mask"]),
+                        indices_are_sorted=True)
+        b = segment_max(jnp.asarray(x), jnp.asarray(batch["bbox_idx"]), P,
+                        mask=jnp.asarray(batch["node_mask"]),
+                        plan=tuple(jnp.asarray(v) for v in pt))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

@@ -169,6 +169,12 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         batch[ak] = batch[ak][order]
         batch[mk] = batch[mk][order]
 
+    # two-level pooling plan for the node -> proposal reductions (bbox_idx
+    # runs are contiguous by construction); see ops/segment.pool_plan
+    from yolat_tpu.ops.segment import pool_plan
+
+    batch.update(pool_plan(batch["bbox_idx"], pad.n_proposals))
+
     return batch
 
 
@@ -297,10 +303,16 @@ def add_dense_neighbors(batch: dict, d_max: int | None = None) -> dict:
             "nbr_mask": nbr_mask}
 
 
-def _seg_min(vals, seg, n, mask, big):
+def _seg_min(vals, seg, n, mask, big, plan=None):
     import jax
     import jax.numpy as jnp
 
     vals = jnp.where(mask, vals, big)
-    out = jax.ops.segment_min(vals, seg, num_segments=n, indices_are_sorted=True)
+    if plan is not None:
+        from yolat_tpu.ops.segment import _two_level
+
+        out = -_two_level(-vals, plan, n, "max", -big)
+    else:
+        out = jax.ops.segment_min(vals, seg, num_segments=n,
+                                  indices_are_sorted=True)
     return jnp.where(out >= big / 2, 0.0, out)

@@ -21,7 +21,7 @@ from yolat_tpu.ops.pallas_kernels import (
     fused_dense_message,
     fused_dense_message_reference,
 )
-from yolat_tpu.ops.segment import segment_max, segment_mean
+from yolat_tpu.ops.segment import plan_of, segment_max, segment_mean
 
 BN_EPS = 1e-5
 
@@ -137,7 +137,7 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
 
     cat_super = jnp.concatenate(feats_super[lo:], axis=1)
     pooled = segment_mean(cat_super, bbox_idx, n_prop, mask=node_mask,
-                          indices_are_sorted=True)
+                          indices_are_sorted=True, plan=plan_of(batch))
     fusion_super = _folded(pooled, folded["fusion_block_super"])
     out_super = jnp.concatenate([fusion_super, pooled], axis=1)
 

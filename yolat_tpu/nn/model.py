@@ -31,7 +31,7 @@ from flax import linen as nn
 
 from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import MLP, maybe_remat_mlp
-from yolat_tpu.ops.segment import segment_max, segment_mean
+from yolat_tpu.ops.segment import plan_of, segment_max, segment_mean
 
 
 class Backbone(nn.Module):
@@ -53,7 +53,7 @@ class Backbone(nn.Module):
     @nn.compact
     def __call__(self, x, edge, e_attr, edge_mask, node_mask, bbox_idx,
                  proposal_mask, n_proposals: int, train: bool = True, pos=None,
-                 nbr_idx=None, nbr_attr=None, nbr_mask=None):
+                 nbr_idx=None, nbr_attr=None, nbr_mask=None, pool_plan=None):
         dual = self.conv == "attr_edge_gp2"
 
         # convs with a dense neighbour-table branch (reverse-propagation
@@ -80,7 +80,9 @@ class Backbone(nn.Module):
                 # (EdgConvGlobalPool, torch_vertex.py:343-425): the root half
                 # is the proposal-pooled feature gathered back to its nodes
                 root = segment_mean(f, bbox_idx, n_proposals, mask=node_mask,
-                                    indices_are_sorted=True)[bbox_idx]
+                                    indices_are_sorted=True,
+                                    plan=None if train else pool_plan,
+                                    )[bbox_idx]
                 out = layer(jnp.concatenate([f, root], axis=1), edge, e_attr,
                             edge_mask, node_mask, train=train, **nbr_kw)
             else:
@@ -118,7 +120,8 @@ class Backbone(nn.Module):
 
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask,
-                              indices_are_sorted=True)
+                              indices_are_sorted=True,
+                              plan=None if train else pool_plan)
         fusion_super = mlp_cls([self.fusion_dims, 1024], act=self.act,
                                norm=self.norm, axis_name=self.axis_name,
                                name="fusion_block_super")(
@@ -160,7 +163,7 @@ class SparseCADGCN(nn.Module):
             batch["node_mask"], batch["bbox_idx"], batch["proposal_mask"],
             n_proposals, train=train, pos=batch.get("pos"),
             nbr_idx=batch.get("nbr_idx"), nbr_attr=batch.get("nbr_attr"),
-            nbr_mask=batch.get("nbr_mask"),
+            nbr_mask=batch.get("nbr_mask"), pool_plan=plan_of(batch),
         )
         pooled = segment_max(out_feat, batch["bbox_idx"], n_proposals,
                              mask=batch["node_mask"], indices_are_sorted=True)

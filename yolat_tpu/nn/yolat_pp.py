@@ -43,7 +43,7 @@ from flax import linen as nn
 
 from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import MLP
-from yolat_tpu.ops.segment import segment_max, segment_mean
+from yolat_tpu.ops.segment import plan_of, segment_max, segment_mean
 
 
 def fourier_features(pos, n_freqs: int = 4):
@@ -136,7 +136,8 @@ class YOLaTPlusPlus(nn.Module):
 
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled_super = segment_mean(cat_super, bbox_idx, n_prop,
-                                    mask=node_mask, indices_are_sorted=True)
+                                    mask=node_mask, indices_are_sorted=True,
+                                    plan=None if train else plan_of(batch))
         fusion_super = MLP([self.channels * self.n_blocks_out, 1024],
                            act=self.act, norm=self.norm,
                            axis_name=self.axis_name, name="fusion_block_super")(

@@ -21,8 +21,106 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG_INF = -1e30
+POOL_BLOCK = 8
+
+
+# ---------------------------------------------------------------------------
+# two-level pooling plan for CONTIGUOUS sorted segments (node -> proposal
+# pools: bbox_idx runs average ~32 rows). XLA's TPU scatter runs far below
+# HBM bandwidth (4.7 ms for a [137k, 1152] bf16 segment-max vs a 0.4 ms
+# read pass, measured on v5e); a masked block-reduce (dense reshape-max at
+# full bandwidth) followed by a ~2.6x smaller scatter over full-block owners
+# + boundary rows recovers most of it. The plan depends only on the segment
+# ids, is numpy-computed once per packed batch on the host, and keeps every
+# device shape static.
+# ---------------------------------------------------------------------------
+
+
+def pool_plan(segment_ids: np.ndarray, num_segments: int,
+              block: int = POOL_BLOCK) -> dict:
+    """Host-side plan for two-level segment reductions over sorted,
+    contiguous ids. Returns arrays (prefix `pool_`):
+
+      blk_first [NB] i32   segment id of each block's first row (sorted)
+      blk_full  [NB] bool  block lies entirely in one segment
+      bnd_rows  [CAP] i32  rows of non-full blocks, padded with 0
+      bnd_seg   [CAP] i32  their segment ids, padded with num_segments - 1
+      bnd_mask  [CAP] bool
+
+    CAP = min(NB, num_segments) * block is a static worst case: every
+    non-full block contains at least one segment boundary, and there are at
+    most num_segments - 1 of those.
+    """
+    seg = np.asarray(segment_ids, np.int32)
+    n = seg.shape[0]
+    assert n % block == 0, f"n={n} not divisible by block={block}"
+    nb = n // block
+    s2 = seg.reshape(nb, block)
+    blk_first = s2[:, 0].copy()
+    blk_full = s2[:, 0] == s2[:, -1]
+    cap = min(nb, num_segments) * block
+    rows = np.nonzero(np.repeat(~blk_full, block))[0].astype(np.int32)
+    assert len(rows) <= cap, (len(rows), cap)
+    bnd_rows = np.zeros(cap, np.int32)
+    bnd_seg = np.full(cap, num_segments - 1, np.int32)
+    bnd_mask = np.zeros(cap, bool)
+    bnd_rows[: len(rows)] = rows
+    bnd_seg[: len(rows)] = seg[rows]
+    bnd_mask[: len(rows)] = True
+    return {
+        "pool_blk_first": blk_first,
+        "pool_blk_full": blk_full,
+        "pool_bnd_rows": bnd_rows,
+        "pool_bnd_seg": bnd_seg,
+        "pool_bnd_mask": bnd_mask,
+    }
+
+
+
+def plan_of(batch: dict):
+    """Extract the pool plan tuple from a packed batch, or None.
+
+    Returns None when the plan is absent or stale (node count no longer
+    matches NB * POOL_BLOCK — e.g. a batch re-padded after pack time), so
+    callers fall back to the plain scatter path."""
+    if "pool_blk_first" not in batch:
+        return None
+    n = batch["pos"].shape[0]
+    if batch["pool_blk_first"].shape[0] * POOL_BLOCK != n:
+        return None
+    return (batch["pool_blk_first"], batch["pool_blk_full"],
+            batch["pool_bnd_rows"], batch["pool_bnd_seg"],
+            batch["pool_bnd_mask"])
+
+
+def _two_level(masked, plan, num_segments: int, op, neutral):
+    """Reduce `masked` (neutral already filled into invalid rows) per
+    segment via the block plan. op in {'max', 'sum'}."""
+    blk_first, blk_full, bnd_rows, bnd_seg, bnd_mask = plan
+    n = masked.shape[0]
+    nb = blk_first.shape[0]
+    b = n // nb
+    blocks = masked.reshape((nb, b) + masked.shape[1:])
+    fullm = blk_full.reshape((nb,) + (1,) * (masked.ndim - 1))
+    bnd = masked[bnd_rows]
+    bndm = bnd_mask.reshape((-1,) + (1,) * (masked.ndim - 1))
+    bnd = jnp.where(bndm, bnd, neutral)
+    if op == "max":
+        bred = jnp.where(fullm, blocks.max(axis=1), neutral)
+        out = jax.ops.segment_max(bred, blk_first, num_segments=num_segments,
+                                  indices_are_sorted=True)
+        out2 = jax.ops.segment_max(bnd, bnd_seg, num_segments=num_segments,
+                                   indices_are_sorted=True)
+        return jnp.maximum(out, out2)
+    bred = jnp.where(fullm, blocks.sum(axis=1), neutral)
+    out = jax.ops.segment_sum(bred, blk_first, num_segments=num_segments,
+                              indices_are_sorted=True)
+    out2 = jax.ops.segment_sum(bnd, bnd_seg, num_segments=num_segments,
+                               indices_are_sorted=True)
+    return out + out2
 
 
 def _acc_dtype(data):
@@ -34,18 +132,21 @@ def _acc_dtype(data):
 
 
 def segment_sum(data, segment_ids, num_segments: int, mask=None,
-                indices_are_sorted: bool = False):
+                indices_are_sorted: bool = False, plan=None):
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
+    data = data.astype(_acc_dtype(data))
+    if plan is not None:
+        return _two_level(data, plan, num_segments, "sum", 0.0)
     out = jax.ops.segment_sum(
-        data.astype(_acc_dtype(data)), segment_ids,
+        data, segment_ids,
         num_segments=num_segments, indices_are_sorted=indices_are_sorted,
     )
     return out.astype(data.dtype)
 
 
 def segment_mean(data, segment_ids, num_segments: int, mask=None,
-                 indices_are_sorted: bool = False):
+                 indices_are_sorted: bool = False, plan=None):
     acc = _acc_dtype(data)
     if mask is not None:
         m = _expand(mask, data)
@@ -53,18 +154,27 @@ def segment_mean(data, segment_ids, num_segments: int, mask=None,
         ones = jnp.where(mask, 1.0, 0.0).astype(acc)
     else:
         ones = jnp.ones(data.shape[0], dtype=acc)
-    total = jax.ops.segment_sum(data.astype(acc), segment_ids,
-                                num_segments=num_segments,
-                                indices_are_sorted=indices_are_sorted)
-    count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments,
-                                indices_are_sorted=indices_are_sorted)
+    if plan is not None:
+        total = _two_level(data.astype(acc), plan, num_segments, "sum", 0.0)
+        count = _two_level(ones, plan, num_segments, "sum", 0.0)
+    else:
+        total = jax.ops.segment_sum(data.astype(acc), segment_ids,
+                                    num_segments=num_segments,
+                                    indices_are_sorted=indices_are_sorted)
+        count = jax.ops.segment_sum(ones, segment_ids,
+                                    num_segments=num_segments,
+                                    indices_are_sorted=indices_are_sorted)
     count = jnp.maximum(count, 1.0)
     return (total / _expand_count(count, total)).astype(data.dtype)
 
 
 def segment_max(data, segment_ids, num_segments: int, mask=None,
-                indices_are_sorted: bool = False):
+                indices_are_sorted: bool = False, plan=None):
     """Max-reduce; empty segments produce 0 (torch_scatter convention).
+
+    `plan` (from pool_plan / plan_of) activates the two-level contiguous
+    reduction — valid ONLY when segment_ids are sorted and contiguous (the
+    bbox_idx contract).
 
     Uses a custom VJP with a compare-based backward:
     dx[n, c] = g[seg[n], c] iff data[n, c] equals its segment's max (pure
@@ -83,28 +193,33 @@ def segment_max(data, segment_ids, num_segments: int, mask=None,
     """
     if mask is None:
         mask = jnp.ones(data.shape[0], dtype=bool)
-    return _segment_max_core(data, mask, segment_ids, num_segments,
+    return _segment_max_core(data, mask, segment_ids, plan, num_segments,
                              indices_are_sorted)
 
 
-def _masked_max(data, mask, segment_ids, num_segments, indices_are_sorted):
+def _masked_max(data, mask, segment_ids, plan, num_segments,
+                indices_are_sorted):
     masked = jnp.where(_expand(mask, data), data, _NEG_INF)
-    raw = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments,
-                              indices_are_sorted=indices_are_sorted)
+    if plan is not None:
+        raw = _two_level(masked, plan, num_segments, "max", _NEG_INF)
+    else:
+        raw = jax.ops.segment_max(masked, segment_ids,
+                                  num_segments=num_segments,
+                                  indices_are_sorted=indices_are_sorted)
     return masked, raw
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _segment_max_core(data, mask, segment_ids, num_segments,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _segment_max_core(data, mask, segment_ids, plan, num_segments,
                       indices_are_sorted):
-    _, raw = _masked_max(data, mask, segment_ids, num_segments,
+    _, raw = _masked_max(data, mask, segment_ids, plan, num_segments,
                          indices_are_sorted)
     return jnp.where(raw <= _NEG_INF / 2, 0.0, raw)
 
 
-def _segment_max_fwd(data, mask, segment_ids, num_segments,
+def _segment_max_fwd(data, mask, segment_ids, plan, num_segments,
                      indices_are_sorted):
-    _, raw = _masked_max(data, mask, segment_ids, num_segments,
+    _, raw = _masked_max(data, mask, segment_ids, plan, num_segments,
                          indices_are_sorted)
     out = jnp.where(raw <= _NEG_INF / 2, 0.0, raw)
     return out, (data, mask, raw, segment_ids)
@@ -116,7 +231,7 @@ def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
     # so their cotangent is dropped without an explicit `empty` select
     hit = (data == raw[segment_ids]) & _expand(mask, data)
     dx = jnp.where(hit, g[segment_ids], 0).astype(data.dtype)
-    return dx, None, None
+    return dx, None, None, None
 
 
 _segment_max_core.defvjp(_segment_max_fwd, _segment_max_bwd)
