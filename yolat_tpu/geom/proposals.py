@@ -534,6 +534,14 @@ def _consume_bulk(acc, bulk, cluster, pos_cluster, is_super, e_attr,
     )
 
 
+def _cat1(parts, dtype):
+    if not parts:
+        return np.zeros(0, dtype)
+    return np.concatenate(
+        [np.atleast_1d(np.asarray(p, dtype)) for p in parts]
+    )
+
+
 class _Accumulator:
     """Flat concatenation bookkeeping for proposals (graph_dict3.py:359-379,
     717-768)."""
@@ -557,13 +565,15 @@ class _Accumulator:
         self.cc_slice = [0]
         self.root_of_cc = []
         self.offset = 0
+        self.n = 0  # proposal count (labels holds blocks, not rows)
 
     def n_proposals(self) -> int:
-        return len(self.labels)
+        return self.n
 
     def add(self, pos, is_super, edges_local, supers_local, e_attr, e_attr_super,
             label, box, target, stats, has_obj):
-        pid = len(self.labels)
+        pid = self.n
+        self.n += 1
         self.pos.append(pos)
         self.is_super.append(is_super)
         self.edge.append(edges_local + self.offset)
@@ -589,7 +599,8 @@ class _Accumulator:
         n_w = len(labels)
         if n_w == 0:
             return
-        pid0 = len(self.labels)
+        pid0 = self.n
+        self.n += n_w
         counts = np.diff(id_off)
         node_starts = self.offset + id_off[:-1]
         self.pos.append(pos_rows)
@@ -598,11 +609,13 @@ class _Accumulator:
         self.edge_super.append(sloc + np.repeat(node_starts, np.diff(sid_off))[:, None])
         self.e_attr.append(e_attr_rows.reshape(-1, 6))
         self.e_attr_super.append(e_attr_super_rows.reshape(-1, 6))
-        self.labels.extend(int(v) for v in labels)
-        self.bbox.extend(np.asarray(boxes, dtype=np.float64))
-        self.bbox_targets.extend(np.asarray(targets, dtype=np.float64))
-        self.stat_feats.extend(np.asarray(stats, dtype=np.float64))
-        self.has_obj.extend(int(v) for v in has_obj)
+        # whole-block appends: per-row extends left finish() concatenating
+        # thousands of [4]-element arrays (10 ms/image of pure numpy glue)
+        self.labels.append(np.asarray(labels, dtype=np.int64))
+        self.bbox.append(np.asarray(boxes, dtype=np.float64))
+        self.bbox_targets.append(np.asarray(targets, dtype=np.float64))
+        self.stat_feats.append(np.asarray(stats, dtype=np.float64))
+        self.has_obj.append(np.asarray(has_obj, dtype=np.int64))
         self.bbox_idx.append(np.repeat(np.arange(pid0, pid0 + n_w), counts))
         self.slice_pos.extend((self.offset + id_off[1:]).tolist())
         self.slice_edge.extend((self.slice_edge[-1] + eid_off[1:]).tolist())
@@ -613,10 +626,15 @@ class _Accumulator:
         self.cc_slice.append(pid0 + n_w)
 
     def close_cc(self, n_before: int):
-        n_after = len(self.labels)
+        # fallback-oracle path only (the native pipeline closes CCs inside
+        # add_cc_bulk); re-flattening per CC is fine at oracle scale
+        n_after = self.n
         if n_after == n_before:
             return
-        boxes = np.asarray(self.bbox[n_before:])
+        allb = np.concatenate(
+            [np.asarray(p, np.float64).reshape(-1, 4) for p in self.bbox]
+        )
+        boxes = allb[n_before:n_after]
         area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
         self.root_of_cc.append(n_before + int(np.argmax(area)))
         self.cc_slice.append(n_after)
@@ -636,13 +654,13 @@ class _Accumulator:
             edge_super=cat(self.edge_super, 2, np.int64),
             e_attr=cat(self.e_attr, 6),
             e_attr_super=cat(self.e_attr_super, 6),
-            labels=np.asarray(self.labels, dtype=np.int64),
+            labels=_cat1(self.labels, np.int64),
             bbox=cat(self.bbox, 4),
             bbox_targets=cat(self.bbox_targets, 4),
             bbox_idx=np.concatenate(self.bbox_idx)
             if self.bbox_idx else np.zeros(0, np.int64),
             stat_feats=cat(self.stat_feats, N_STAT_FEATS),
-            has_obj=np.asarray(self.has_obj, dtype=np.int64),
+            has_obj=_cat1(self.has_obj, np.int64),
             slice_pos=np.asarray(self.slice_pos, dtype=np.int64),
             slice_edge=np.asarray(self.slice_edge, dtype=np.int64),
             slice_super=np.asarray(self.slice_super, dtype=np.int64),
