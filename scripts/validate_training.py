@@ -30,6 +30,9 @@ def main():
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--scan_steps", type=int, default=1,
                    help="train steps per device dispatch (remote-link lever)")
+    p.add_argument("--arch", type=str, default="centernet3cc_rpn_gp_iter2",
+                   help="architecture (e.g. yolat_pp for the hierarchical "
+                        "YOLaT++ model)")
     args = p.parse_args()
 
     from yolat_tpu.data.synthetic import write_dataset, write_diagram_dataset
@@ -61,6 +64,7 @@ def main():
         print_freq=20,
         dtype=args.dtype,
         scan_steps=args.scan_steps,
+        arch=args.arch,
     )
     t0 = time.time()
     state, results = run_training(cfg)
@@ -74,6 +78,7 @@ def main():
         "map_per_th": results.get("map_per_th"),
         "wall_s": wall,
         "epochs": args.epochs,
+        "arch": args.arch,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)

@@ -307,12 +307,12 @@ def _seg_min(vals, seg, n, mask, big, plan=None):
     import jax
     import jax.numpy as jnp
 
-    vals = jnp.where(mask, vals, big)
     if plan is not None:
         from yolat_tpu.ops.segment import _two_level
 
-        out = -_two_level(-vals, plan, n, "max", -big)
+        out = -_two_level(-vals, mask, plan, n, "max", -big)
     else:
+        vals = jnp.where(mask, vals, big)
         out = jax.ops.segment_min(vals, seg, num_segments=n,
                                   indices_are_sorted=True)
     return jnp.where(out >= big / 2, 0.0, out)

@@ -124,10 +124,39 @@ class YOLaTPlusPlus(nn.Module):
                                     mask=es_mask,
                                     indices_are_sorted=self.sorted_edges)
 
+        # ---- primitive level (b): REAL super-node tokens ----------------
+        # The hierarchical builder (geom/hierarchical.py, mirroring
+        # build_graph_hierarchical.py:getSuperNode:177-286) materialises one
+        # super node per component: centroid position, member-mean features,
+        # super_shape (super <-> member) edges and super_super
+        # (parent -> direct child) links. On the packed proposal batch those
+        # map exactly to static index structures already present:
+        #   centroid      = segment_mean(pos, bbox_idx)       [super pos]
+        #   member mean   = segment_mean(node feats, bbox_idx) [super_shape
+        #                   member -> super aggregation]
+        #   parent link   = root_slot gather                   [super_super]
+        #   super -> member broadcast = token[bbox_idx]
+        pool = plan_of(batch)
+        centroid = segment_mean(batch["pos"], bbox_idx, n_prop,
+                                mask=node_mask, indices_are_sorted=True,
+                                plan=pool)
+        member_mean = segment_mean(feats[-1], bbox_idx, n_prop,
+                                   mask=node_mask, indices_are_sorted=True,
+                                   plan=pool)
+        sup_in = jnp.concatenate(
+            [fourier_features(centroid, self.n_freqs), member_mean,
+             member_mean[batch["root_slot"]]], axis=1)
+        super_tok = MLP([4 * self.n_freqs + 2 * self.channels, self.channels],
+                        act=self.act, norm=self.norm,
+                        axis_name=self.axis_name, name="super_node_mlp")(
+            sup_in, mask=batch["proposal_mask"], train=train
+        )
+        sup_at_node = super_tok[bbox_idx]  # super -> member broadcast
+
         lo = self.n_blocks - self.n_blocks_out
-        cat = jnp.concatenate(feats[lo:] + [curve_at_node, prim_at_node],
-                              axis=1)
-        fusion_dims = self.channels * self.n_blocks_out + 2 * self.channels
+        cat = jnp.concatenate(
+            feats[lo:] + [curve_at_node, prim_at_node, sup_at_node], axis=1)
+        fusion_dims = self.channels * self.n_blocks_out + 3 * self.channels
         fusion = MLP([fusion_dims, 1024], act=self.act, norm=self.norm,
                      axis_name=self.axis_name, name="fusion_block")(
             cat, mask=node_mask, train=train
@@ -148,9 +177,14 @@ class YOLaTPlusPlus(nn.Module):
         # ---- primitive level: per-proposal pooling + CC-root context ----
         pooled = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
                              indices_are_sorted=True)
-        primitive_ctx = pooled[batch["root_slot"]]
-        prim = MLP([pooled.shape[1], 256], act=self.act, norm=self.norm,
-                   axis_name=self.axis_name, name="primitive_mlp")(
+        # parent context: pooled root features plus the proposal's own super
+        # token and its parent's (the super_super parent -> child message)
+        primitive_ctx = jnp.concatenate(
+            [pooled[batch["root_slot"]], super_tok,
+             super_tok[batch["root_slot"]]], axis=1)
+        prim = MLP([pooled.shape[1] + 2 * self.channels, 256], act=self.act,
+                   norm=self.norm, axis_name=self.axis_name,
+                   name="primitive_mlp")(
             primitive_ctx, mask=batch["proposal_mask"], train=train
         )
 
