@@ -20,7 +20,8 @@ from yolat_tpu.ops.segment import segment_max
 
 class TestSegmentMaxSortedKernel:
     @pytest.mark.parametrize("gapped", [False, True])
-    def test_matches_xla_segment_max(self, gapped):
+    @pytest.mark.parametrize("two_level", [False, True])
+    def test_matches_xla_segment_max(self, gapped, two_level):
         """Scatter-free sorted segmented max (interpret mode) == the
         production masked segment_max, incl. masked rows, segments spanning
         node blocks, empty trailing segments, and (gapped=True) interior
@@ -39,7 +40,7 @@ class TestSegmentMaxSortedKernel:
 
         got = segment_max_sorted_pallas(
             jnp.asarray(x), jnp.asarray(ids), jnp.asarray(mask), P,
-            block_n=256, col_tile=384, interpret=True,
+            block_n=256, col_tile=384, interpret=True, two_level=two_level,
         )
         want = segment_max(jnp.asarray(x), jnp.asarray(ids), P,
                            mask=jnp.asarray(mask), indices_are_sorted=True)
