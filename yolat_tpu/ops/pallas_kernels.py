@@ -299,12 +299,13 @@ def _segment_max_kernel_2l(p0_ref, x_ref, ids_ref, mask_ref, rows_ref,
 @functools.partial(jax.jit,
                    static_argnames=("num_segments", "block_n", "col_tile",
                                     "interpret", "ids_are_dense",
-                                    "two_level"))
+                                    "two_level", "keep_neg_inf"))
 def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
                               block_n: int = 512, col_tile: int = 384,
                               interpret: bool = False,
                               ids_are_dense: bool = False,
-                              two_level: bool = True):
+                              two_level: bool = True,
+                              keep_neg_inf: bool = False):
     """Masked segment max over SORTED segment ids, scatter-free.
 
     XLA lowers jax.ops.segment_max to a scatter-max that runs ~15x below
@@ -392,7 +393,13 @@ def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
         interpret=interpret,
     )(p0, x, ids.reshape(n, 1), maskf, rows_by_q)
     out = out[:num_segments]
-    out = jnp.where(out <= _SEG_BIG / 2, 0.0, out)
+    # keep_neg_inf: leave empty segments at ~-1e30 so a caller's custom VJP
+    # can distinguish an exact-zero maximum from an empty segment (the
+    # compare backward matches data against raw; rewriting real zeros would
+    # silently drop their gradients)
+    empty_fill = jnp.asarray(_SEG_BIG if keep_neg_inf else 0.0, out.dtype)
+    if not keep_neg_inf:
+        out = jnp.where(out <= _SEG_BIG / 2, 0.0, out)
     if not ids_are_dense:
         # scatter rank rows back to their original (possibly gapped) ids;
         # unused rank slots target the dropped sentinel row
@@ -400,8 +407,8 @@ def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
                                 jnp.int32).at[ids].min(orig_ids)
         tgt = jnp.where(orig_of_rank < num_segments, orig_of_rank,
                         num_segments)
-        out = jnp.zeros((num_segments + 1, c), out.dtype).at[tgt].set(
-            out)[:num_segments]
+        out = jnp.full((num_segments + 1, c), empty_fill, out.dtype).at[
+            tgt].set(out)[:num_segments]
     return out
 
 
