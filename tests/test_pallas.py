@@ -49,6 +49,26 @@ class TestSegmentMaxSortedKernel:
         # empty segment yields 0
         assert (np.asarray(got)[P - 1] == 0).all()
 
+    def test_bf16_many_segments_two_level(self):
+        """Regression: bf16 data with thousands of dense segment ids — ids
+        must be compared in f32 inside the kernel (bf16 cannot represent
+        integers above 256 and would merge adjacent segments)."""
+        rng = np.random.default_rng(9)
+        N = 1024
+        P = 700  # avg run < 2 rows -> many distinct ids > 256 per block
+        ids = np.sort(rng.integers(0, P, N)).astype(np.int32)
+        x = rng.normal(size=(N, 384)).astype(np.float32)
+        mask = rng.random(N) > 0.1
+        got = segment_max_sorted_pallas(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(ids),
+            jnp.asarray(mask), P, block_n=512, col_tile=384,
+            interpret=True, two_level=True,
+        )
+        want = segment_max(jnp.asarray(x, jnp.bfloat16), jnp.asarray(ids), P,
+                           mask=jnp.asarray(mask), indices_are_sorted=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32))
+
 
 def _random_kernel_inputs(seed=0, n=256, d=4, ci=64, co=64, a=4):
     rng = np.random.default_rng(seed)

@@ -244,10 +244,13 @@ def finalize_batch(batch: dict, key=None, data_aug: bool = False,
 
         n_prop = batch["labels"].shape[0]
         big = 1e30
-        x_lo = _seg_min(pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big)
-        y_lo = _seg_min(pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big)
-        x_hi = -_seg_min(-pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big)
-        y_hi = -_seg_min(-pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big)
+        from yolat_tpu.ops.segment import plan_of
+
+        pp = plan_of(batch)
+        x_lo = _seg_min(pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
+        y_lo = _seg_min(pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
+        x_hi = -_seg_min(-pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
+        y_hi = -_seg_min(-pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
         bbox = jnp.stack([x_lo, y_lo, x_hi, y_hi], axis=1)
         bbox = jnp.where(batch["proposal_mask"][:, None], bbox, 0.0)
         batch = {**batch, "pos": pos, "bbox": bbox}

@@ -166,7 +166,7 @@ class YOLaTPlusPlus(nn.Module):
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled_super = segment_mean(cat_super, bbox_idx, n_prop,
                                     mask=node_mask, indices_are_sorted=True,
-                                    plan=plan_of(batch))
+                                    plan=pool)
         fusion_super = MLP([self.channels * self.n_blocks_out, 1024],
                            act=self.act, norm=self.norm,
                            axis_name=self.axis_name, name="fusion_block_super")(

@@ -206,7 +206,9 @@ def _rmw_segment_tile(p0_ref, rows_ref, out_ref, v, block_n, ms, i):
     rows = rows_ref[0, 0, :]  # [MS] int32, -1 = no segment q starts here
     iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, ms), 0)
     sel = (iota == rows[None, :]).astype(v.dtype)  # [Bn rows, MS q]
-    w = jnp.dot(sel.T, v, preferred_element_type=jnp.float32).astype(v.dtype)
+    # one-hot COPY: must be bit-exact for the compare-based backward
+    w = jnp.dot(sel.T, v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
     # q validity as a [MS, 1] column without any 1-bit reshape (Mosaic
     # rejects i1 minor-dim insertion): sel's column sum is 1 iff q starts
     valid_col = jnp.dot(sel.T, jnp.ones((block_n, 1), v.dtype),
@@ -260,16 +262,23 @@ def _segment_max_kernel_2l(p0_ref, x_ref, ids_ref, mask_ref, rows_ref,
         ok = (ids_shift == ids) & (row_in_mini < _MINI - k)
         v = jnp.where(ok, jnp.maximum(v, v_shift), v)
 
-    # 2. leader compaction: rows 0, 8, 16, ... -> [NM, Ct] via one-hot dot
+    # 2. leader compaction: rows 0, 8, 16, ... -> [NM, Ct] via one-hot dot.
+    # One-hot dots are COPIES and must be bit-exact: force HIGHEST matmul
+    # precision (default precision may truncate f32 operands to bf16 —
+    # the compare-based backward then matches no row and drops gradients).
+    # Ids are compared in f32, never the data dtype: bf16 cannot represent
+    # integers above 256 exactly and would merge adjacent segments.
+    hi = jax.lax.Precision.HIGHEST
     nm = block_n // _MINI
     r2 = jax.lax.broadcasted_iota(jnp.int32, (block_n, nm), 0)
     m2 = jax.lax.broadcasted_iota(jnp.int32, (block_n, nm), 1)
     psel = (r2 == m2 * _MINI).astype(v.dtype)          # [Bn, NM]
-    lead = jnp.dot(psel.T, v, preferred_element_type=jnp.float32
-                   ).astype(v.dtype)                   # [NM, Ct]
-    idsf = ids.astype(v.dtype)
-    lidf = jnp.dot(psel.T, idsf, preferred_element_type=jnp.float32
-                   ).astype(v.dtype)                   # [NM, 1]
+    pself = psel.astype(jnp.float32)
+    lead = jnp.dot(psel.T, v, preferred_element_type=jnp.float32,
+                   precision=hi).astype(v.dtype)       # [NM, Ct]
+    idsf = ids.astype(jnp.float32)
+    lidf = jnp.dot(pself.T, idsf, preferred_element_type=jnp.float32,
+                   precision=hi)                       # [NM, 1] f32
 
     # 3. segmented suffix max over leaders
     k = 1
@@ -285,10 +294,11 @@ def _segment_max_kernel_2l(p0_ref, x_ref, ids_ref, mask_ref, rows_ref,
     # 4. broadcast each next mini's leader suffix back, id-gated
     mnext2 = jax.lax.div(r2, _MINI) + 1                # [Bn, NM] broadcast rows
     enext = (m2 == mnext2).astype(v.dtype)             # [Bn, NM] one-hot
-    bc = jnp.dot(enext, lead, preferred_element_type=jnp.float32
-                 ).astype(v.dtype)                     # [Bn, Ct]
-    nextid = jnp.dot(enext, lidf, preferred_element_type=jnp.float32
-                     ).astype(v.dtype)                 # [Bn, 1]
+    bc = jnp.dot(enext, lead, preferred_element_type=jnp.float32,
+                 precision=hi).astype(v.dtype)         # [Bn, Ct]
+    nextid = jnp.dot(enext.astype(jnp.float32), lidf,
+                     preferred_element_type=jnp.float32,
+                     precision=hi)                     # [Bn, 1] f32
     has_next = row < (block_n - _MINI)
     gate = has_next & (nextid == idsf)
     v = jnp.maximum(v, jnp.where(gate, bc, neg))

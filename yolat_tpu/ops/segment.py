@@ -142,19 +142,20 @@ def _acc_dtype(data):
 
 def segment_sum(data, segment_ids, num_segments: int, mask=None,
                 indices_are_sorted: bool = False, plan=None):
+    orig_dtype = data.dtype
     if plan is not None:
         if mask is None:
             mask = jnp.ones(data.shape[0], dtype=bool)
-        return _plan_sum_vjp(data.astype(_acc_dtype(data)), mask,
-                             segment_ids, plan, num_segments)
+        out = _plan_sum_vjp(data.astype(_acc_dtype(data)), mask,
+                            segment_ids, plan, num_segments)
+        return out.astype(orig_dtype)
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, 0)
-    data = data.astype(_acc_dtype(data))
     out = jax.ops.segment_sum(
-        data, segment_ids,
+        data.astype(_acc_dtype(data)), segment_ids,
         num_segments=num_segments, indices_are_sorted=indices_are_sorted,
     )
-    return out.astype(data.dtype)
+    return out.astype(orig_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
