@@ -108,6 +108,12 @@ class YOLaTPlusPlus(nn.Module):
             curve_tok, edge[:, 1], x.shape[0], mask=edge_mask,
             indices_are_sorted=self.sorted_edges,
         ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask)
+        # ReZero-style gates: the hierarchy streams enter at zero weight so
+        # optimisation starts from canonical-equivalent behaviour and wakes
+        # the extra levels gradually (the ungated model converged ~2x
+        # slower to a lower mAP on the synthetic gate)
+        g_curve = self.param("gate_curve", nn.initializers.zeros, ())
+        curve_at_node = curve_at_node * g_curve
 
         # ---- primitive level (a): super-edge clique propagation ---------
         es = batch["edge_super"]
@@ -123,6 +129,8 @@ class YOLaTPlusPlus(nn.Module):
         prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
                                     mask=es_mask,
                                     indices_are_sorted=self.sorted_edges)
+        g_prim = self.param("gate_prim", nn.initializers.zeros, ())
+        prim_at_node = prim_at_node * g_prim
 
         # ---- primitive level (b): REAL super-node tokens ----------------
         # The hierarchical builder (geom/hierarchical.py, mirroring
@@ -151,6 +159,8 @@ class YOLaTPlusPlus(nn.Module):
                         axis_name=self.axis_name, name="super_node_mlp")(
             sup_in, mask=batch["proposal_mask"], train=train
         )
+        g_sup = self.param("gate_super", nn.initializers.zeros, ())
+        super_tok = super_tok * g_sup
         sup_at_node = super_tok[bbox_idx]  # super -> member broadcast
 
         lo = self.n_blocks - self.n_blocks_out
