@@ -120,46 +120,54 @@ def split_circle(points: np.ndarray, circles: np.ndarray):
     return np.asarray(arcs, dtype=np.float64).reshape(-1, 9), circles[keep]
 
 
-def _points_on_line(points, x0, y0, x1, y1):
-    """Boolean mask of points that split the segment (x0,y0)-(x1,y1).
+def _points_on_line_batch(points, lines):
+    """Vectorised _points_on_line over all lines at once -> bool [L, P].
 
-    Mirrors point_on_line (split_cross.py:238-275): excludes points within a
-    1px box of either endpoint, requires perpendicular distance < 3px and the
-    projection to fall inside the segment's bounding box.
-    """
-    x, y = points[:, 0], points[:, 1]
-    min_x, max_x = min(x0, x1), max(x0, x1)
-    min_y, max_y = min(y0, y1), max(y0, y1)
+    Same epsilon semantics (1px endpoint boxes keyed on the min/max corners
+    — the reference's quirk — 3px distance, bbox projection containment);
+    one [L, P] broadcast instead of a Python loop per line."""
+    x = points[:, 0][None, :]
+    y = points[:, 1][None, :]
+    x0, y0 = lines[:, 0:1], lines[:, 1:2]
+    x1, y1 = lines[:, 2:3], lines[:, 3:4]
+    min_x, max_x = np.minimum(x0, x1), np.maximum(x0, x1)
+    min_y, max_y = np.minimum(y0, y1), np.maximum(y0, y1)
 
     is_start_end = (
         (np.abs(x - min_x) <= 1) & (np.abs(y - min_y) <= 1)
     ) | ((np.abs(x - max_x) <= 1) & (np.abs(y - max_y) <= 1))
-    valid = ~is_start_end
 
-    if x1 - x0 != 0:
-        a = (y1 - y0) / (x1 - x0)
-        b = y0 - a * x0
-        d2 = (a * x - y + b) ** 2 / (a * a + 1)
-        x_proj = (a * (y - b) + x) / (a * a + 1)
-        y_proj = a * x_proj + b
-    else:
-        d2 = (x - x0) ** 2
-        x_proj = np.full_like(x, x0)
-        y_proj = y
+    vert = (x1 - x0) == 0
+    dx = np.where(vert, 1.0, x1 - x0)
+    a = (y1 - y0) / dx
+    b = y0 - a * x0
+    denom = a * a + 1
+    d2 = np.where(vert, (x - x0) ** 2, (a * x - y + b) ** 2 / denom)
+    x_proj = np.where(vert, x0, (a * (y - b) + x) / denom)
+    y_proj = np.where(vert, y, a * x_proj + b)
 
     close = d2 < LINE_TH * LINE_TH
-    within = (x_proj >= min_x) & (x_proj <= max_x) & (y_proj >= min_y) & (y_proj <= max_y)
-    return valid & close & within
+    within = (x_proj >= min_x) & (x_proj <= max_x) & \
+        (y_proj >= min_y) & (y_proj <= max_y)
+    return ~is_start_end & close & within
 
 
 def split_line(points: np.ndarray, lines: np.ndarray) -> np.ndarray:
     """Split each line at candidate points lying on it. Returns [L', 4]."""
     lines = np.asarray(lines, dtype=np.float64).reshape(-1, 4)
     points = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    on_all = (
+        _points_on_line_batch(points, lines)
+        if len(points) and len(lines)
+        else np.zeros((len(lines), len(points)), bool)
+    )
+    any_split = on_all.any(axis=1)
     out = []
-    for x0, y0, x1, y1 in lines:
-        on = _points_on_line(points, x0, y0, x1, y1) if len(points) else np.zeros(0, bool)
-        sp = points[on]
+    for li, (x0, y0, x1, y1) in enumerate(lines):
+        if not any_split[li]:
+            out.append([x0, y0, x1, y1])
+            continue
+        sp = points[on_all[li]]
         if len(sp) == 0:
             out.append([x0, y0, x1, y1])
             continue
