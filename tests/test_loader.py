@@ -103,3 +103,22 @@ class TestHostSharding:
         assert not imgs0 & imgs1
         # pad sizes are global: all hosts compile the same program
         assert h0.pad.key() == h1.pad.key() == full.pad.key()
+
+
+class TestPackContract:
+    def test_edges_sorted_by_dst_and_plan_present(self):
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.ops.segment import POOL_BLOCK
+
+        batch, _ = random_packed_batch(seed=3, n_images=2)
+        for fam in ("edge", "edge_super"):
+            dst = batch[fam][:, 1]
+            assert (np.diff(dst) >= 0).all(), f"{fam} rows not dst-sorted"
+        # pool plan fields sized to the packed node count
+        n = batch["pos"].shape[0]
+        assert batch["pool_blk_first"].shape[0] * POOL_BLOCK == n
+        nb = n // POOL_BLOCK
+        seg2 = batch["bbox_idx"].reshape(nb, POOL_BLOCK)
+        np.testing.assert_array_equal(batch["pool_blk_first"], seg2[:, 0])
+        np.testing.assert_array_equal(batch["pool_blk_full"],
+                                      seg2[:, 0] == seg2[:, -1])
