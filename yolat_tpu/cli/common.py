@@ -82,7 +82,22 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def enable_compilation_cache(path: str = "/tmp/yolat_xla_cache") -> None:
+    """Persistent XLA compilation cache: first compiles through a
+    remote-attached device link run 20s-minutes; cached reloads are
+    sub-second. Keyed on program + compiler version, safe to share across
+    runs. No-op if the backend rejects it."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def config_from_args(args) -> Config:
+    enable_compilation_cache()
     fields = set(Config.__dataclass_fields__)
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw["lr_adjust_freq"] = int(min(args.lr_adjust_freq, 10 ** 9))
