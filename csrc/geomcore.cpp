@@ -236,7 +236,8 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
                      int64_t* out_sids, long max_total_sids,
                      int64_t* out_sid_off, int64_t* out_sloc,
                      double* out_feats, long max_sets,
-                     int64_t* n_distinct_out) {
+                     int64_t* n_distinct_out,
+                     int normalize, double* out_pos) {
   std::unordered_set<uint64_t> seen;
   seen.reserve(n_rects * 2);
   std::vector<int64_t> ids;
@@ -381,7 +382,21 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
           ++n_ws;
         }
       }
-      for (int64_t v : ids) out_ids[total_ids++] = v;
+      // per-window positions, optionally normalised to the window box
+      // (graph_dict3.py:707-714) — replaces the Python epilogue's
+      // gather + repeat-divide over every (window, member) row
+      const double bw = (mxx - mnx) != 0.0 ? (mxx - mnx) : 1.0;
+      const double bh = (mxy - mny) != 0.0 ? (mxy - mny) : 1.0;
+      for (int64_t v : ids) {
+        if (normalize) {
+          out_pos[2 * total_ids] = (pos[2 * v] - mnx) / bw;
+          out_pos[2 * total_ids + 1] = (pos[2 * v + 1] - mny) / bh;
+        } else {
+          out_pos[2 * total_ids] = pos[2 * v];
+          out_pos[2 * total_ids + 1] = pos[2 * v + 1];
+        }
+        out_ids[total_ids++] = v;
+      }
       total_eids += n_we;
       total_sids += n_ws;
       double* f = out_feats + 17 * n_sets;

@@ -83,6 +83,7 @@ def load_library():
                 i64p, ctypes.c_long, i64p, i64p,
                 i64p, ctypes.c_long, i64p, i64p,
                 f64p, ctypes.c_long, i64p,
+                ctypes.c_int, f64p,
             ]
             _lib = lib
         except Exception:
@@ -176,13 +177,15 @@ def build_rect_proposals_native(xi, yi, rects, edges_cl, supers_cl):
 
 
 def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
-                           edist, angle_th, min_extent):
+                           edist, angle_th, min_extent,
+                           normalize_pos: bool = False):
     """Full per-CC window pipeline (enumeration + dedup + filters + features)
     in C++. Returns a dict of flat CSR arrays, or None (library unavailable /
     capacity retry exhausted):
       n_w, n_distinct, ids [T], id_off [n_w+1], eids [Te], eid_off, eloc
       [Te,2] (window-local endpoints), sids [Ts], sid_off, sloc [Ts,2],
-      feats [n_w, 17] = box(4) + stat_feat(13).
+      feats [n_w, 17] = box(4) + stat_feat(13), pos [T, 2] per-member
+      positions (normalised to each window box when normalize_pos).
     """
     lib = load_library()
     if lib is None or len(rects) == 0:
@@ -217,6 +220,7 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
         out_sid_off = np.empty(max_sets + 1, np.int64)
         out_sloc = np.empty((cap_sids, 2), np.int64)
         out_feats = np.empty((max_sets, 17), np.float64)
+        out_pos = np.empty((cap_ids, 2), np.float64)
         n_distinct = np.zeros(1, np.int64)
         n = lib.window_pipeline(
             xi.ctypes.data_as(i32p), yi.ctypes.data_as(i32p), len(xi),
@@ -234,6 +238,8 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
             out_sid_off.ctypes.data_as(i64p), out_sloc.ctypes.data_as(i64p),
             out_feats.ctypes.data_as(f64p), max_sets,
             n_distinct.ctypes.data_as(i64p),
+            ctypes.c_int(1 if normalize_pos else 0),
+            out_pos.ctypes.data_as(f64p),
         )
         if n >= 0:
             te, ts = int(out_eid_off[n]), int(out_sid_off[n])
@@ -249,6 +255,7 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
                 "sid_off": out_sid_off[: n + 1].copy(),
                 "sloc": out_sloc[:ts].copy(),
                 "feats": out_feats[:n].copy(),
+                "pos": out_pos[: int(out_id_off[n])].copy(),
             }
         cap_ids *= 4
         cap_eids *= 4

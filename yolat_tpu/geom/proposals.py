@@ -386,6 +386,7 @@ def generate_proposals(
             bulk = window_pipeline_native(
                 xi, yi, pos_cluster, rects, edges_cl, supers_cl,
                 e_attr[cc_edge_ids][:, -1], ANGLE_TH, MIN_EXTENT,
+                normalize_pos=normalize_bbox,
             )
         if bulk is not None:
             if bulk["n_distinct"] == 0:
@@ -506,11 +507,15 @@ def _consume_bulk(acc, bulk, cluster, pos_cluster, is_super, e_attr,
 
     ids_flat = bulk["ids"]
     node_ids = cluster[ids_flat]
-    pos_rows = pos_cluster[ids_flat]
-    if normalize_bbox:
-        wh = boxes[:, 2:4] - boxes[:, 0:2]
-        pos_rows = (pos_rows - np.repeat(boxes[:, 0:2], counts, axis=0)) \
-            / np.repeat(wh, counts, axis=0)
+    if "pos" in bulk:
+        # the C++ pipeline already emitted per-window (normalised) positions
+        pos_rows = bulk["pos"]
+    else:
+        pos_rows = pos_cluster[ids_flat]
+        if normalize_bbox:
+            wh = boxes[:, 2:4] - boxes[:, 0:2]
+            pos_rows = (pos_rows - np.repeat(boxes[:, 0:2], counts, axis=0)) \
+                / np.repeat(wh, counts, axis=0)
 
     if len(gt_valid):
         gtb = gt_bbox[gt_valid]
