@@ -104,7 +104,7 @@ def host_nms(boxes, scores, iou_th):
 
 
 class TestNMS:
-    @pytest.mark.parametrize("algorithm", ["fixpoint", "loop"])
+    @pytest.mark.parametrize("algorithm", ["fixpoint", "loop", "classfix"])
     def test_single_class_matches_host(self, algorithm):
         rng = np.random.default_rng(0)
         M = 24
@@ -127,8 +127,9 @@ class TestNMS:
         want = host_nms(boxes, scores, 0.5)
         np.testing.assert_allclose(got_boxes, boxes[want], rtol=1e-6)
 
+    @pytest.mark.parametrize("alg", ["fixpoint", "classfix"])
     @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
-    def test_fixpoint_equals_loop_fuzz(self, seed):
+    def test_fixpoint_equals_loop_fuzz(self, seed, alg):
         """The matrix fixed-point NMS is the exact greedy solution: same
         detections (boxes, scores, classes, order) as the sequential loop on
         dense multi-class candidates with heavy overlap."""
@@ -144,7 +145,7 @@ class TestNMS:
         kw = dict(iou_thres=0.45, max_det=64)
         a = single_image_nms(jnp.array(boxes), jnp.array(cls),
                              jnp.array(obj), jnp.array(valid),
-                             algorithm="fixpoint", **kw)
+                             algorithm=alg, **kw)
         b = single_image_nms(jnp.array(boxes), jnp.array(cls),
                              jnp.array(obj), jnp.array(valid),
                              algorithm="loop", **kw)
