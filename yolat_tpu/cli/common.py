@@ -65,6 +65,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     # eval
     p.add_argument("--eval_start", default=d.eval_start, type=int)
     p.add_argument("--map_step", default=d.map_step, type=int)
+    p.add_argument("--nms_algorithm", default=d.nms_algorithm, type=str,
+                   choices=("fixpoint", "classfix", "loop"))
+    p.add_argument("--nms_topk", default=d.nms_topk, type=int)
     # tpu
     p.add_argument("--n_devices", default=d.n_devices, type=int)
     p.add_argument("--dtype", default=d.dtype, type=str,

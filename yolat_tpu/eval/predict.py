@@ -123,6 +123,7 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
 
         nms = jax.vmap(
             partial(single_image_nms, iou_thres=cfg.nms_iou,
+                    algorithm=getattr(cfg, "nms_algorithm", "fixpoint"),
                     conf_thres=cfg.nms_conf, max_det=max_det,
                     topk=getattr(cfg, "nms_topk", 4096))
         )(img_boxes, img_cls, img_obj, img_valid)

@@ -63,6 +63,10 @@ class Config:
     max_det: int = 300
     nms_iou: float = 0.5
     nms_conf: float = 0.0
+    nms_algorithm: str = "fixpoint" # 'fixpoint' (top-nms_topk offset matrix)
+                                    # | 'classfix' (per-class, exact over
+                                    # ALL candidates) | 'loop' (sequential
+                                    # oracle)
     nms_topk: int = 4096            # fixpoint-NMS candidate cap (the analog
                                     # of the reference's max_nms=30000 score
                                     # truncation; raise for exactness on
