@@ -96,8 +96,11 @@ class DynConv(nn.Module):
             stochastic=self.stochastic and train, epsilon=self.epsilon, key=rng,
         )
         edge = edge_index.T  # [E, 2] (src, dst)
+        # knn_graph emits dst = repeat(arange(n), k) and dilated() keeps
+        # per-centre grouping, so the edge list is dst-sorted by construction
         body = make_conv(self.conv, self.in_channels, self.out_channels,
-                         act=self.act, norm=self.norm, axis_name=self.axis_name)
+                         act=self.act, norm=self.norm,
+                         axis_name=self.axis_name, sorted_edges=True)
         return body(x, edge, None, edge_mask, node_mask, train=train)
 
 
@@ -166,12 +169,14 @@ class ResGraphBlock(nn.Module):
     norm: Optional[str] = None
     res_scale: float = 1.0
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
                  train: bool = True):
         body = make_conv(self.conv, self.channels, self.channels, act=self.act,
-                         norm=self.norm, axis_name=self.axis_name)
+                         norm=self.norm, axis_name=self.axis_name,
+                         sorted_edges=self.sorted_edges)
         return body(x, edge, e_attr, edge_mask, node_mask, train=train) \
             + x * self.res_scale
 
@@ -187,8 +192,11 @@ class DenseGraphBlock(nn.Module):
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
                  train: bool = True):
+        # knn_graph emits dst = repeat(arange(n), k) and dilated() keeps
+        # per-centre grouping, so the edge list is dst-sorted by construction
         body = make_conv(self.conv, self.in_channels, self.out_channels,
-                         act=self.act, norm=self.norm, axis_name=self.axis_name)
+                         act=self.act, norm=self.norm,
+                         axis_name=self.axis_name, sorted_edges=True)
         out = body(x, edge, e_attr, edge_mask, node_mask, train=train)
         return jnp.concatenate([x, out], axis=1)
 
