@@ -153,7 +153,11 @@ def main():
                              fast=True, folded=folded)
     rate_bf16 = time_predict(cfg, variables, batches, default_dev,
                              fast=True, folded=folded, bf16=True)
-    rate_dev = max(rate_flax, rate_fast, rate_bf16)
+    # per-class exact NMS variant (ops/nms.py 'classfix')
+    cfg_cf = cfg.replace(nms_algorithm="classfix")
+    rate_bf16_cf = time_predict(cfg_cf, variables, batches, default_dev,
+                                fast=True, folded=folded, bf16=True)
+    rate_dev = max(rate_flax, rate_fast, rate_bf16, rate_bf16_cf)
 
     train_cfg = cfg.replace(data_aug=True)
     rate_train = time_train(train_cfg, state, batches)
@@ -179,6 +183,7 @@ def main():
                     "flax_images_per_sec": round(rate_flax, 3),
                     "fast_path_images_per_sec": round(rate_fast, 3),
                     "fast_bf16_images_per_sec": round(rate_bf16, 3),
+                    "fast_bf16_classfix_images_per_sec": round(rate_bf16_cf, 3),
                     "train_images_per_sec": round(rate_train, 3),
                     "train_bf16_images_per_sec": round(rate_train_bf16, 3),
                     # parse->detect including (1-core) host preprocessing;
