@@ -41,7 +41,7 @@ def generate_sub_graphs(edge: np.ndarray, parts: np.ndarray,
 
 
 def sharded_segment_sum(data, segment_ids, num_segments: int, axis_name: str,
-                        mask=None):
+                        mask=None, indices_are_sorted: bool = False):
     """Edge-sharded segment-sum: each device reduces its local edge shard,
     partial results psum across the mesh axis. Call inside shard_map with
     `data`/`segment_ids`/`mask` sharded along edges and segment ids global.
@@ -51,7 +51,8 @@ def sharded_segment_sum(data, segment_ids, num_segments: int, axis_name: str,
     """
     from yolat_tpu.ops.segment import segment_sum
 
-    local = segment_sum(data, segment_ids, num_segments, mask=mask)
+    local = segment_sum(data, segment_ids, num_segments, mask=mask,
+                        indices_are_sorted=indices_are_sorted)
     return jax.lax.psum(local, axis_name)
 
 
@@ -79,20 +80,24 @@ def edge_sharded_gp2_layer(conv, x, edge, e_attr, edge_mask, axis_name: str):
     f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
     h = jnp.maximum(f @ conv["w1"] * conv["sc1"][0] + conv["sc1"][1], 0.0)
     h = jnp.maximum(h @ conv["w2"] * conv["sc2"][0] + conv["sc2"][1], 0.0)
-    agg = sharded_segment_mean(h, edge[:, 1], n, axis_name, mask=edge_mask)
+    # packed edges are dst-sorted; a contiguous shard of them stays sorted
+    agg = sharded_segment_mean(h, edge[:, 1], n, axis_name, mask=edge_mask,
+                               indices_are_sorted=True)
     return agg + x @ conv["wr"] + conv["br"].reshape(1, -1)
 
 
 def sharded_segment_mean(data, segment_ids, num_segments: int, axis_name: str,
-                         mask=None):
+                         mask=None, indices_are_sorted: bool = False):
     from yolat_tpu.ops.segment import segment_sum
 
-    local = segment_sum(data, segment_ids, num_segments, mask=mask)
+    local = segment_sum(data, segment_ids, num_segments, mask=mask,
+                        indices_are_sorted=indices_are_sorted)
     if mask is not None:
         ones = mask.astype(data.dtype)
     else:
         ones = jnp.ones(data.shape[0], data.dtype)
-    cnt = segment_sum(ones, segment_ids, num_segments)
+    cnt = segment_sum(ones, segment_ids, num_segments,
+                      indices_are_sorted=indices_are_sorted)
     total = jax.lax.psum(local, axis_name)
     count = jax.lax.psum(cnt, axis_name)
     return total / jnp.maximum(count, 1.0)[
