@@ -60,3 +60,39 @@ class TestPredictPathEquivalence:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         result = evaluate(cfg, variables, loader, max_det=32, serve=serve)
         assert np.isfinite(result["map_all"])
+
+
+class TestClassfixNMSPath:
+    def test_predict_with_classfix_matches_fixpoint(self):
+        """End-to-end predict parity: the per-class exact NMS returns the
+        same detections as the offset-matrix fixpoint on a real packed
+        batch (topk never binds at toy scale, so both are exact)."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.eval.predict import make_predict_fn
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.loop import create_state
+        from yolat_tpu.train.optim import make_optimizer
+
+        batch_np, _ = random_packed_batch(seed=5, n_images=2)
+        cfg = Config(n_classes=17, data_aug=False)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        state = create_state(cfg, tx, batch_np, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        batch = jax.tree.map(jnp.asarray, batch_np)
+
+        outs = {}
+        for alg in ("fixpoint", "classfix"):
+            fn = make_predict_fn(cfg.replace(nms_algorithm=alg), max_det=64)
+            outs[alg] = fn(variables, batch)
+        va = np.asarray(outs["fixpoint"]["valid"])
+        vb = np.asarray(outs["classfix"]["valid"])
+        np.testing.assert_array_equal(va, vb)
+        np.testing.assert_allclose(
+            np.asarray(outs["fixpoint"]["scores"])[va],
+            np.asarray(outs["classfix"]["scores"])[vb], rtol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(outs["fixpoint"]["classes"])[va],
+            np.asarray(outs["classfix"]["classes"])[vb])

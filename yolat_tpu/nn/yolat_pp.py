@@ -21,13 +21,21 @@ This implementation realises that design over the packed batch:
                    (build_graph_bbox.py:109-160; carried by the canonical
                    batch but unused by the canonical model,
                    architecture3cc_rpn_gp_iter2.py:196-216) — so every point
-                   sees its primitive's full-clique context; (b) per-proposal
-                   pooling (as the canonical head) plus the owning CC's
-                   context: the root proposal's pooled feature, gathered
-                   through root_slot and concatenated — the primitive token
-                   every sub-proposal sees (the parent->child level of
-                   build_graph_hierarchical.py:230-283, flattened to
-                   root_slot pointers at pack time).
+                   sees its primitive's full-clique context; (b) REAL
+                   super-node tokens, the packed realisation of
+                   geom/hierarchical.py's getSuperNode
+                   (build_graph_hierarchical.py:177-286): per-proposal
+                   centroid Fourier features + member-mean aggregation
+                   (super_shape member->super), parent links through
+                   root_slot (super_super parent->child), and a
+                   super->member broadcast; (c) per-proposal pooling (as
+                   the canonical head) plus the root proposal's pooled
+                   feature and super tokens concatenated into the head.
+
+All three hierarchy streams enter through ReZero-style scalar gates
+initialised at ZERO: optimisation starts from canonical-equivalent
+behaviour (the ungated variant converged ~2x slower to a lower mAP on the
+synthetic gate — VALIDATION.md) and wakes the hierarchy levels gradually.
 
 Head and loss match the canonical SparseCADGCN so YOLaT++ drops into the
 same train/eval pipeline (arch registry key 'yolat_pp').

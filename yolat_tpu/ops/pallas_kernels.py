@@ -15,9 +15,13 @@ whole per-block pipeline in VMEM: one read of x / x_nbr / attrs, one write
 of out. BatchNorm is eval-mode (running stats) and pre-folded into
 per-channel scale/shift (see eval/fast_forward.fold_mlp).
 
-The kernel is inference-only by design: training keeps the jnp path (XLA's
-backward fusion + masked batch stats), serving uses this. Equivalence is
-tested in interpreter mode in tests/test_pallas.py.
+The fused message kernel is inference-only by design: training keeps the
+jnp path (XLA's backward fusion + masked batch stats). The sorted
+segmented-max kernel below serves BOTH training and serving forwards when
+routed (ops/segment.USE_SORTED_MAX_KERNEL): the compare-based backward in
+ops/segment.py only needs the forward maxima, so any forward
+implementation slots in. Equivalence is tested in interpreter mode in
+tests/test_pallas.py.
 """
 
 from __future__ import annotations
