@@ -29,6 +29,7 @@ class GenAggregation(nn.Module):
     learn_t: bool = False
     learn_p: bool = False
     learn_y: bool = False
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, msg, seg, num_segments: int, mask=None):
@@ -38,8 +39,10 @@ class GenAggregation(nn.Module):
                 if self.learn_t
                 else self.t
             )
-            w = segment_softmax(msg * t, seg, num_segments, mask=mask)
-            out = segment_sum(msg * w, seg, num_segments, mask=mask)
+            w = segment_softmax(msg * t, seg, num_segments, mask=mask,
+                                indices_are_sorted=self.sorted_edges)
+            out = segment_sum(msg * w, seg, num_segments, mask=mask,
+                              indices_are_sorted=self.sorted_edges)
             if self.aggr == "softmax_sum":
                 y = (
                     self.param("y", lambda k: jnp.asarray(self.y))

@@ -304,17 +304,21 @@ def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
 _segment_max_core.defvjp(_segment_max_fwd, _segment_max_bwd)
 
 
-def segment_softmax(data, segment_ids, num_segments: int, mask=None):
+def segment_softmax(data, segment_ids, num_segments: int, mask=None,
+                    indices_are_sorted: bool = False):
     """Per-segment softmax along axis 0 (torch_scatter scatter_softmax)."""
     if mask is not None:
         data = jnp.where(_expand(mask, data), data, _NEG_INF)
-    seg_max = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
+    seg_max = jax.ops.segment_max(data, segment_ids,
+                                  num_segments=num_segments,
+                                  indices_are_sorted=indices_are_sorted)
     seg_max = jnp.where(seg_max <= _NEG_INF / 2, 0.0, seg_max)
     shifted = data - seg_max[segment_ids]
     e = jnp.exp(shifted)
     if mask is not None:
         e = jnp.where(_expand(mask, data), e, 0.0)
-    denom = jax.ops.segment_sum(e, segment_ids, num_segments=num_segments)
+    denom = jax.ops.segment_sum(e, segment_ids, num_segments=num_segments,
+                                indices_are_sorted=indices_are_sorted)
     denom = jnp.maximum(denom, 1e-16)
     return e / denom[segment_ids]
 
