@@ -47,9 +47,17 @@ from yolat_tpu.nn.layers import KAIMING, MLP, act_fn, maybe_remat_mlp
 from yolat_tpu.ops.segment import segment_max, segment_mean, segment_sum
 
 
-def _gather_ij(x, edge):
-    """x_i = target features, x_j = source features for each edge row."""
-    return x[edge[:, 1]], x[edge[:, 0]]
+def _gather_ij(x, edge, sorted_dst: bool = False):
+    """x_i = target features, x_j = source features for each edge row.
+
+    sorted_dst marks the dst ids as sorted (the pack_files contract): the
+    flag rides the gather primitive into its TRANSPOSE, so the backward
+    scatter-add of the x_i gather also takes XLA's sorted-scatter path."""
+    if sorted_dst:
+        x_i = x.at[edge[:, 1]].get(indices_are_sorted=True)
+    else:
+        x_i = x[edge[:, 1]]
+    return x_i, x[edge[:, 0]]
 
 
 def _dense_mean(msg_mlp, f, nbr_mask, out_channels: int, train: bool):
@@ -102,7 +110,7 @@ class AttrEdgeGP2(nn.Module):
             f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)
             agg = _dense_mean(msg_mlp, f, nbr_mask, self.out_channels, train)
         else:
-            x_i, x_j = _gather_ij(x, edge)
+            x_i, x_j = _gather_ij(x, edge, self.sorted_edges)
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
             msg = msg_mlp(f, edge_mask, train)
             agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
@@ -143,7 +151,7 @@ class AttrEdgeConv(nn.Module):
             )
             agg = _dense_mean(mlp, f, nbr_mask, self.out_channels, train)
         else:
-            x_i, x_j = _gather_ij(x, edge)
+            x_i, x_j = _gather_ij(x, edge, self.sorted_edges)
             f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
             msg = mlp(f, mask=edge_mask, train=train)
             agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
@@ -176,7 +184,7 @@ class AttrEdgeGP(nn.Module):
             f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)
             agg = _dense_mean(mlp, f, nbr_mask, self.out_channels, train)
         else:
-            x_i, x_j = _gather_ij(x_feat, edge)
+            x_i, x_j = _gather_ij(x_feat, edge, self.sorted_edges)
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
             msg = mlp(f, mask=edge_mask, train=train)
             agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
@@ -216,8 +224,8 @@ class AttrEdgeConvCF(nn.Module):
                                 axis=-1).reshape(N * D, -1)
             emask = nbr_mask.reshape(N * D)
         else:
-            x_i, x_j = _gather_ij(x, edge)
-            p_i, p_j = _gather_ij(pos, edge)
+            x_i, x_j = _gather_ij(x, edge, self.sorted_edges)
+            p_i, p_j = _gather_ij(pos, edge, self.sorted_edges)
             diff = p_j - p_i
             f = jnp.concatenate([x_j - x_i, e_attr], axis=1)
             emask = edge_mask
@@ -267,7 +275,7 @@ class EdgeConv(nn.Module):
             f = jnp.concatenate([x_nbr - x_i, x_i], axis=-1)
             agg = _dense_mean(mlp, f, nbr_mask, self.out_channels, train)
         else:
-            x_i, x_j = _gather_ij(x, edge)
+            x_i, x_j = _gather_ij(x, edge, self.sorted_edges)
             f = jnp.concatenate([x_j - x_i, x_i], axis=1)
             msg = mlp(f, mask=edge_mask, train=train)
             if edge_weight is not None:
@@ -297,7 +305,7 @@ class MRConv(nn.Module):
             rel = jnp.where(m, diff, -1e30).max(axis=1)
             rel = jnp.where(rel <= -1e29, 0.0, rel)
         else:
-            x_i, x_j = _gather_ij(x, edge)
+            x_i, x_j = _gather_ij(x, edge, self.sorted_edges)
             rel = segment_max(x_j - x_i, edge[:, 1], x.shape[0], mask=edge_mask,
                               indices_are_sorted=self.sorted_edges)
         return MLP([self.in_channels * 2, self.out_channels], act=self.act,
@@ -382,7 +390,7 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
                  train: bool = True):
-        x_i, x_j = _gather_ij(x, edge)
+        x_i, x_j = _gather_ij(x, edge, self.sorted_edges)
         src = x_j - x_i if self.relative else x_j
         h = nn.Dense(self.out_channels, use_bias=False, kernel_init=KAIMING,
                      name="weight")(src)
