@@ -251,6 +251,8 @@ USE_SORTED_MAX_KERNEL = False
 def _kernel_eligible(data, indices_are_sorted):
     if not USE_SORTED_MAX_KERNEL or not indices_are_sorted:
         return False
+    if jax.default_backend() != "tpu":  # Mosaic kernel; CPU/GPU fall back
+        return False
     if data.ndim != 2 or data.shape[0] % 512 != 0:
         return False
     return data.shape[1] % 384 == 0 or data.shape[1] % 128 == 0
