@@ -247,11 +247,14 @@ def finalize_batch(batch: dict, key=None, data_aug: bool = False,
         from yolat_tpu.ops.segment import plan_of
 
         pp = plan_of(batch)
-        x_lo = _seg_min(pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
-        y_lo = _seg_min(pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
-        x_hi = -_seg_min(-pos[:, 0], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
-        y_hi = -_seg_min(-pos[:, 1], batch["bbox_idx"], n_prop, batch["node_mask"], big, pp)
-        bbox = jnp.stack([x_lo, y_lo, x_hi, y_hi], axis=1)
+        # one 4-column reduction instead of four 1-column scatters (XLA
+        # scatter carries a per-call fixed cost, PERF.md finding 2)
+        vals = jnp.stack([pos[:, 0], pos[:, 1], -pos[:, 0], -pos[:, 1]],
+                         axis=1)
+        mins = _seg_min(vals, batch["bbox_idx"], n_prop,
+                        batch["node_mask"], big, pp)
+        bbox = jnp.stack([mins[:, 0], mins[:, 1], -mins[:, 2], -mins[:, 3]],
+                         axis=1)
         bbox = jnp.where(batch["proposal_mask"][:, None], bbox, 0.0)
         batch = {**batch, "pos": pos, "bbox": bbox}
 
@@ -307,6 +310,7 @@ def add_dense_neighbors(batch: dict, d_max: int | None = None) -> dict:
 
 
 def _seg_min(vals, seg, n, mask, big, plan=None):
+    """Masked segment min; `mask` is 1-D [N], vals [N] or [N, C]."""
     import jax
     import jax.numpy as jnp
 
@@ -315,7 +319,8 @@ def _seg_min(vals, seg, n, mask, big, plan=None):
 
         out = -_two_level(-vals, mask, plan, n, "max", -big)
     else:
-        vals = jnp.where(mask, vals, big)
+        m = mask if vals.ndim == mask.ndim else mask[:, None]
+        vals = jnp.where(m, vals, big)
         out = jax.ops.segment_min(vals, seg, num_segments=n,
                                   indices_are_sorted=True)
     return jnp.where(out >= big / 2, 0.0, out)
