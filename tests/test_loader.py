@@ -122,3 +122,31 @@ class TestPackContract:
         np.testing.assert_array_equal(batch["pool_blk_first"], seg2[:, 0])
         np.testing.assert_array_equal(batch["pool_blk_full"],
                                       seg2[:, 0] == seg2[:, -1])
+
+
+class TestAugBoxRecompute:
+    def test_matches_numpy_oracle(self):
+        """update_bbox parity: augmented proposal boxes equal the per-
+        proposal min/max of the transformed positions."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolat_tpu.data.packing import finalize_batch
+        from yolat_tpu.data.toy import random_packed_batch
+
+        batch, _ = random_packed_batch(seed=2, n_images=2)
+        out = jax.jit(lambda b, k: finalize_batch(b, key=k, data_aug=True))(
+            jax.tree.map(jnp.asarray, batch), jax.random.key(3))
+        pos = np.asarray(out["pos"])
+        bbox = np.asarray(out["bbox"])
+        bi = batch["bbox_idx"]
+        nm = batch["node_mask"]
+        pm = batch["proposal_mask"]
+        P = batch["labels"].shape[0]
+        want = np.zeros((P, 4))
+        for p in range(P):
+            rows = (bi == p) & nm
+            if rows.any() and pm[p]:
+                want[p] = [pos[rows, 0].min(), pos[rows, 1].min(),
+                           pos[rows, 0].max(), pos[rows, 1].max()]
+        np.testing.assert_allclose(bbox[pm], want[pm], rtol=1e-5, atol=1e-6)
