@@ -90,6 +90,23 @@ def main(argv=None):
     predict = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
                               folded=folded, bf16=args.serve_mode == "fast_bf16")
 
+    # param count + compiled-forward FLOPs (reference prints params at
+    # detect.py:211-212 and imports thop/fvcore for FLOPs; here both come
+    # from the model tree / XLA's own cost analysis)
+    import jax
+
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    print(f"params: {n_params / 1e6:.3f} M")
+    try:
+        from yolat_tpu.utils.profiling import cost_analysis
+
+        ca = cost_analysis(predict, variables, example)
+        if ca.get("flops"):
+            print(f"compiled forward flops: {ca['flops'] / 1e9:.2f} G")
+    except Exception:
+        pass
+
     class_names = [""] * cfg.n_classes
     for k, v in ds.class_dict.items():
         class_names[v] = k
