@@ -139,3 +139,32 @@ class TestFastForward:
         got_pl, _ = fast_forward(folded, batch, use_pallas=True, interpret=True)
         np.testing.assert_allclose(np.asarray(got_pl)[m], np.asarray(want)[m],
                                    rtol=3e-4, atol=3e-4)
+
+
+class TestSparseFastForward:
+    def test_sparse_fast_matches_flax_eval(self):
+        """Folded-BN serving on the sparse edge layout (no dense table)
+        matches model.apply(train=False) logits."""
+        import jax
+
+        from yolat_tpu.data.packing import finalize_batch
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.eval.fast_forward import fast_forward, fold_params
+        from yolat_tpu.nn.model import SparseCADGCN
+        from yolat_tpu.train.config import Config
+
+        batch_np, _ = random_packed_batch(seed=4, n_images=2)
+        cfg = Config(n_classes=17)
+        model = SparseCADGCN(n_classes=17, sorted_edges=True)
+        b = finalize_batch(jax.tree.map(jnp.asarray, batch_np))
+        variables = model.init({"params": jax.random.key(0)}, b, train=True)
+        # train one BN-stats update so folded stats are non-trivial
+        _, mut = model.apply(variables, b, train=True,
+                             mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": mut["batch_stats"]}
+        want, _ = model.apply(variables, b, train=False)
+        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+        got, _ = fast_forward(folded, b, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)

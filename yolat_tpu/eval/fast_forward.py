@@ -77,6 +77,27 @@ def _folded(x, w_sc):
     return jnp.maximum((x @ w) * sc[0] + sc[1], 0.0)
 
 
+def _sparse_message(x, edge, e_attr, edge_mask, c):
+    """Folded-BN canonical conv over the sparse dst-sorted edge list —
+    the dense-table-free serving path (same math as AttrEdgeGP2's sparse
+    branch with eval-mode BN folded into scale/shift)."""
+    x_i = x.at[edge[:, 1]].get(indices_are_sorted=True)
+    x_j = x[edge[:, 0]]
+    f = jnp.concatenate([x_i, x_j - x_i, e_attr.astype(x.dtype)], axis=1)
+    h = jnp.maximum((f @ c["w1"]) * c["sc1"][0] + c["sc1"][1], 0.0)
+    h = jnp.maximum((h.astype(x.dtype) @ c["w2"]) * c["sc2"][0]
+                    + c["sc2"][1], 0.0)
+    h = jnp.where(edge_mask[:, None], h, 0.0)
+    n = x.shape[0]
+    tot = jax.ops.segment_sum(h.astype(jnp.float32), edge[:, 1],
+                              num_segments=n, indices_are_sorted=True)
+    cnt = jax.ops.segment_sum(edge_mask.astype(jnp.float32), edge[:, 1],
+                              num_segments=n, indices_are_sorted=True)
+    agg = tot / jnp.maximum(cnt, 1.0)[:, None]
+    out = agg.astype(x.dtype) + x @ c["wr"] + c["br"].reshape(1, -1)
+    return out
+
+
 @partial(jax.jit,
          static_argnames=("n_blocks_out", "use_pallas", "interpret", "bf16"))
 def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
@@ -110,21 +131,26 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
         # bf16 (tests/test_pallas.py) for D<=4 workloads where the
         # expansion overhead halves.
 
+    dense_layout = "nbr_idx" in batch
     message = (
         partial(fused_dense_message, interpret=interpret, bf16=bf16)
-        if use_pallas
+        if use_pallas and dense_layout
         else fused_dense_message_reference
     )
 
     f, s = x, x
     feats, feats_super = [], []
     for i, conv in enumerate(conv_params):
-        c = conv if use_pallas else folded["convs"][i]
-        f = message(f, batch["nbr_idx"], batch["nbr_attr"], batch["nbr_mask"],
-                    c["w1"], c["sc1"], c["w2"], c["sc2"],
-                    c["wr"], c["br"])
-        if use_pallas and bf16:
-            f = f.astype(jnp.bfloat16)
+        if dense_layout:
+            c = conv if use_pallas else folded["convs"][i]
+            f = message(f, batch["nbr_idx"], batch["nbr_attr"],
+                        batch["nbr_mask"], c["w1"], c["sc1"], c["w2"],
+                        c["sc2"], c["wr"], c["br"])
+            if use_pallas and bf16:
+                f = f.astype(jnp.bfloat16)
+        else:
+            f = _sparse_message(f, batch["edge"], batch["e_attr"],
+                                batch["edge_mask"], folded["convs"][i])
         s = _folded(s, (folded["convs"][i]["wn"], folded["convs"][i]["scn"]))
         feats.append(f)
         feats_super.append(s)

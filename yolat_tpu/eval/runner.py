@@ -17,7 +17,9 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
              serve: str = "flax", mesh=None):
     """serve: 'flax' (parity path), 'fast' (folded-BN engine + Pallas), or
     'fast_bf16' (the serving default on TPU — bf16 matmuls, f32 epilogues).
-    The fast modes need the loader's dense neighbour layout. With `mesh`,
+    The fast modes run on either layout: the dense neighbour table when
+    the loader provides it (Pallas/weight-split engines), else the sparse
+    dst-sorted edge path (eval/fast_forward._sparse_message). With `mesh`,
     the loader's device shards evaluate data-parallel over the ('data',)
     axis (one compiled shard_map program); metrics accumulate on host."""
     fast = serve in ("fast", "fast_bf16")
@@ -25,11 +27,6 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
     if fast:
         from yolat_tpu.eval.fast_forward import fold_params
 
-        if getattr(loader, "dense", True) is False:
-            raise ValueError(
-                f"serve='{serve}' needs the dense neighbour layout; build "
-                "the loader with dense=True"
-            )
         folded = fold_params(variables, n_blocks=cfg.n_blocks)
     if mesh is not None:
         from yolat_tpu.eval.predict import make_dp_predict_fn
