@@ -170,3 +170,29 @@ class TestCLIPipeline:
         )
         pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
         assert len(pngs) == 1
+
+        # 5. badcase renders (TP/FP/FN overlays)
+        from yolat_tpu.cli import detect_badcase as cli_badcase
+
+        bad_dir = str(tmp_path / "bad")
+        cli_badcase.main(
+            [
+                "--data_dir", synthetic_root,
+                "--bbox_sampling_step", "5",
+                "--pretrained_model", ckpt_dir,
+                "--out_dir", bad_dir,
+                "--max_images", "1",
+                "--conf_th", "0.0",
+            ]
+        )
+        assert os.path.isdir(bad_dir)
+
+        # 6. graph debug render + packing stats
+        from yolat_tpu.cli import draw_graph as cli_draw
+
+        g_dir = str(tmp_path / "graphs")
+        cli_draw.main(
+            ["--data_dir", synthetic_root, "--out_dir", g_dir,
+             "--max_images", "1"]
+        )
+        assert any(f.endswith(".png") for f in os.listdir(g_dir))
