@@ -248,3 +248,33 @@ class TestKNN:
         # no valid edge touches masked points
         valid_edges = edge[:, emask]
         assert (valid_edges < 4).all()
+
+
+class TestClassfixTies:
+    def test_duplicate_boxes_equal_scores_keep_one(self):
+        """Bit-equal scores on identical boxes: classfix breaks the tie by
+        lower index, matching the loop oracle (torchvision index order)."""
+        boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [40, 40, 50, 50]],
+                         np.float32)
+        cls = np.array([[0.7], [0.7], [0.3]], np.float32)
+        for alg in ("classfix", "loop"):
+            out = single_image_nms(
+                jnp.array(boxes), jnp.array(cls), jnp.ones(3, jnp.float32),
+                jnp.ones(3, bool), iou_thres=0.5, max_det=8, algorithm=alg)
+            v = np.asarray(out["valid"])
+            assert v.sum() == 2, alg
+            kept = np.asarray(out["boxes"])[v]
+            # one of the duplicates plus the distinct box
+            assert (kept == boxes[0]).all(1).sum() == 1, alg
+
+    def test_negative_scores_not_falsely_suppressed(self):
+        """conf_thres < 0 admits negative-score candidates; an isolated one
+        must survive (the suppression reduction may not assume positive
+        scores)."""
+        boxes = np.array([[0, 0, 10, 10], [100, 100, 110, 110]], np.float32)
+        cls = np.array([[0.9], [-0.2]], np.float32)
+        out = single_image_nms(
+            jnp.array(boxes), jnp.array(cls), jnp.ones(2, jnp.float32),
+            jnp.ones(2, bool), iou_thres=0.5, max_det=8,
+            conf_thres=-0.5, algorithm="classfix")
+        assert int(np.asarray(out["valid"]).sum()) == 2

@@ -90,22 +90,14 @@ def main(argv=None):
     predict = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
                               folded=folded, bf16=args.serve_mode == "fast_bf16")
 
-    # param count + compiled-forward FLOPs (reference prints params at
-    # detect.py:211-212 and imports thop/fvcore for FLOPs; here both come
-    # from the model tree / XLA's own cost analysis)
+    # param count (reference prints it at detect.py:211-212); the compiled
+    # FLOPs print happens after the first batch so the already-warm jit
+    # cache is reused instead of compiling the program twice
     import jax
 
     n_params = sum(int(np.prod(p.shape))
                    for p in jax.tree.leaves(state.params))
     print(f"params: {n_params / 1e6:.3f} M")
-    try:
-        from yolat_tpu.utils.profiling import cost_analysis
-
-        ca = cost_analysis(predict, variables, example)
-        if ca.get("flops"):
-            print(f"compiled forward flops: {ca['flops'] / 1e9:.2f} G")
-    except Exception:
-        pass
 
     class_names = [""] * cfg.n_classes
     for k, v in ds.class_dict.items():
@@ -121,6 +113,19 @@ def main(argv=None):
         out = predict(variables, batch)
         out = {k: np.asarray(v) for k, v in out.items()}
         times.append(time.perf_counter() - t0)
+        if i == 0:
+            # XLA's own cost model, from the compilation the first call
+            # just populated (thop/fvcore replacement)
+            try:
+                costs = predict.lower(variables, batch).compile(
+                ).cost_analysis()
+                if isinstance(costs, list):
+                    costs = costs[0] if costs else {}
+                if costs.get("flops"):
+                    print(f"compiled forward flops: "
+                          f"{costs['flops'] / 1e9:.2f} G")
+            except Exception:
+                pass
 
         svg_path = ds.files[i]
         name = os.path.basename(os.path.dirname(svg_path)) + "_" + \

@@ -87,15 +87,9 @@ def _sparse_message(x, edge, e_attr, edge_mask, c):
     h = jnp.maximum((f @ c["w1"]) * c["sc1"][0] + c["sc1"][1], 0.0)
     h = jnp.maximum((h.astype(x.dtype) @ c["w2"]) * c["sc2"][0]
                     + c["sc2"][1], 0.0)
-    h = jnp.where(edge_mask[:, None], h, 0.0)
-    n = x.shape[0]
-    tot = jax.ops.segment_sum(h.astype(jnp.float32), edge[:, 1],
-                              num_segments=n, indices_are_sorted=True)
-    cnt = jax.ops.segment_sum(edge_mask.astype(jnp.float32), edge[:, 1],
-                              num_segments=n, indices_are_sorted=True)
-    agg = tot / jnp.maximum(cnt, 1.0)[:, None]
-    out = agg.astype(x.dtype) + x @ c["wr"] + c["br"].reshape(1, -1)
-    return out
+    agg = segment_mean(h, edge[:, 1], x.shape[0], mask=edge_mask,
+                       indices_are_sorted=True)
+    return agg.astype(x.dtype) + x @ c["wr"] + c["br"].reshape(1, -1)
 
 
 @partial(jax.jit,
@@ -123,7 +117,9 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
             folded,
         )
         x = x.astype(jnp.bfloat16)
-        batch = {**batch, "nbr_attr": batch["nbr_attr"].astype(jnp.bfloat16)}
+        if "nbr_attr" in batch:
+            batch = {**batch,
+                     "nbr_attr": batch["nbr_attr"].astype(jnp.bfloat16)}
         # default to the XLA path at bf16: the kernel's 0/1 expansion
         # matmuls (expand + neighbour-sum) cost ~4x the useful message
         # FLOPs at D=8, and XLA's own bf16 gather+reduce fusion measures

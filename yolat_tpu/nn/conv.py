@@ -466,7 +466,7 @@ def make_conv(name: str, in_channels: int, out_channels: int,
         kwargs["heads"] = heads
     if name == "gen":
         return cls(in_channels=in_channels, out_channels=out_channels,
-                   axis_name=axis_name)
+                   axis_name=axis_name, sorted_edges=sorted_edges)
     if name != "gat":
         kwargs["sorted_edges"] = sorted_edges
     return cls(act=act, norm=norm, axis_name=axis_name, **kwargs)

@@ -106,6 +106,7 @@ class GENConv(nn.Module):
     mlp_layers: int = 1
     eps: float = 1e-7
     axis_name: Optional[str] = None
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x, edge, e_attr=None, edge_mask=None, node_mask=None,
@@ -115,7 +116,8 @@ class GENConv(nn.Module):
             x_j = x_j + e_attr
         msg = jnp.maximum(x_j, 0.0) + self.eps
         agg = GenAggregation(aggr=self.aggr, learn_t=self.learn_t,
-                             learn_p=self.learn_p, name="aggr")(
+                             learn_p=self.learn_p,
+                             sorted_edges=self.sorted_edges, name="aggr")(
             msg, edge[:, 1], x.shape[0], mask=edge_mask
         )
         if self.msg_norm:

@@ -224,9 +224,11 @@ def _class_fixpoint_nms(boxes, conf, cand_valid, iou_thres: float,
     Convergence: the strict-score relation is a DAG per class, so sweeps
     settle candidates by suppression-chain depth, exactly as _fixpoint_nms.
 
-    Tie semantics: candidates with exactly equal scores never suppress each
-    other (both kept); torchvision breaks such ties by index. Exact float
-    ties between distinct proposals' softmax scores are measure-zero.
+    Ties (bit-equal scores — e.g. structurally duplicated proposals whose
+    logits coincide) break by LOWER box index, matching the deterministic
+    index order torchvision's stable candidate layout yields: a second
+    masked reduction finds, among tied-at-the-max overlapping kept
+    candidates, the best (M - j) payload, and j < i then suppresses i.
 
     This is EXACT over all M*K candidates — strictly closer to the
     reference (whose max_nms=30000 cap never binds at SESYD scale) than
@@ -246,10 +248,21 @@ def _class_fixpoint_nms(boxes, conf, cand_valid, iou_thres: float,
     s = conf.T                                   # [K, M]
     cand = cand_valid.T                          # [K, M]
 
+    neg = jnp.array(-jnp.inf, s.dtype)
+    overb = over > 0.5                           # [M, M] bool, j -> i
+    idx_payload = jnp.arange(M, 0, -1, dtype=s.dtype)  # M - j (higher = lower j)
+
     def step(kept):
-        ks = jnp.where(kept, s, 0.0)             # kept scores, >= 0
-        m = jnp.max(ks[:, :, None] * over[None, :, :], axis=1)  # [K, M]
-        return cand & ~(m > s)
+        # masked select instead of a product so scores may be negative
+        kj = kept[:, :, None] & overb[None, :, :]          # [K, Mj, Mi]
+        m = jnp.max(jnp.where(kj, s[:, :, None], neg), axis=1)   # [K, M]
+        # tie-break: among kept overlapping j tied at the max, the lowest
+        # index wins; self (j == i) contributes exactly M - i, so strict >
+        # never self-suppresses
+        tied = kj & (s[:, :, None] == m[:, None, :])
+        b = jnp.max(jnp.where(tied, idx_payload[None, :, None], neg), axis=1)
+        sup = (m > s) | ((m == s) & (b > idx_payload[None, :]))
+        return cand & ~sup
 
     def cond(state):
         kept, prev = state

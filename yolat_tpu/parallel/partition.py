@@ -56,7 +56,8 @@ def sharded_segment_sum(data, segment_ids, num_segments: int, axis_name: str,
     return jax.lax.psum(local, axis_name)
 
 
-def edge_sharded_gp2_layer(conv, x, edge, e_attr, edge_mask, axis_name: str):
+def edge_sharded_gp2_layer(conv, x, edge, e_attr, edge_mask, axis_name: str,
+                           edges_sorted: bool = False):
     """Eval-mode canonical conv (AttrRelativeEdgeConvGlobalPool2 message
     path) with the EDGE SET sharded across the mesh axis — the giant-SVG
     scaling path (SURVEY.md section 2.5c / section 5: this domain's analog
@@ -80,9 +81,11 @@ def edge_sharded_gp2_layer(conv, x, edge, e_attr, edge_mask, axis_name: str):
     f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
     h = jnp.maximum(f @ conv["w1"] * conv["sc1"][0] + conv["sc1"][1], 0.0)
     h = jnp.maximum(h @ conv["w2"] * conv["sc2"][0] + conv["sc2"][1], 0.0)
-    # packed edges are dst-sorted; a contiguous shard of them stays sorted
+    # pass edges_sorted=True when shards are contiguous slices of a
+    # dst-sorted packed edge list (the pack_files contract); ad-hoc edge
+    # lists must keep the default
     agg = sharded_segment_mean(h, edge[:, 1], n, axis_name, mask=edge_mask,
-                               indices_are_sorted=True)
+                               indices_are_sorted=edges_sorted)
     return agg + x @ conv["wr"] + conv["br"].reshape(1, -1)
 
 
