@@ -198,3 +198,24 @@ class TestEndToEnd:
         np.testing.assert_array_equal(out["kept"], want)
         # roots always kept
         assert out["kept"][batch["is_root"] & batch["proposal_mask"]].all()
+
+
+class TestSparseFastServe:
+    def test_fast_serve_on_sparse_loader_matches_flax(self, synthetic_root):
+        """evaluate(serve='fast') on a dense=False loader (no neighbour
+        tables) produces the same metrics as the flax path — the
+        dense-table-free serving mode."""
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        cfg = Config(n_classes=ds.n_classes, data_aug=False)
+        loader = PackedLoader(ds, batch_size=3, n_devices=1, shuffle=False,
+                              dense=False)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        example = next(iter(loader))
+        single = {k: v[0] for k, v in example.items()}
+        state = create_state(cfg, tx, single, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        a = evaluate(cfg, variables, loader, max_det=32)
+        b = evaluate(cfg, variables, loader, max_det=32, serve="fast")
+        assert np.isclose(a["map_50"], b["map_50"], atol=1e-6)
+        assert np.isclose(a["top1_acc"], b["top1_acc"], atol=1e-6)
