@@ -168,3 +168,8 @@ class TestSparseFastForward:
         got, _ = fast_forward(folded, b, use_pallas=False)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+        # bf16 serving on the sparse layout (regression: used to KeyError
+        # on the absent nbr_attr before the layout dispatch)
+        got16, _ = fast_forward(folded, b, use_pallas=False, bf16=True)
+        np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
+                                   rtol=0.1, atol=0.15)
