@@ -173,3 +173,41 @@ class TestSparseFastForward:
         got16, _ = fast_forward(folded, b, use_pallas=False, bf16=True)
         np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
                                    rtol=0.1, atol=0.15)
+
+
+class TestTwoLevelKernelEdgeCases:
+    """Adversarial segment layouts for the two-level sweep: giant segments
+    spanning blocks, fully-masked input, boundaries exactly at mini-8 and
+    block edges, block-crossing segments under masks."""
+
+    @pytest.mark.parametrize("name,segfn", [
+        ("giant", lambda n: np.zeros(n, np.int32)),
+        ("mini8_aligned", lambda n: np.repeat(np.arange(n // 8), 8
+                                              ).astype(np.int32)),
+        ("block_aligned", lambda n: np.repeat(np.arange(2), n // 2
+                                              ).astype(np.int32)),
+        ("block_crossing", lambda n: np.sort(np.clip(
+            (np.arange(n) + 3) // 509, 0, 5).astype(np.int32))),
+    ])
+    @pytest.mark.parametrize("masked", [False, True])
+    def test_parity(self, name, segfn, masked):
+        n = 1024
+        seg = segfn(n)
+        S = int(seg.max()) + 1
+        rng = np.random.default_rng(1)
+        mask = (rng.random(n) > 0.3) if masked else np.ones(n, bool)
+        x = rng.normal(size=(n, 384)).astype(np.float32)
+        ref = segment_max(jnp.asarray(x), jnp.asarray(seg), S,
+                          mask=jnp.asarray(mask), indices_are_sorted=True)
+        got = segment_max_sorted_pallas(
+            jnp.asarray(x), jnp.asarray(seg), jnp.asarray(mask), S,
+            block_n=512, col_tile=384, interpret=True, two_level=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got))
+
+    def test_fully_masked(self):
+        n = 1024
+        got = segment_max_sorted_pallas(
+            jnp.asarray(np.ones((n, 384), np.float32)),
+            jnp.zeros(n, jnp.int32), jnp.zeros(n, bool), 3,
+            block_n=512, col_tile=384, interpret=True, two_level=True)
+        assert (np.asarray(got) == 0).all()
