@@ -128,7 +128,8 @@ def time_train(cfg, state, batches, iters=16):
     return n_images * iters / dt
 
 
-def main():
+def run_bench(error=None):
+    on_cpu = error is not None
     import jax
 
     from yolat_tpu.train.config import Config
@@ -147,58 +148,95 @@ def main():
 
     folded = fold_params(variables, n_blocks=cfg.n_blocks)
 
+    # on the CPU fallback, shrink iteration counts so the bench stays fast;
+    # the point there is a structured line, not a competitive number
+    p_iters = 2 if on_cpu else 8
+    t_iters = 2 if on_cpu else 16
+
     default_dev = jax.devices()[0]
-    rate_flax = time_predict(cfg, variables, batches, default_dev)
+    rate_flax = time_predict(cfg, variables, batches, default_dev,
+                             iters=p_iters)
     rate_fast = time_predict(cfg, variables, batches, default_dev,
-                             fast=True, folded=folded)
+                             iters=p_iters, fast=True, folded=folded)
     rate_bf16 = time_predict(cfg, variables, batches, default_dev,
-                             fast=True, folded=folded, bf16=True)
+                             iters=p_iters, fast=True, folded=folded,
+                             bf16=True)
     # per-class exact NMS variant (ops/nms.py 'classfix')
     cfg_cf = cfg.replace(nms_algorithm="classfix")
     rate_bf16_cf = time_predict(cfg_cf, variables, batches, default_dev,
-                                fast=True, folded=folded, bf16=True)
+                                iters=p_iters, fast=True, folded=folded,
+                                bf16=True)
     rate_dev = max(rate_flax, rate_fast, rate_bf16, rate_bf16_cf)
 
     train_cfg = cfg.replace(data_aug=True)
-    rate_train = time_train(train_cfg, state, batches)
+    rate_train = time_train(train_cfg, state, batches, iters=t_iters)
     rate_train_bf16 = time_train(train_cfg.replace(dtype="bfloat16"), state,
-                                 batches)
+                                 batches, iters=t_iters)
 
-    try:
-        cpu_dev = jax.devices("cpu")[0]
-        rate_cpu = time_predict(cfg, variables, batches, cpu_dev, iters=2)
-    except Exception:
-        rate_cpu = float("nan")
+    if on_cpu:
+        rate_cpu = rate_dev  # the default device IS the host CPU
+    else:
+        try:
+            cpu_dev = jax.devices("cpu")[0]
+            rate_cpu = time_predict(cfg, variables, batches, cpu_dev, iters=2)
+        except Exception:
+            rate_cpu = float("nan")
 
     vs = rate_dev / rate_cpu if rate_cpu == rate_cpu else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "floorplan detect throughput (forward+NMS, batch 4)",
-                "value": round(rate_dev, 3),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs, 3),
-                "extra": {
-                    "device": str(default_dev),
-                    "flax_images_per_sec": round(rate_flax, 3),
-                    "fast_path_images_per_sec": round(rate_fast, 3),
-                    "fast_bf16_images_per_sec": round(rate_bf16, 3),
-                    "fast_bf16_classfix_images_per_sec": round(rate_bf16_cf, 3),
-                    "train_images_per_sec": round(rate_train, 3),
-                    "train_bf16_images_per_sec": round(rate_train_bf16, 3),
-                    # parse->detect including (1-core) host preprocessing;
-                    # preprocessing is cached offline in both frameworks
-                    "e2e_svgs_per_sec_cold": round(
-                        1.0 / (preproc_s + 1.0 / rate_dev), 3
-                    ),
-                    "cpu_images_per_sec": round(rate_cpu, 3)
-                    if rate_cpu == rate_cpu
-                    else None,
-                    "host_preprocess_sec_per_image": round(preproc_s, 3),
-                },
-            }
-        )
-    )
+    result = {
+        "metric": "floorplan detect throughput (forward+NMS, batch 4)",
+        "value": round(rate_dev, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 3),
+        "extra": {
+            "device": str(default_dev),
+            "flax_images_per_sec": round(rate_flax, 3),
+            "fast_path_images_per_sec": round(rate_fast, 3),
+            "fast_bf16_images_per_sec": round(rate_bf16, 3),
+            "fast_bf16_classfix_images_per_sec": round(rate_bf16_cf, 3),
+            "train_images_per_sec": round(rate_train, 3),
+            "train_bf16_images_per_sec": round(rate_train_bf16, 3),
+            # parse->detect including (1-core) host preprocessing;
+            # preprocessing is cached offline in both frameworks
+            "e2e_svgs_per_sec_cold": round(
+                1.0 / (preproc_s + 1.0 / rate_dev), 3
+            ),
+            "cpu_images_per_sec": round(rate_cpu, 3)
+            if rate_cpu == rate_cpu
+            else None,
+            "host_preprocess_sec_per_image": round(preproc_s, 3),
+        },
+    }
+    if error is not None:
+        result["error"] = error
+    print(json.dumps(result))
+
+
+def main():
+    # Never hang, never print a bare traceback: when the TPU backend cannot
+    # initialise (the axon tunnel in this image hangs rather than raising —
+    # probed in a subprocess with a hard timeout), fall back to the host CPU
+    # backend and report a structured line with an `error` field.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _force_cpu_platform, backend_is_reachable
+
+    error = None
+    if not backend_is_reachable():
+        error = ("default accelerator backend unreachable (axon tunnel "
+                 "down); numbers below are the host-CPU fallback")
+        _force_cpu_platform()
+    try:
+        run_bench(error=error)
+        return 0
+    except Exception as e:  # structured failure beats a hang or raw trace
+        print(json.dumps({
+            "metric": "floorplan detect throughput (forward+NMS, batch 4)",
+            "value": None,
+            "unit": "images/sec/chip",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
+        }))
+        return 1
 
 
 if __name__ == "__main__":

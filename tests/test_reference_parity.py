@@ -1,0 +1,398 @@
+"""Direct golden-parity tests against the reference source.
+
+Unlike the port-vs-port oracles elsewhere in the suite, these import the
+reference's OWN modules from /root/reference and compare its outputs to
+ours on identical inputs:
+
+  utils/det_util.py      compute_ap / ap_per_class / get_batch_statistics /
+                         bbox_iou (+1 convention) / bbox_iou_cpu /
+                         bbox_iou_ios_cpu / greedy merge non_max_suppression
+  Datasets/a2c.py        the arc->cubic-Bezier converter
+  Datasets/graph_dict3.py  SESYDFloorPlan._get_proposal — the grid-sweep
+                         proposal enumeration + labeling + stats, run under
+                         sys.modules stubs for torch_geometric/svgpathtools
+                         (its proposal walk is pure numpy/python,
+                         graph_dict3.py:309-789)
+
+All tests skip gracefully when /root/reference (or torch) is absent.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    torch = pytest.importorskip("torch")
+
+    # torch_geometric / svgpathtools are not installed here; the code paths
+    # under test never touch them, so satisfy the imports with stubs
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tgd = types.ModuleType("torch_geometric.data")
+
+        class Data:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+
+        tgd.Data = Data
+        tg.data = tgd
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.data"] = tgd
+    if "svgpathtools" not in sys.modules:
+        sp = types.ModuleType("svgpathtools")
+        for name in ("parse_path", "wsvg", "Path", "Line", "QuadraticBezier",
+                     "CubicBezier", "Arc"):
+            setattr(sp, name, type(name, (), {}))
+        sys.modules["svgpathtools"] = sp
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    det_util = pytest.importorskip("utils.det_util")
+    a2c = pytest.importorskip("Datasets.a2c")
+    graph_dict3 = pytest.importorskip("Datasets.graph_dict3")
+    return SimpleNamespace(det_util=det_util, a2c=a2c,
+                           graph_dict3=graph_dict3, torch=torch)
+
+
+# ---------------------------------------------------------------- det_util
+
+
+def test_compute_ap_matches_reference(ref):
+    rng = np.random.default_rng(10)
+    from yolat_tpu.eval.metrics import average_precision
+
+    for _ in range(50):
+        n = int(rng.integers(1, 40))
+        recall = np.sort(rng.random(n))
+        precision = rng.random(n)
+        ours = average_precision(recall, precision)
+        theirs = float(ref.det_util.compute_ap(recall.copy(), precision.copy()))
+        assert ours == pytest.approx(theirs, abs=1e-12)
+
+
+def test_ap_per_class_matches_reference(ref):
+    rng = np.random.default_rng(11)
+    from yolat_tpu.eval.metrics import ap_per_class
+
+    for trial in range(20):
+        d = int(rng.integers(1, 60))
+        tp = (rng.random(d) < 0.5).astype(np.float64)
+        # distinct confidences: both sides argsort(-conf); ties would make
+        # the comparison depend on sort stability, not on the math
+        conf = rng.permutation(d) / d + rng.random() * 0.01
+        pred_cls = rng.integers(0, 5, size=d).astype(np.float64)
+        target_cls = rng.integers(0, 5, size=int(rng.integers(1, 30))).astype(
+            np.float64
+        )
+        p0, r0, ap0, f10, c0 = ap_per_class(tp, conf, pred_cls, target_cls)
+        p1, r1, ap1, f11, c1 = ref.det_util.ap_per_class(
+            tp.copy(), conf.copy(), pred_cls.copy(), target_cls.copy()
+        )
+        np.testing.assert_allclose(ap0, ap1, atol=1e-12)
+        np.testing.assert_allclose(p0, p1, atol=1e-12)
+        np.testing.assert_allclose(r0, r1, atol=1e-12)
+        np.testing.assert_array_equal(c0, c1.astype(np.int64))
+
+
+def _random_boxes(rng, n, scale=100.0):
+    xy = rng.random((n, 2)) * scale
+    wh = rng.random((n, 2)) * scale * 0.3 + 1.0
+    return np.concatenate([xy, xy + wh], axis=1)
+
+
+def test_iou_conventions_match_reference(ref):
+    rng = np.random.default_rng(12)
+    from yolat_tpu.geom.proposals import _iou_ios
+    from yolat_tpu.ops.iou import box_iou_pairwise
+
+    import jax.numpy as jnp
+
+    for _ in range(10):
+        a = _random_boxes(rng, 7)
+        b = _random_boxes(rng, 7)
+        # +1-pixel convention (bbox_iou:214-244, torch)
+        # jnp runs f32 here (device ops), the reference f64 — tolerance
+        # reflects the dtype gap, not an algorithmic one
+        ours = np.asarray(box_iou_pairwise(jnp.asarray(a), jnp.asarray(b),
+                                           plus1=True))
+        theirs = ref.det_util.bbox_iou(
+            ref.torch.tensor(a), ref.torch.tensor(b)
+        ).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
+        # no +1 convention (bbox_iou_cpu:279)
+        ours2 = np.asarray(box_iou_pairwise(jnp.asarray(a), jnp.asarray(b)))
+        theirs2 = ref.det_util.bbox_iou_cpu(a, b)
+        np.testing.assert_allclose(ours2, theirs2, rtol=1e-4, atol=1e-6)
+        # iou + intersection-over-smaller... actually over box2 area
+        # (bbox_iou_ios_cpu:311-341 — used for proposal has_obj labeling)
+        one = a[:1]
+        iou_ref, ios_ref = ref.det_util.bbox_iou_ios_cpu(one, b)
+        iou_ours, ios_ours = _iou_ios(one[0], b)
+        np.testing.assert_allclose(iou_ours, iou_ref, rtol=1e-9)
+        np.testing.assert_allclose(ios_ours, ios_ref, rtol=1e-9)
+
+
+def test_batch_statistics_matches_reference(ref):
+    rng = np.random.default_rng(13)
+    from yolat_tpu.eval.metrics import batch_statistics
+
+    torch = ref.torch
+    for trial in range(25):
+        d = int(rng.integers(0, 25))
+        g = int(rng.integers(0, 8))
+        det_boxes = _random_boxes(rng, d)
+        det_scores = np.sort(rng.random(d))[::-1].copy()
+        det_labels = rng.integers(0, 4, size=d).astype(np.float64)
+        gt_boxes = _random_boxes(rng, g)
+        # overlap some detections with GTs so TPs actually occur
+        for i in range(min(d, g)):
+            if rng.random() < 0.6:
+                det_boxes[i] = gt_boxes[i] + rng.normal(0, 1.5, size=4)
+        gt_labels = rng.integers(0, 4, size=g).astype(np.float64)
+        th = float(rng.choice([0.5, 0.75, 0.95]))
+
+        out = torch.tensor(
+            np.concatenate(
+                [det_boxes, det_scores[:, None], np.ones((d, 1)),
+                 det_labels[:, None]], axis=1
+            )
+        )
+        targets = torch.tensor(
+            np.concatenate(
+                [np.zeros((g, 1)), gt_labels[:, None], gt_boxes], axis=1
+            )
+        )
+        theirs = ref.det_util.get_batch_statistics([out], targets, th)
+        tp_ref = theirs[0][0]
+        tp_ours, _, _ = batch_statistics(det_boxes, det_scores, det_labels,
+                                         gt_boxes, gt_labels, th)
+        np.testing.assert_array_equal(tp_ours, tp_ref)
+
+
+def test_merge_nms_matches_reference(ref):
+    rng = np.random.default_rng(14)
+    from yolat_tpu.eval.merge_nms import merge_nms
+
+    torch = ref.torch
+    for trial in range(20):
+        m = int(rng.integers(1, 40))
+        k = 5
+        boxes = _random_boxes(rng, m, scale=50.0)
+        # clusters of near-duplicate boxes exercise the weighted merge.
+        # Keep every box well-formed (x0<x1, y0<y1): on an INVERTED box the
+        # reference's clamped +1 IoU gives self-IoU 0, its suppression set
+        # goes empty, the weighted merge divides by zero and its while-loop
+        # never terminates (det_util.py:386-409) — real pipeline boxes are
+        # always well-formed, so parity is only defined there (our merge_nms
+        # terminates either way).
+        for i in range(1, m):
+            if rng.random() < 0.5:
+                b = boxes[i - 1] + rng.normal(0, 1.0, size=4)
+                boxes[i, :2] = b[:2]
+                boxes[i, 2:] = np.maximum(b[2:], b[:2] + 0.5)
+        obj = rng.permutation(m) / m * 0.8 + 0.1
+        cls_scores = rng.random((m, k))
+        pred = torch.tensor(
+            np.concatenate([boxes, obj[:, None], cls_scores], axis=1)
+        )
+        theirs = ref.det_util.non_max_suppression(
+            [pred], conf_thres=0.5, nms_thres=0.4
+        )[0].numpy()
+        ours = merge_nms(boxes, obj, cls_scores, conf_thres=0.5,
+                         nms_thres=0.4)
+        assert len(ours["boxes"]) == len(theirs)
+        np.testing.assert_allclose(ours["boxes"], theirs[:, :4], rtol=1e-6,
+                                   atol=1e-8)
+        # the reference casts through float32 (`class_confs.float()`)
+        np.testing.assert_allclose(ours["obj_conf"], theirs[:, 4], rtol=1e-5)
+        np.testing.assert_allclose(ours["cls_conf"], theirs[:, 5], rtol=1e-5)
+        np.testing.assert_array_equal(ours["classes"], theirs[:, 6].astype(np.int64))
+
+
+# -------------------------------------------------------------------- a2c
+
+
+def test_a2c_matches_reference(ref):
+    rng = np.random.default_rng(15)
+    from yolat_tpu.geom.arc2bezier import arc_to_cubics
+
+    cases = []
+    for _ in range(60):
+        x1, y1 = rng.normal(0, 50, size=2)
+        x2, y2 = rng.normal(0, 50, size=2)
+        rx, ry = rng.random(2) * 60 + 0.5
+        phi = float(rng.uniform(-360, 360))
+        fa = int(rng.integers(0, 2))
+        fs = int(rng.integers(0, 2))
+        cases.append((x1, y1, x2, y2, fa, fs, rx, ry, phi))
+    # degenerate early-outs (a2c.py:129-135)
+    cases += [(5.0, 5.0, 5.0, 5.0, 0, 0, 10.0, 10.0, 0.0),
+              (0.0, 0.0, 10.0, 0.0, 0, 0, 0.0, 10.0, 0.0),
+              # out-of-range radii -> lambda compensation (a2c.py:142-145)
+              (0.0, 0.0, 100.0, 0.0, 1, 1, 5.0, 5.0, 30.0)]
+
+    for (x1, y1, x2, y2, fa, fs, rx, ry, phi) in cases:
+        theirs = ref.a2c.a2c(x1, y1, x2, y2, fa, fs, rx, ry, phi)
+        ours = arc_to_cubics(x1, y1, x2, y2, rx, ry, phi, fa, fs)
+        assert len(ours) == len(theirs)
+        for k, curve in enumerate(theirs):
+            ref_pts = np.array([[c.real, c.imag] for c in curve])
+            # the radii-compensated case (lambda>1) drives the center
+            # radicand to exactly 0 mathematically; both sides then take
+            # sqrt of a rounding-level residual and diverge at ~1e-8
+            np.testing.assert_allclose(ours[k], ref_pts, rtol=1e-6, atol=1e-6)
+
+
+# -------------------------------------------------- graph_dict3 proposals
+
+
+def _ref_schema_graph(g: dict) -> dict:
+    """Re-nest our flat graph dict into the reference .pkl schema."""
+    n = len(g["pos"])
+
+    def col(x):
+        return np.asarray(x).reshape(n, 1)
+
+    return {
+        "pos": {"spatial": np.asarray(g["pos"], dtype=np.float64)},
+        "attr": {
+            "is_control": col(np.asarray(g["attr"]["is_control"]).astype(np.float64)),
+            "is_super": col(np.asarray(g["attr"]["is_super"]).astype(np.float64)),
+        },
+        "edge": {
+            "shape": np.asarray(g["edge"]["shape"], dtype=np.int64).reshape(-1, 2),
+            "super": np.asarray(g["edge"]["super"], dtype=np.int64).reshape(-1, 2),
+        },
+        "edge_attr": {
+            "shape": np.asarray(g["edge_attr"]["shape"], dtype=np.float64),
+            "super": np.asarray(g["edge_attr"]["super"], dtype=np.float64),
+        },
+        "img_width": g["img_width"],
+        "img_height": g["img_height"],
+        "cc": [list(map(int, c)) for c in g["cc"]],
+    }
+
+
+def _proposal_fingerprints(bbox, labels, has_obj, stat_feats, slice_pos,
+                           slice_edge, slice_super, pos):
+    """Order-independent per-proposal fingerprints.
+
+    The reference's proposal order inside a CC comes from `list(set(...))`
+    (graph_dict3.py:557) — arbitrary — so parity is a multiset property.
+    """
+    fps = []
+    for i in range(len(labels)):
+        p = pos[slice_pos[i]:slice_pos[i + 1]]
+        pos_key = tuple(sorted(map(tuple, np.round(p, 9).tolist())))
+        fps.append((
+            tuple(np.round(bbox[i], 9).tolist()),
+            int(labels[i]),
+            int(has_obj[i]),
+            int(slice_pos[i + 1] - slice_pos[i]),
+            int(slice_edge[i + 1] - slice_edge[i]),
+            int(slice_super[i + 1] - slice_super[i]),
+            tuple(np.round(stat_feats[i], 7).tolist()),
+            pos_key,
+        ))
+    return sorted(fps)
+
+
+@pytest.mark.slow
+def test_get_proposal_matches_reference(ref, tmp_path):
+    """True golden parity for the trickiest contract in the repo: run the
+    reference's _get_proposal on OUR graph dict and compare proposal sets,
+    labels, has_obj flags, stats features, slice structure and root choice
+    (fingerprint multisets — the reference's intra-CC order is a set walk).
+    """
+    from yolat_tpu.data.synthetic import FLOORPLAN_CLASSES, write_dataset
+    from yolat_tpu.geom.graph_build import build_svg_graph
+    from yolat_tpu.geom.proposals import generate_proposals
+    from yolat_tpu.geom.svg_io import SVGDocument, read_ground_truth_boxes
+
+    root = str(tmp_path / "mini")
+    write_dataset(root, n_train=2, n_test=0, seed=3, width=700.0,
+                  height=500.0, n_rooms=2, symbols_per_room=(1, 2))
+    with open(os.path.join(root, "train_list.txt")) as f:
+        files = [os.path.join(root, l.strip()) for l in f if l.strip()]
+
+    # reference dataset object without __init__ (which wants stats.pkl +
+    # torch Dataset machinery); _get_proposal reads only these attributes
+    GD = ref.graph_dict3.SESYDFloorPlan
+    obj = GD.__new__(GD)
+    obj.do_mixup = False
+    obj.normalize_bbox = True
+    obj.n_classes = len(FLOORPLAN_CLASSES)
+
+    step = 5
+    checked = 0
+    for path in files:
+        doc = SVGDocument.from_file(path)
+        g = build_svg_graph(doc, mode="floorplan")
+        gt_bbox, gt_labels = read_ground_truth_boxes(
+            path.replace(".svg", ".xml"), g["img_width"], g["img_height"],
+            FLOORPLAN_CLASSES,
+        )
+
+        (pos_r, is_super_r, _, edge_r, edge_super_r, e_attr_r,
+         e_attr_super_r, labels_r, bbox_idx_r, bbox_r, bbox_targets_r,
+         stats_r, has_obj_r, roots_r) = obj._get_proposal(
+            _ref_schema_graph(g), gt_bbox, gt_labels, bbox_sampling_step=step
+        )
+
+        pf = generate_proposals(g, gt_bbox, gt_labels,
+                                len(FLOORPLAN_CLASSES),
+                                bbox_sampling_step=step, do_mixup=False)
+
+        assert pf.n_proposals == len(labels_r)
+        assert len(pf.pos) == len(pos_r)
+        assert len(pf.edge) == len(edge_r)
+        assert len(pf.edge_super) == len(edge_super_r)
+
+        # reconstruct the reference's per-proposal slices from bbox_idx
+        # (contiguous by construction)
+        bbox_idx_r = np.asarray(bbox_idx_r)
+        P = len(labels_r)
+        sp = np.searchsorted(bbox_idx_r, np.arange(P + 1))
+        # edge slices: edges are emitted per proposal with node ids offset
+        # into the flat pos array; recover ownership via slice_pos
+        own_e = np.searchsorted(sp, np.asarray(edge_r)[:, 0], side="right") - 1
+        se = np.searchsorted(own_e, np.arange(P + 1))
+        own_s = (np.searchsorted(sp, np.asarray(edge_super_r)[:, 0], side="right") - 1
+                 if len(edge_super_r) else np.zeros(0, np.int64))
+        ss = np.searchsorted(own_s, np.arange(P + 1))
+
+        fps_ref = _proposal_fingerprints(
+            np.asarray(bbox_r), np.asarray(labels_r), np.asarray(has_obj_r),
+            np.asarray(stats_r), sp, se, ss, np.asarray(pos_r),
+        )
+        fps_ours = _proposal_fingerprints(
+            pf.bbox, pf.labels, pf.has_obj, pf.stat_feats, pf.slice_pos,
+            pf.slice_edge, pf.slice_super, pf.pos,
+        )
+        assert fps_ref == fps_ours
+
+        # root choice per CC: compare the multiset of root-proposal boxes
+        root_boxes_ref = sorted(
+            tuple(np.round(np.asarray(bbox_r)[r.value["idx_bbox"]], 9).tolist())
+            for r in roots_r
+        )
+        root_boxes_ours = sorted(
+            tuple(np.round(pf.bbox[i], 9).tolist()) for i in pf.root_of_cc
+        )
+        assert root_boxes_ref == root_boxes_ours
+        checked += 1
+    assert checked == len(files)

@@ -82,6 +82,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="size-bucketed padding: compiled programs per loader")
     p.add_argument("--scan_steps", default=d.scan_steps, type=int,
                    help="train steps per device dispatch (lax.scan chain)")
+    # multi-host (one process per host; n_devices = GLOBAL device count)
+    p.add_argument("--coordinator", default=d.coordinator, type=str,
+                   help="jax.distributed coordinator host:port")
+    p.add_argument("--process_id", default=d.process_id, type=int)
+    p.add_argument("--n_processes", default=d.n_processes, type=int,
+                   help=">1 enables multi-process (multi-host) execution")
     return p
 
 

@@ -30,6 +30,16 @@ from yolat_tpu.geom.svg_io import SVGDocument, read_ground_truth_boxes
 CACHE_VERSION = 2
 
 
+def _atomic_pickle(path: str, obj) -> None:
+    """Write-then-rename cache emission: multiple processes (multi-host
+    training, --workers preprocessing) may warm the same cache file
+    concurrently — a reader must never see a half-written pickle."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(obj, f)
+    os.replace(tmp, path)
+
+
 class SESYDDataset:
     def __init__(self, root: str, partition: str = "train",
                  bbox_sampling_step: int = 10, mode: str | None = None,
@@ -113,8 +123,7 @@ class SESYDDataset:
         doc = SVGDocument.from_file(path)
         g = build_svg_graph(doc, mode=self.mode)
         if self.cache:
-            with open(cache_path, "wb") as f:
-                pickle.dump(g, f)
+            _atomic_pickle(cache_path, g)
         return g
 
     def load(self, idx: int):
@@ -136,8 +145,7 @@ class SESYDDataset:
                 rng=self._rng,
             )
             if self.cache and not self.do_mixup:
-                with open(cache_path, "wb") as f:
-                    pickle.dump(pf.to_dict(), f)
+                _atomic_pickle(cache_path, pf.to_dict())
         return pf, (gt_bbox, gt_labels), (w, h)
 
 

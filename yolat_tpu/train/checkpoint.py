@@ -29,11 +29,19 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, f"ckpt_{tag}")
 
     def save(self, state, epoch: int, best_value: float, is_best: bool):
+        # In a multi-process runtime every process must call save on the
+        # SAME directory (Orbax barriers + primary-host array writes); the
+        # plain-filesystem epilogue (meta json, best copy, gc) is the
+        # primary's alone — a non-primary touching the dir races the
+        # primary's tmp-dir finalize.
+        primary = jax.process_index() == 0
         path = self._path(epoch)
-        if os.path.exists(path):
+        if primary and os.path.exists(path):
             shutil.rmtree(path)
         self._ckptr.save(path, jax.device_get(state))
         self._ckptr.wait_until_finished()
+        if not primary:
+            return
         with open(os.path.join(self.ckpt_dir, f"meta_{epoch}.json"), "w") as f:
             json.dump({"epoch": epoch, "best_value": best_value}, f)
         if is_best:

@@ -89,6 +89,12 @@ class Config:
     buckets: int = 1                # size-bucketed padding (programs per loader)
     scan_steps: int = 1             # train steps per device dispatch (lax.scan
                                     # chain; amortises remote-link latency)
+    # multi-host: one process per host; n_devices counts GLOBAL devices.
+    # The modern equivalent of the reference's broken DataParallel vestige
+    # (train.py:204-205) — see parallel/distributed.py
+    coordinator: str = ""           # coordinator host:port (process 0's)
+    process_id: int = 0
+    n_processes: int = 0            # 0/1 = single-process
     pretrained_model: str = ""
 
     def replace(self, **kw) -> "Config":

@@ -26,6 +26,19 @@ from yolat_tpu.utils.meters import AverageMeter
 
 def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     """Train per cfg; returns (state, results dict)."""
+    # multi-host: connect to the coordinator BEFORE any backend use;
+    # jax.devices() then spans every host (parallel/distributed.py)
+    from yolat_tpu.parallel.distributed import (
+        global_batch,
+        initialize_from_config,
+        local_device_count,
+    )
+
+    proc_id, n_procs = initialize_from_config(cfg)
+    multihost = n_procs > 1
+    is_main = proc_id == 0
+    local_d = local_device_count(cfg) if multihost else cfg.n_devices
+
     if cfg.graph not in ("bezier_cc_bb_iter",):
         # the legacy graph families have library support (data/legacy.py,
         # geom/hierarchical.py) but, as in the reference — where the
@@ -46,15 +59,38 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     cfg = cfg.replace(n_classes=train_ds.n_classes)
 
     if exp_dir is None:
-        jobname = (
-            f"{cfg.exp_name}-{cfg.conv}-n{cfg.n_blocks}-C{cfg.n_filters}"
-            f"-lr{cfg.lr}_B{cfg.batch_size}"
-        )
-        dirs = make_experiment_dir(cfg.root_dir, jobname)
-        exp_dir = dirs["exp_dir"]
+        if is_main:
+            jobname = (
+                f"{cfg.exp_name}-{cfg.conv}-n{cfg.n_blocks}-C{cfg.n_filters}"
+                f"-lr{cfg.lr}_B{cfg.batch_size}"
+            )
+            dirs = make_experiment_dir(cfg.root_dir, jobname)
+            exp_dir = dirs["exp_dir"]
+        else:
+            # non-main processes keep logs out of the shared experiment dir
+            import tempfile
+
+            exp_dir = tempfile.mkdtemp(prefix=f"yolat_proc{proc_id}_")
     ckpt_dir = os.path.join(exp_dir, "checkpoint")
     configure_logger(exp_dir)
     writer = ScalarWriter(exp_dir)
+    if multihost:
+        # Orbax requires every process to save into the SAME directory
+        # (primary writes arrays, others join its barriers) — broadcast
+        # process 0's checkpoint dir; logs/TB stay per-process
+        from jax.experimental import multihost_utils as mhu
+
+        from yolat_tpu.parallel.distributed import coordination_barrier
+
+        # processes may skew through dataset preprocessing; fence before
+        # the first device collective (gloo rendezvous times out at ~30s)
+        coordination_barrier("yolat_pre_broadcast")
+        buf = np.zeros(1024, np.uint8)
+        enc = ckpt_dir.encode()
+        if is_main:
+            buf[: len(enc)] = np.frombuffer(enc, np.uint8)
+        buf = np.asarray(mhu.broadcast_one_to_all(buf))
+        ckpt_dir = bytes(buf[buf != 0]).decode()
     ckpt = CheckpointManager(ckpt_dir)
 
     # the train step runs the sparse sorted-edge branch (train_layout
@@ -63,12 +99,15 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     train_dense = (cfg.dense_layout
                    and getattr(cfg, "train_layout", "sparse") == "dense")
     train_loader = PackedLoader(
-        train_ds, batch_size=cfg.batch_size, n_devices=cfg.n_devices,
+        train_ds, batch_size=cfg.batch_size, n_devices=local_d,
         shuffle=True, seed=cfg.seed, dense=train_dense,
-        buckets=cfg.buckets,
+        buckets=cfg.buckets, host_id=proc_id, n_hosts=n_procs,
     )
+    # eval runs on process 0 over the FULL test split with its local
+    # devices (no host sharding)
     test_loader = PackedLoader(
-        test_ds, batch_size=cfg.batch_size * 2, n_devices=cfg.n_devices,
+        test_ds, batch_size=cfg.batch_size * 2,
+        n_devices=local_d if multihost else cfg.n_devices,
         shuffle=False, dense=cfg.dense_layout,
     )
 
@@ -101,11 +140,59 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
                      restore_dir, tag, start_epoch)
 
     mesh = None
-    if cfg.n_devices > 1:
+    if cfg.n_devices > 1 or multihost:
         from jax.sharding import Mesh
 
+        # in multi-process mode jax.devices() is the GLOBAL device list
         mesh = Mesh(np.array(jax.devices()[: cfg.n_devices]), ("data",))
         step_fn = make_dp_train_step(cfg, tx, mesh)
+        if multihost:
+            from jax.experimental import multihost_utils as mhu
+            from jax.sharding import PartitionSpec
+
+            # every jit input must be a GLOBAL array in multi-process mode:
+            # state/keys replicate (identical on all hosts by construction
+            # — device_put to a non-addressable sharding is rejected, so go
+            # through host_local_array_to_global_array), batches assemble
+            # from host-local [D_local, ...] shards along the data axis
+            state = mhu.host_local_array_to_global_array(
+                jax.device_get(state), mesh, PartitionSpec()
+            )
+            base_step = step_fn
+
+            @jax.jit
+            def _mh_step(state, batch, kd):
+                return base_step(state, batch, jax.random.wrap_key_data(kd))
+
+            # AOT-compile each program shape, then fence on the
+            # coordination service before the first execution: gloo's
+            # communicator rendezvous has a hard ~30s timeout, and
+            # compile-time skew between processes (e.g. one hits the
+            # persistent XLA cache, the other compiles 40s) would
+            # otherwise kill the first collective
+            from yolat_tpu.parallel.distributed import coordination_barrier
+
+            _aot: dict = {}
+            _n_compiled = [0]
+
+            def step_fn(state, batch, key):  # noqa: F811
+                kd = np.asarray(jax.random.key_data(key))
+                kd_g = mhu.host_local_array_to_global_array(
+                    kd, mesh, PartitionSpec()
+                )
+                gb = global_batch(batch, mesh)
+                sig = tuple(sorted(
+                    (k, tuple(v.shape), str(v.dtype)) for k, v in gb.items()
+                ))
+                fn = _aot.get(sig)
+                if fn is None:
+                    fn = _mh_step.lower(state, gb, kd_g).compile()
+                    coordination_barrier(
+                        f"yolat_step_compiled_{_n_compiled[0]}"
+                    )
+                    _n_compiled[0] += 1
+                    _aot[sig] = fn
+                return fn(state, gb, kd_g)
     else:
         step_fn = make_train_step(cfg, tx)
     scan_fn = None
@@ -188,9 +275,16 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
             losses.update(loss_i)
             writer.add_scalar("loss", loss_i, it_i)
 
-        if epoch >= cfg.eval_start or done or epoch == cfg.total_epochs:
+        if (epoch >= cfg.eval_start or done or epoch == cfg.total_epochs) and is_main:
             variables = {"params": state.params, "batch_stats": state.batch_stats}
-            results = evaluate(cfg, variables, test_loader, mesh=mesh)
+            if multihost:
+                # evaluate locally on process 0: fetch the replicated
+                # values (addressable on every host) so predict jits a
+                # plain local program, not a global collective
+                variables = jax.device_get(variables)
+                results = evaluate(cfg, variables, test_loader, mesh=None)
+            else:
+                results = evaluate(cfg, variables, test_loader, mesh=mesh)
             test_value = results["test_value"]
             logging.info(
                 "Epoch:%d MAP@0.5:%.4f MAP@ALL:%.4f top1:%.4f (%.1fs)",
