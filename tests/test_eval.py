@@ -219,3 +219,31 @@ class TestSparseFastServe:
         b = evaluate(cfg, variables, loader, max_det=32, serve="fast")
         assert np.isclose(a["map_50"], b["map_50"], atol=1e-6)
         assert np.isclose(a["top1_acc"], b["top1_acc"], atol=1e-6)
+
+
+def test_batch_statistics_vectorized_matches_loop_oracle():
+    """Fuzz the matrix-form greedy TP matcher against the per-detection
+    loop transliteration (kept as batch_statistics_loop)."""
+    from yolat_tpu.eval.metrics import batch_statistics, batch_statistics_loop
+
+    rng = np.random.default_rng(77)
+    for trial in range(200):
+        d = int(rng.integers(0, 30))
+        g = int(rng.integers(0, 10))
+        xy = rng.random((d, 2)) * 80
+        det_boxes = np.concatenate([xy, xy + rng.random((d, 2)) * 30 + 1], 1)
+        gxy = rng.random((g, 2)) * 80
+        gt_boxes = np.concatenate([gxy, gxy + rng.random((g, 2)) * 30 + 1], 1)
+        # overlap clusters (duplicated GTs force consumed-argmax conflicts)
+        for i in range(min(d, g)):
+            if rng.random() < 0.7:
+                det_boxes[i] = gt_boxes[i % max(g, 1)] + rng.normal(0, 2, 4)
+        det_scores = np.sort(rng.random(d))[::-1].copy()
+        det_labels = rng.integers(0, 3, d).astype(float)
+        gt_labels = rng.integers(0, 3, g).astype(float)
+        th = float(rng.choice([0.3, 0.5, 0.75]))
+        tp_v, _, _ = batch_statistics(det_boxes, det_scores, det_labels,
+                                      gt_boxes, gt_labels, th)
+        tp_l, _, _ = batch_statistics_loop(det_boxes, det_scores, det_labels,
+                                           gt_boxes, gt_labels, th)
+        np.testing.assert_array_equal(tp_v, tp_l)

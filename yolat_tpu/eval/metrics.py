@@ -36,13 +36,62 @@ def _iou_plus1(box, boxes):
     return inter / (a1 + a2 - inter + 1e-16)
 
 
+def _iou_matrix_plus1(a, b):
+    """[D, G] IoU matrix with the +1-pixel convention."""
+    ix0 = np.maximum(a[:, None, 0], b[None, :, 0])
+    iy0 = np.maximum(a[:, None, 1], b[None, :, 1])
+    ix1 = np.minimum(a[:, None, 2], b[None, :, 2])
+    iy1 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(ix1 - ix0 + 1, 0, None) * np.clip(iy1 - iy0 + 1, 0, None)
+    a1 = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    a2 = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    return inter / (a1[:, None] + a2[None, :] - inter + 1e-16)
+
+
 def batch_statistics(det_boxes, det_scores, det_labels, gt_boxes, gt_labels,
                      iou_threshold: float):
     """Greedy TP assignment for one image.
 
     Detections must already be score-ordered (NMS emits them that way).
     Returns (true_positives [D], scores [D], labels [D]).
+
+    The IoU/label matching is one [D, G] matrix pass; only the greedy
+    consumption scan stays a (cheap) python loop — it is inherently
+    sequential, and the reference's exact quirk must hold: a detection
+    whose argmax GT is already consumed scores NO true positive, even if
+    another unconsumed GT also matches above threshold
+    (det_util.get_batch_statistics:154-202). Fuzz-tested equal to the
+    retained loop oracle (batch_statistics_loop).
     """
+    D = len(det_boxes)
+    G = len(gt_boxes)
+    tp = np.zeros(D)
+    if G and D:
+        det_boxes = np.asarray(det_boxes, dtype=np.float64)
+        gt_boxes = np.asarray(gt_boxes, dtype=np.float64)
+        iou = _iou_matrix_plus1(det_boxes, gt_boxes)
+        matched = (np.asarray(det_labels)[:, None] == np.asarray(gt_labels)[None, :])
+        iou = np.where(matched & (iou >= iou_threshold), iou, 0.0)
+        best = np.argmax(iou, axis=1)
+        best_iou = iou[np.arange(D), best]
+        consumed = np.zeros(G, dtype=bool)
+        n_consumed = 0
+        for i in range(D):
+            if n_consumed == G:
+                break
+            j = best[i]
+            if best_iou[i] >= iou_threshold and not consumed[j]:
+                tp[i] = 1.0
+                consumed[j] = True
+                n_consumed += 1
+    return tp, det_scores, det_labels
+
+
+def batch_statistics_loop(det_boxes, det_scores, det_labels, gt_boxes,
+                          gt_labels, iou_threshold: float):
+    """Per-detection loop form — the direct transliteration of
+    det_util.get_batch_statistics:154-202, retained as the fuzz oracle for
+    the vectorised batch_statistics."""
     D = len(det_boxes)
     tp = np.zeros(D)
     if len(gt_boxes):
