@@ -211,23 +211,62 @@ def generate_floorplan(rng: np.random.Generator, width: float = 2000.0,
                 )
             )
 
+    # Sweep-aware symbol placement. The canonical bbox_sampling_step=10
+    # grid has pitch extent/10; a sweep window can isolate a symbol from
+    # the wall skeleton (and from its neighbours) only when a grid line
+    # falls in the surrounding clearance, i.e. clearance > pitch. Real
+    # SESYD floorplans have symbols at this relative scale, which is why
+    # step 10 suffices there — mirror that: wall clearance ~extent/9 and
+    # symbol sizes proportional to the remaining cell interior.
+    pad_x = (x1 - x0) / 9.0
+    pad_y = (y1 - y0) / 9.0
     glyph_names = list(GLYPHS.keys())
     for cell in cells:
         cx0, cy0, cx1, cy1 = cell
+        avail_w = (cx1 - cx0) - 2 * pad_x
+        avail_h = (cy1 - cy0) - 2 * pad_y
+        if avail_w < 50 or avail_h < 50:
+            continue
         n_sym = int(rng.integers(symbols_per_room[0], symbols_per_room[1] + 1))
+        placed: list = []
         for _ in range(n_sym):
             name = glyph_names[int(rng.integers(len(glyph_names)))]
-            w = float(rng.uniform(90, 180))
-            h = float(rng.uniform(90, 180))
-            pad = 25.0
-            if cx1 - cx0 < w + 2 * pad or cy1 - cy0 < h + 2 * pad:
+            w = float(rng.uniform(0.35, 0.8) * avail_w)
+            h = float(rng.uniform(0.35, 0.8) * avail_h)
+            for _attempt in range(8):
+                gx = float(rng.uniform(cx0 + pad_x, cx1 - pad_x - w))
+                gy = float(rng.uniform(cy0 + pad_y, cy1 - pad_y - h))
+                # a window around one symbol excludes another iff they are
+                # separated by more than a grid pitch on some axis
+                ok = all(
+                    (gx > bx1 + pad_x or bx0 > gx + w + pad_x)
+                    or (gy > by1 + pad_y or by0 > gy + h + pad_y)
+                    for (bx0, by0, bx1, by1) in placed
+                )
+                if ok:
+                    break
+            else:
                 continue
-            gx = float(rng.uniform(cx0 + pad, cx1 - pad - w))
-            gy = float(rng.uniform(cy0 + pad, cy1 - pad - h))
             el, bb = GLYPHS[name](gx, gy, w, h)
             elements += el
             boxes.append(bb)
             labels.append(name)
+            placed.append(bb)
+
+    if not boxes:
+        # tiny scenes where no cell clears the clearance: place one
+        # best-effort symbol so every image has ground truth
+        cx0, cy0, cx1, cy1 = max(
+            cells, key=lambda c: (c[2] - c[0]) * (c[3] - c[1])
+        )
+        w = (cx1 - cx0) * 0.5
+        h = (cy1 - cy0) * 0.5
+        gx, gy = cx0 + (cx1 - cx0 - w) / 2, cy0 + (cy1 - cy0 - h) / 2
+        name = glyph_names[int(rng.integers(len(glyph_names)))]
+        el, bb = GLYPHS[name](gx, gy, w, h)
+        elements += el
+        boxes.append(bb)
+        labels.append(name)
 
     svg = (
         '<?xml version="1.0"?>\n'
