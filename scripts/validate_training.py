@@ -27,6 +27,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--dataset", type=str, default="floorplans",
                    choices=("floorplans", "diagrams"))
+    p.add_argument("--width", type=float, default=2000.0)
+    p.add_argument("--height", type=float, default=1500.0)
+    p.add_argument("--n_rooms", type=int, default=6)
     p.add_argument("--dtype", type=str, default="float32")
     p.add_argument("--scan_steps", type=int, default=1,
                    help="train steps per device dispatch (remote-link lever)")
@@ -46,8 +49,8 @@ def main():
                                   n_test=args.n_test, seed=11)
         else:
             write_dataset(args.root, n_train=args.n_train, n_test=args.n_test,
-                          seed=11, width=2000.0, height=1500.0, n_rooms=6,
-                          symbols_per_room=(1, 3))
+                          seed=11, width=args.width, height=args.height,
+                          n_rooms=args.n_rooms, symbols_per_room=(1, 3))
 
     eval_start = args.eval_start or max(args.epochs - 10, 1)
     cfg = Config(

@@ -7,35 +7,39 @@ geom/hierarchical.py) and the README description (README.md:55-59):
 Primitive, Curve, and Point ... a position-aware enhancement strategy to
 effectively differentiate similar primitives."
 
-This implementation realises that design over the packed batch:
+This implementation realises that design over the packed batch as a set of
+STRICTLY ADDITIVE, ReZero-gated residuals on the canonical SparseCADGCN:
+at initialisation every gate is zero and the forward pass is bitwise the
+canonical model (same dims, same wiring — nn/model.py), so optimisation
+starts from the proven detector and wakes each hierarchy level only as its
+gate learns to open. (Two earlier variants measured worse: the ungated
+hierarchy converged ~2x slower to a lower mAP, and a gated variant that
+CONCATENATED the hierarchy streams — changing the fusion/head dimensions
+even at gate zero — still lagged canonical 0.28 vs 0.51 mAP@0.5 at equal
+epochs on the small CPU gate. Additive gating is the fix: canonical
+behaviour is the exact init, hierarchy strictly residual.)
 
-  Point level      position-aware enhancement (Fourier features of the
-                   proposal-normalised coordinates) concatenated to the node
-                   input, then the canonical dual-stream conv stack.
-  Curve level      one token per Bezier/shape edge built from
+The three levels and where they inject:
+
+  Point level      position-aware enhancement: Fourier features of the
+                   proposal-normalised coordinates, MLP-encoded, added to
+                   the first conv's local stream (gate_point).
+  Curve level      one token per Bezier/shape edge from
                    [e_attr || x_src || x_dst], MLP-encoded, mean-scattered
-                   to both endpoints — curve evidence flows into points.
-  Primitive level  (a) super-edge propagation: one relative-attr conv pass
-                   over the packed `edge_super` family — the intra-CC clique
-                   + cross-CC containment edges the offline builder emits
-                   (build_graph_bbox.py:109-160; carried by the canonical
-                   batch but unused by the canonical model,
-                   architecture3cc_rpn_gp_iter2.py:196-216) — so every point
-                   sees its primitive's full-clique context; (b) REAL
-                   super-node tokens, the packed realisation of
-                   geom/hierarchical.py's getSuperNode
+                   to both endpoints, added to the last block's features
+                   before fusion (gate_curve).
+  Primitive level  (a) super-edge clique propagation over the packed
+                   `edge_super` family (the intra-CC clique + cross-CC
+                   containment edges of build_graph_bbox.py:109-160,
+                   carried by the canonical batch but unused by the
+                   canonical model) added alongside the curve residual
+                   (gate_prim); (b) REAL super-node tokens — the packed
+                   realisation of geom/hierarchical.py's getSuperNode
                    (build_graph_hierarchical.py:177-286): per-proposal
                    centroid Fourier features + member-mean aggregation
-                   (super_shape member->super), parent links through
-                   root_slot (super_super parent->child), and a
-                   super->member broadcast; (c) per-proposal pooling (as
-                   the canonical head) plus the root proposal's pooled
-                   feature and super tokens concatenated into the head.
-
-All three hierarchy streams enter through ReZero-style scalar gates
-initialised at ZERO: optimisation starts from canonical-equivalent
-behaviour (the ungated variant converged ~2x slower to a lower mAP on the
-synthetic gate — VALIDATION.md) and wakes the hierarchy levels gradually.
+                   (super_shape member->super) + parent link via root_slot
+                   (super_super parent->child) — MLP-encoded and added to
+                   the 512-d head feature (gate_super).
 
 Head and loss match the canonical SparseCADGCN so YOLaT++ drops into the
 same train/eval pipeline (arch registry key 'yolat_pp').
@@ -84,97 +88,74 @@ class YOLaTPlusPlus(nn.Module):
         edge = batch["edge"]
         edge_mask = batch["edge_mask"]
         bbox_idx = batch["bbox_idx"]
+        C = self.channels
 
-        # ---- point level: position-aware enhancement --------------------
+        def gate(name):
+            return self.param(name, nn.initializers.zeros, ())
+
+        x = jnp.where(node_mask[:, None], batch["x"], 0.0)
+
+        # ---- canonical dual-stream conv stack, with the point-level
+        # position-aware enhancement as a zero-gated residual on block 0
         pe = fourier_features(batch["pos"], self.n_freqs)
-        x = jnp.concatenate([batch["x"], pe], axis=1)
-        x = jnp.where(node_mask[:, None], x, 0.0)
-        c_in = self.in_channels + 4 * self.n_freqs
+        pe_tok = MLP([4 * self.n_freqs, C], act=self.act, norm=self.norm,
+                     axis_name=self.axis_name, name="point_pe_mlp")(
+            pe, mask=node_mask, train=train
+        )
 
         f, s = x, x
         feats, feats_super = [], []
         for i in range(self.n_blocks):
-            conv = make_conv("attr_edge_gp2", c_in if i == 0 else self.channels,
-                             self.channels, act=self.act, norm=self.norm,
+            conv = make_conv("attr_edge_gp2", self.in_channels if i == 0 else C,
+                             C, act=self.act, norm=self.norm,
                              axis_name=self.axis_name,
                              sorted_edges=self.sorted_edges)
             f, s = conv(f, s, edge, batch["e_attr"], edge_mask, node_mask,
                         train=train, nbr_idx=batch.get("nbr_idx"),
                         nbr_attr=batch.get("nbr_attr"),
                         nbr_mask=batch.get("nbr_mask"))
+            if i == 0:
+                f = f + gate("gate_point") * pe_tok
             feats.append(f)
             feats_super.append(s)
 
-        # ---- curve level: per-edge tokens scattered to endpoints --------
+        # ---- curve level: per-edge tokens scattered to endpoints ---------
         x_src = feats[-1][edge[:, 0]]
         x_dst = feats[-1][edge[:, 1]]
         curve_in = jnp.concatenate([batch["e_attr"], x_src, x_dst], axis=1)
-        curve_tok = MLP([4 + 2 * self.channels, self.channels], act=self.act,
-                        norm=self.norm, axis_name=self.axis_name,
-                        name="curve_mlp")(curve_in, mask=edge_mask, train=train)
+        curve_tok = MLP([4 + 2 * C, C], act=self.act, norm=self.norm,
+                        axis_name=self.axis_name, name="curve_mlp")(
+            curve_in, mask=edge_mask, train=train)
         curve_at_node = segment_mean(
             curve_tok, edge[:, 1], x.shape[0], mask=edge_mask,
             indices_are_sorted=self.sorted_edges,
         ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask)
-        # ReZero-style gates: the hierarchy streams enter at zero weight so
-        # optimisation starts from canonical-equivalent behaviour and wakes
-        # the extra levels gradually (the ungated model converged ~2x
-        # slower to a lower mAP on the synthetic gate)
-        g_curve = self.param("gate_curve", nn.initializers.zeros, ())
-        curve_at_node = curve_at_node * g_curve
 
-        # ---- primitive level (a): super-edge clique propagation ---------
+        # ---- primitive level (a): super-edge clique propagation ----------
         es = batch["edge_super"]
         es_mask = batch["super_mask"]
         s_i = feats[-1][es[:, 1]]
         s_j = feats[-1][es[:, 0]]
         prim_in = jnp.concatenate([s_i, s_j - s_i, batch["e_attr_super"]],
                                   axis=1)
-        prim_tok = MLP([2 * self.channels + 4, self.channels], act=self.act,
-                       norm=self.norm, axis_name=self.axis_name,
-                       name="super_edge_mlp")(prim_in, mask=es_mask,
-                                              train=train)
+        prim_tok = MLP([2 * C + 4, C], act=self.act, norm=self.norm,
+                       axis_name=self.axis_name, name="super_edge_mlp")(
+            prim_in, mask=es_mask, train=train)
         prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
                                     mask=es_mask,
                                     indices_are_sorted=self.sorted_edges)
-        g_prim = self.param("gate_prim", nn.initializers.zeros, ())
-        prim_at_node = prim_at_node * g_prim
 
-        # ---- primitive level (b): REAL super-node tokens ----------------
-        # The hierarchical builder (geom/hierarchical.py, mirroring
-        # build_graph_hierarchical.py:getSuperNode:177-286) materialises one
-        # super node per component: centroid position, member-mean features,
-        # super_shape (super <-> member) edges and super_super
-        # (parent -> direct child) links. On the packed proposal batch those
-        # map exactly to static index structures already present:
-        #   centroid      = segment_mean(pos, bbox_idx)       [super pos]
-        #   member mean   = segment_mean(node feats, bbox_idx) [super_shape
-        #                   member -> super aggregation]
-        #   parent link   = root_slot gather                   [super_super]
-        #   super -> member broadcast = token[bbox_idx]
-        pool = plan_of(batch)
-        centroid = segment_mean(batch["pos"], bbox_idx, n_prop,
-                                mask=node_mask, indices_are_sorted=True,
-                                plan=pool)
-        member_mean = segment_mean(feats[-1], bbox_idx, n_prop,
-                                   mask=node_mask, indices_are_sorted=True,
-                                   plan=pool)
-        sup_in = jnp.concatenate(
-            [fourier_features(centroid, self.n_freqs), member_mean,
-             member_mean[batch["root_slot"]]], axis=1)
-        super_tok = MLP([4 * self.n_freqs + 2 * self.channels, self.channels],
-                        act=self.act, norm=self.norm,
-                        axis_name=self.axis_name, name="super_node_mlp")(
-            sup_in, mask=batch["proposal_mask"], train=train
-        )
-        g_sup = self.param("gate_super", nn.initializers.zeros, ())
-        super_tok = super_tok * g_sup
-        sup_at_node = super_tok[bbox_idx]  # super -> member broadcast
+        # curve + clique evidence enter the LAST block's features as
+        # residuals, so the canonical fusion keeps its exact dimensions
+        feats[-1] = (feats[-1]
+                     + gate("gate_curve") * curve_at_node
+                     + gate("gate_prim") * prim_at_node)
 
+        # ---- canonical fusion (dims identical to nn/model.Backbone) ------
         lo = self.n_blocks - self.n_blocks_out
-        cat = jnp.concatenate(
-            feats[lo:] + [curve_at_node, prim_at_node, sup_at_node], axis=1)
-        fusion_dims = self.channels * self.n_blocks_out + 3 * self.channels
+        pool = plan_of(batch)
+        cat = jnp.concatenate(feats[lo:], axis=1)
+        fusion_dims = C * self.n_blocks_out
         fusion = MLP([fusion_dims, 1024], act=self.act, norm=self.norm,
                      axis_name=self.axis_name, name="fusion_block")(
             cat, mask=node_mask, train=train
@@ -185,32 +166,42 @@ class YOLaTPlusPlus(nn.Module):
         pooled_super = segment_mean(cat_super, bbox_idx, n_prop,
                                     mask=node_mask, indices_are_sorted=True,
                                     plan=pool)
-        fusion_super = MLP([self.channels * self.n_blocks_out, 1024],
-                           act=self.act, norm=self.norm,
+        fusion_super = MLP([fusion_dims, 1024], act=self.act, norm=self.norm,
                            axis_name=self.axis_name, name="fusion_block_super")(
             pooled_super, mask=batch["proposal_mask"], train=train
         )
         out_super = jnp.concatenate([fusion_super, pooled_super], axis=1)
 
-        # ---- primitive level: per-proposal pooling + CC-root context ----
-        pooled = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
-                             indices_are_sorted=True)
-        # parent context: pooled root features plus the proposal's own super
-        # token and its parent's (the super_super parent -> child message)
-        primitive_ctx = jnp.concatenate(
-            [pooled[batch["root_slot"]], super_tok,
-             super_tok[batch["root_slot"]]], axis=1)
-        prim = MLP([pooled.shape[1] + 2 * self.channels, 256], act=self.act,
-                   norm=self.norm, axis_name=self.axis_name,
-                   name="primitive_mlp")(
-            primitive_ctx, mask=batch["proposal_mask"], train=train
+        # ---- primitive level (b): REAL super-node tokens -----------------
+        # geom/hierarchical.py getSuperNode parity on the packed batch:
+        #   centroid        = segment_mean(pos, bbox_idx)      [super pos]
+        #   member mean     = segment_mean(node feats, bbox_idx)
+        #                     [super_shape member -> super aggregation]
+        #   parent link     = root_slot gather                 [super_super]
+        centroid = segment_mean(batch["pos"], bbox_idx, n_prop,
+                                mask=node_mask, indices_are_sorted=True,
+                                plan=pool)
+        member_mean = segment_mean(feats[-1], bbox_idx, n_prop,
+                                   mask=node_mask, indices_are_sorted=True,
+                                   plan=pool)
+        sup_in = jnp.concatenate(
+            [fourier_features(centroid, self.n_freqs), member_mean,
+             member_mean[batch["root_slot"]]], axis=1)
+        super_tok = MLP([4 * self.n_freqs + 2 * C, 512],
+                        act=self.act, norm=self.norm,
+                        axis_name=self.axis_name, name="super_node_mlp")(
+            sup_in, mask=batch["proposal_mask"], train=train
         )
 
-        h = jnp.concatenate([pooled, out_super, prim], axis=1)
-        h = MLP([h.shape[1], 512], act=self.act, norm=self.norm,
+        # ---- canonical head, super tokens as a 512-d gated residual ------
+        pooled = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
+                             indices_are_sorted=True)
+        h = jnp.concatenate([pooled, out_super], axis=1)
+        h = MLP([(fusion_dims + 1024) * 2, 512], act=self.act, norm=self.norm,
                 axis_name=self.axis_name, name="pred_0")(
             h, mask=batch["proposal_mask"], train=train
         )
+        h = h + gate("gate_super") * super_tok
         h = MLP([512, 256], act=self.act, norm=self.norm, drop=self.dropout,
                 axis_name=self.axis_name, name="pred_1")(
             h, mask=batch["proposal_mask"], train=train
