@@ -182,6 +182,34 @@ def run_bench(error=None):
         except Exception:
             rate_cpu = float("nan")
 
+    # roofline context: FLOPs + HBM bytes of the compiled serving program
+    # (BASELINE.md "derived reference estimate"; scripts/flops_analysis.py)
+    roofline = {}
+    try:
+        from yolat_tpu.eval.predict import make_predict_fn
+
+        predict = make_predict_fn(cfg, max_det=300, fast=True, folded=folded,
+                                  bf16=True)
+        single = {k: v[0] for k, v in batches[0].items()}
+        costs = jax.jit(predict).lower(variables, single).compile().cost_analysis()
+        if isinstance(costs, list):
+            costs = costs[0]
+        n_img = int(single["n_images"])
+        fpi = costs.get("flops", 0.0) / n_img
+        bpi = costs.get("bytes accessed", 0.0) / n_img
+        roofline = {
+            "flops_per_image": round(fpi, 0),
+            "hbm_bytes_per_image": round(bpi, 0),
+        }
+        if not on_cpu:  # chip peaks only make sense on the chip
+            v5e_peak, v5e_hbm = 197e12, 819e9
+            roofline["detect_mfu"] = round(rate_dev * fpi / v5e_peak, 4)
+            roofline["detect_hbm_roofline_fraction"] = round(
+                rate_dev * bpi / v5e_hbm, 4
+            )
+    except Exception:
+        pass
+
     vs = rate_dev / rate_cpu if rate_cpu == rate_cpu else 1.0
     result = {
         "metric": "floorplan detect throughput (forward+NMS, batch 4)",
@@ -205,6 +233,7 @@ def run_bench(error=None):
             if rate_cpu == rate_cpu
             else None,
             "host_preprocess_sec_per_image": round(preproc_s, 3),
+            **roofline,
         },
     }
     if error is not None:
@@ -219,6 +248,10 @@ def main():
     # backend and report a structured line with an `error` field.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _force_cpu_platform, backend_is_reachable
+
+    from yolat_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
 
     error = None
     if not backend_is_reachable():
