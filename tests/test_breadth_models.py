@@ -206,3 +206,43 @@ class TestYOLaTPlusPlus:
         from yolat_tpu.nn.model import SparseCADGCN
 
         assert isinstance(build_model(cfg), SparseCADGCN)
+
+
+class TestYOLaTPlusPlusCanonicalInit:
+    def test_zero_gates_reproduce_canonical_logits(self):
+        """The additive-ReZero design contract: with every gate at its zero
+        init and the canonical submodules holding the canonical model's
+        weights, YOLaT++'s eval forward IS SparseCADGCN's (VALIDATION.md
+        "YOLaT++ redesign")."""
+        from yolat_tpu.nn.model import SparseCADGCN
+
+        batch_np, _ = random_packed_batch(seed=11, n_images=2)
+        batch = finalize_batch(jax.tree.map(jnp.asarray, batch_np))
+
+        canon = SparseCADGCN(n_classes=17)
+        cv = canon.init({"params": jax.random.key(0)}, batch, train=True)
+        pp = YOLaTPlusPlus(n_classes=17)
+        pv = pp.init(
+            {"params": jax.random.key(1), "dropout": jax.random.key(2)},
+            batch, train=True,
+        )
+
+        # graft the canonical weights into the matching YOLaT++ submodules
+        # (canonical nests the backbone under cls_net; YOLaT++ is flat)
+        def graft(tree):
+            canon_p = cv[tree]
+            out = dict(pv[tree])
+            for name, sub in canon_p.get("cls_net", {}).items():
+                assert name in out, f"missing canonical module {name}"
+                out[name] = sub
+            for name in ("pred_0", "pred_1", "pred_2"):
+                if name in canon_p:
+                    out[name] = canon_p[name]
+            return out
+
+        grafted = {"params": graft("params"), "batch_stats": graft("batch_stats")}
+
+        lc, _ = canon.apply(cv, batch, train=False)
+        lp, _ = pp.apply(grafted, batch, train=False)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lc),
+                                   rtol=1e-5, atol=1e-5)
