@@ -183,9 +183,13 @@ def run_bench(error=None):
             rate_cpu = float("nan")
 
     # roofline context: FLOPs + HBM bytes of the compiled serving program
-    # (BASELINE.md "derived reference estimate"; scripts/flops_analysis.py)
+    # (BASELINE.md "derived reference estimate"; scripts/flops_analysis.py).
+    # Skipped on the CPU fallback: the extra compile would slow the
+    # structured-error path, and scripts/flops_analysis.py covers it.
     roofline = {}
     try:
+        if on_cpu:
+            raise RuntimeError("skip roofline on CPU fallback")
         from yolat_tpu.eval.predict import make_predict_fn
 
         predict = make_predict_fn(cfg, max_det=300, fast=True, folded=folded,

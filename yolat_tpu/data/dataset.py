@@ -177,7 +177,7 @@ class PackedLoader:
                  pad: PadSizes | None = None, drop_last: bool = False,
                  dense: bool = False, d_max: int | None = None,
                  prefetch: int = 2, buckets: int = 1, host_id: int = 0,
-                 n_hosts: int = 1):
+                 n_hosts: int = 1, cache_files: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_devices = n_devices
@@ -191,6 +191,13 @@ class PackedLoader:
         self.buckets = max(1, buckets)
         self.host_id = host_id
         self.n_hosts = n_hosts
+        # in-memory CompactFile cache (final dtypes, pre-dst-sorted edges):
+        # steady-state packing becomes pure same-dtype copies — the f64->f32
+        # conversions and per-batch 130k-row argsorts were ~5x the copy
+        # cost. ~2-3 MB per SESYD-scale image; disable for huge manifests.
+        # Mixup regenerates proposals per epoch, so nothing recurs to cache.
+        self.cache_files = cache_files and not dataset.do_mixup
+        self._compact: dict = {}
         if pad is not None:
             self.pad = pad
             self.buckets = 1
@@ -207,6 +214,20 @@ class PackedLoader:
                 self.d_max = 8
             else:
                 self.d_max = max(4, int(2 ** np.ceil(np.log2(max(need, 1)))))
+
+    def _load_compact(self, i: int):
+        """(CompactFile, gt, wh) for manifest index i, memoised across
+        epochs when cache_files is on."""
+        from yolat_tpu.data.packing import CompactFile
+
+        hit = self._compact.get(i)
+        if hit is not None:
+            return hit
+        f, gt, wh = self.ds.load(i)
+        item = (CompactFile(f), gt, wh)
+        if self.cache_files:
+            self._compact[i] = item
+        return item
 
     def compute_pad(self) -> PadSizes:
         """Worst-case per-shard pad sizes over all possible batch windows:
@@ -340,7 +361,7 @@ class PackedLoader:
             shards = []
             for d in range(self.n_devices):
                 idxs = window[d * self.batch_size : (d + 1) * self.batch_size]
-                loads = [self.ds.load(int(i)) for i in idxs]
+                loads = [self._load_compact(int(i)) for i in idxs]
                 shard = pack_files(
                     [l[0] for l in loads],
                     [l[1] for l in loads],

@@ -78,17 +78,66 @@ class PadSizes:
                 self.n_gt, self.n_images)
 
 
+class CompactFile:
+    """A ProposalFile pre-converted to the packed-batch dtypes, with both
+    edge families dst-sorted and the per-proposal root pointer
+    materialised.
+
+    This is the load-once form: converting float64 proposal caches to f32
+    on every batch assignment and dst-sorting ~130k edges per batch were
+    the two dominant pack_files costs (~5x the pure-copy time). The loader
+    caches CompactFiles in memory across epochs (PackedLoader
+    cache_files), so steady-state packing is same-dtype slice copies with
+    NO per-batch sort: per-file dst-sorted edge lists concatenate into a
+    globally dst-sorted batch because node-id offsets increase with file
+    position (padding rows keep dst 0 at the front).
+    """
+
+    __slots__ = ("pos", "bbox_idx", "edge", "e_attr", "edge_super",
+                 "e_attr_super", "labels", "bbox", "stat_feats", "has_obj",
+                 "is_root_mask", "root_slot_local", "n_proposals")
+
+    def __init__(self, f):
+        self.pos = np.ascontiguousarray(f.pos, np.float32)
+        self.bbox_idx = np.ascontiguousarray(f.bbox_idx, np.int32)
+        eo = np.argsort(np.asarray(f.edge)[:, 1], kind="stable")
+        self.edge = np.ascontiguousarray(np.asarray(f.edge)[eo], np.int32)
+        self.e_attr = np.ascontiguousarray(
+            np.asarray(f.e_attr)[eo, 0:4], np.float32)
+        so = np.argsort(np.asarray(f.edge_super)[:, 1], kind="stable")
+        self.edge_super = np.ascontiguousarray(
+            np.asarray(f.edge_super)[so], np.int32)
+        self.e_attr_super = np.ascontiguousarray(
+            np.asarray(f.e_attr_super)[so, 0:4], np.float32)
+        self.labels = np.ascontiguousarray(f.labels, np.int32)
+        self.bbox = np.ascontiguousarray(f.bbox, np.float32)
+        self.stat_feats = np.ascontiguousarray(f.stat_feats, np.float32)
+        self.has_obj = np.ascontiguousarray(f.has_obj, np.int32)
+        P = len(self.labels)
+        self.n_proposals = P
+        self.is_root_mask = np.zeros(P, bool)
+        self.is_root_mask[np.asarray(f.root_of_cc, np.int64)] = True
+        self.root_slot_local = np.repeat(
+            np.asarray(f.root_of_cc, np.int32),
+            np.diff(np.asarray(f.cc_slice)),
+        )
+
+
 def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
     """Concatenate per-file proposal arrays into one padded flat batch.
 
     Args:
-      files: list of ProposalFile.
+      files: list of ProposalFile or CompactFile (ProposalFiles are
+             compacted on the fly; pass CompactFiles to amortise the
+             conversion+sort across batches — see CompactFile).
       gts:   list of (gt_bbox [G,4], gt_labels [G]) per file.
       whs:   list of (width, height) per file.
       pad:   PadSizes; must dominate the actual totals.
     """
     B = pad.n_images
     assert len(files) <= B
+    files = [f if isinstance(f, CompactFile) else CompactFile(f)
+             for f in files]
 
     batch = {
         "pos": np.zeros((pad.n_nodes, 2), np.float32),
@@ -118,21 +167,37 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         "n_images": np.int32(len(files)),
     }
 
-    n_off = e_off = s_off = p_off = 0
+    # Both edge families must end up sorted by dst: sorted segment ids turn
+    # the aggregation scatter into XLA's sorted-scatter fast path —
+    # measured 3x on the conv message pipeline at [137k nodes, 133k edges]
+    # on v5e. CompactFiles are dst-sorted per file and node-id offsets grow
+    # with file position, so filling real rows at the END of the buffer
+    # (padding rows keep dst 0 at the front, masked out) yields a globally
+    # dst-sorted batch with NO per-batch argsort.
+    E_tot = sum(len(f.edge) for f in files)
+    S_tot = sum(len(f.edge_super) for f in files)
+    N_tot = sum(len(f.pos) for f in files)
+    P_tot = sum(f.n_proposals for f in files)
+    if (N_tot > pad.n_nodes or E_tot > pad.n_edges or S_tot > pad.n_super
+            or P_tot > pad.n_proposals):
+        raise ValueError("pad sizes too small for batch contents")
+
+    n_off = p_off = 0
+    e_off = pad.n_edges - E_tot
+    s_off = pad.n_super - S_tot
     for img, (f, (gt_bbox, gt_labels), wh) in enumerate(zip(files, gts, whs)):
         n, e, s, p = len(f.pos), len(f.edge), len(f.edge_super), f.n_proposals
-        if n_off + n > pad.n_nodes or e_off + e > pad.n_edges or \
-           s_off + s > pad.n_super or p_off + p > pad.n_proposals:
-            raise ValueError("pad sizes too small for batch contents")
 
         batch["pos"][n_off : n_off + n] = f.pos
         batch["node_mask"][n_off : n_off + n] = True
-        batch["bbox_idx"][n_off : n_off + n] = f.bbox_idx + p_off
-        batch["edge"][e_off : e_off + e] = f.edge + n_off
-        batch["e_attr"][e_off : e_off + e] = f.e_attr[:, 0:4]
+        np.add(f.bbox_idx, np.int32(p_off),
+               out=batch["bbox_idx"][n_off : n_off + n])
+        np.add(f.edge, np.int32(n_off), out=batch["edge"][e_off : e_off + e])
+        batch["e_attr"][e_off : e_off + e] = f.e_attr
         batch["edge_mask"][e_off : e_off + e] = True
-        batch["edge_super"][s_off : s_off + s] = f.edge_super + n_off
-        batch["e_attr_super"][s_off : s_off + s] = f.e_attr_super[:, 0:4]
+        np.add(f.edge_super, np.int32(n_off),
+               out=batch["edge_super"][s_off : s_off + s])
+        batch["e_attr_super"][s_off : s_off + s] = f.e_attr_super
         batch["super_mask"][s_off : s_off + s] = True
         batch["labels"][p_off : p_off + p] = f.labels
         batch["proposal_mask"][p_off : p_off + p] = True
@@ -140,11 +205,10 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         batch["stat_feats"][p_off : p_off + p] = f.stat_feats
         batch["has_obj"][p_off : p_off + p] = f.has_obj
         batch["image_id"][p_off : p_off + p] = img
-        batch["is_root"][p_off + f.root_of_cc] = True
+        batch["is_root"][p_off : p_off + p] = f.is_root_mask
         # per-proposal pointer to its CC's root proposal (two-pass inference)
-        for c in range(len(f.root_of_cc)):
-            lo, hi = f.cc_slice[c], f.cc_slice[c + 1]
-            batch["root_slot"][p_off + lo : p_off + hi] = p_off + f.root_of_cc[c]
+        np.add(f.root_slot_local, np.int32(p_off),
+               out=batch["root_slot"][p_off : p_off + p])
 
         g = len(gt_bbox)
         batch["gt_bbox"][img, :g] = gt_bbox
@@ -156,18 +220,6 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         e_off += e
         s_off += s
         p_off += p
-
-    # dst-sort both edge families (stable, masks/attrs reordered in lock
-    # step): sorted segment ids turn the aggregation scatter into XLA's
-    # sorted-scatter fast path — measured 3x on the conv message pipeline
-    # at [137k nodes, 133k edges] on v5e. Padding rows (dst 0) land at the
-    # front and stay masked.
-    for ek, ak, mk in (("edge", "e_attr", "edge_mask"),
-                       ("edge_super", "e_attr_super", "super_mask")):
-        order = np.argsort(batch[ek][:, 1], kind="stable")
-        batch[ek] = batch[ek][order]
-        batch[ak] = batch[ak][order]
-        batch[mk] = batch[mk][order]
 
     # two-level pooling plan for the node -> proposal reductions (bbox_idx
     # runs are contiguous by construction); see ops/segment.pool_plan
