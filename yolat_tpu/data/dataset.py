@@ -297,7 +297,19 @@ class PackedLoader:
         """Iterate batches, packing `prefetch` steps ahead on a background
         thread — the host-pipeline-parallelism replacement for the
         reference's DataLoader(num_workers=8) (train.py:181): device steps
-        overlap with host packing instead of alternating with it."""
+        overlap with host packing instead of alternating with it.
+
+        An unshuffled loader (the eval loaders) produces the SAME batch
+        sequence every epoch — host augmentation does not exist (it runs
+        on-device in finalize_batch) — so the packed epoch is cached whole
+        after the first pass and later evals skip packing entirely."""
+        if not self.shuffle and self.cache_files:
+            cached = getattr(self, "_epoch_cache", None)
+            if cached is None:
+                cached = list(self._iter_sync())
+                self._epoch_cache = cached
+            yield from cached
+            return
         if getattr(self, "prefetch", 2) <= 0:
             yield from self._iter_sync()
             return
