@@ -396,3 +396,96 @@ def test_get_proposal_matches_reference(ref, tmp_path):
         assert root_boxes_ref == root_boxes_ours
         checked += 1
     assert checked == len(files)
+
+
+# --------------------------------------------- svg_parser graph builder
+
+
+class _Cubic:
+    """Stub of svgpathtools' CubicBezier: the reference builder only reads
+    .start/.control1/.control2/.end as complex numbers."""
+
+    def __init__(self, seg):
+        self.start = complex(seg[0][0], seg[0][1])
+        self.control1 = complex(seg[1][0], seg[1][1])
+        self.control2 = complex(seg[2][0], seg[2][1])
+        self.end = complex(seg[3][0], seg[3][1])
+
+
+def _edge_fingerprints(pos, edges, attrs=None, nd=9):
+    """Order/node-id-independent edge fingerprints: endpoint positions
+    (lexicographically sorted), plus the pooled edge attr when given."""
+    fps = []
+    for i, e in enumerate(np.asarray(edges).reshape(-1, 2)):
+        a = tuple(np.round(pos[e[0]], nd).tolist())
+        b = tuple(np.round(pos[e[1]], nd).tolist())
+        key = (min(a, b), max(a, b))
+        if attrs is not None:
+            fps.append(key + (tuple(np.round(attrs[i], nd).tolist()),))
+        else:
+            fps.append(key)
+    return sorted(fps)
+
+
+@pytest.mark.slow
+def test_graph_builder_and_merge_match_reference(ref, tmp_path):
+    """Golden parity for the Bezier->graph builder + node merge
+    (SVGGraphBuilderBezier2.bezierPath2Graph + mergeNode,
+    svg_parser.py:49-268) on our own synthetic scenes: same cubic
+    segments in, same merged graph out (nodes, shape/control edges and
+    mean-pooled shape-edge attributes compared as position-keyed
+    multisets — node numbering is not semantically load-bearing)."""
+    from yolat_tpu.data.synthetic import write_dataset
+    from yolat_tpu.geom.graph_build import cubics_to_graph, merge_nodes
+    from yolat_tpu.geom.bezier import primitives_to_cubics
+    from yolat_tpu.geom.split_cross import split_cross
+    from yolat_tpu.geom.svg_io import SVGDocument
+
+    root = str(tmp_path / "gb")
+    write_dataset(root, n_train=2, n_test=0, seed=21, width=600.0,
+                  height=450.0, n_rooms=2, symbols_per_room=(1, 2))
+    with open(os.path.join(root, "train_list.txt")) as f:
+        files = [os.path.join(root, l.strip()) for l in f if l.strip()]
+
+    GB = ref.graph_dict3.SVGGraphBuilderBezier  # = SVGGraphBuilderBezier2
+    builder = GB()
+
+    for path in files:
+        doc = SVGDocument.from_file(path)
+        cubics = primitives_to_cubics(split_cross(doc.shapes))
+
+        # reference build on identical cubic segments
+        node_dict = builder.bezierPath2Graph(
+            [_Cubic(seg) for seg in cubics],
+            {"width": doc.width, "height": doc.height, "stroke": "black",
+             "stroke-width": 6},
+        )
+        for key in node_dict:  # the __main__'s list->array conversion
+            for k in node_dict[key]:
+                node_dict[key][k] = np.array(node_dict[key][k])
+                if node_dict[key][k].ndim == 1:
+                    node_dict[key][k] = node_dict[key][k][:, None]
+        ref_g = builder.mergeNode(node_dict)
+        ref_pos = np.asarray(ref_g["pos"]["spatial"])
+
+        ours = merge_nodes(cubics_to_graph(cubics, doc.width, doc.height))
+        our_pos = np.asarray(ours["pos"])
+
+        assert len(our_pos) == len(ref_pos)
+        # node multiset: (pos, is_control, color, stroke_width)
+        def node_keys(pos, attr):
+            cols = np.concatenate(
+                [pos, np.asarray(attr["is_control"]).reshape(-1, 1),
+                 np.asarray(attr["color"]).reshape(len(pos), -1),
+                 np.asarray(attr["stroke_width"]).reshape(-1, 1)], axis=1)
+            return sorted(map(tuple, np.round(cols, 9).tolist()))
+        assert node_keys(our_pos, ours["attr"]) == node_keys(ref_pos, ref_g["attr"])
+
+        # shape edges + mean-pooled attrs; control edges
+        ref_fp = _edge_fingerprints(ref_pos, ref_g["edge"]["shape"],
+                                    np.asarray(ref_g["edge_attr"]["shape"]))
+        our_fp = _edge_fingerprints(our_pos, ours["edge"]["shape"],
+                                    np.asarray(ours["edge_attr"]["shape"]))
+        assert ref_fp == our_fp
+        assert _edge_fingerprints(ref_pos, ref_g["edge"]["control"]) == \
+            _edge_fingerprints(our_pos, ours["edge"]["control"])
