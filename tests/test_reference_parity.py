@@ -54,9 +54,14 @@ def ref():
         sys.modules["torch_geometric.data"] = tgd
     if "svgpathtools" not in sys.modules:
         sp = types.ModuleType("svgpathtools")
+
+        class _Stub:
+            def __init__(self, *a, **k):
+                pass
+
         for name in ("parse_path", "wsvg", "Path", "Line", "QuadraticBezier",
                      "CubicBezier", "Arc"):
-            setattr(sp, name, type(name, (), {}))
+            setattr(sp, name, type(name, (_Stub,), {}))
         sys.modules["svgpathtools"] = sp
 
     if REF not in sys.path:
@@ -489,3 +494,80 @@ def test_graph_builder_and_merge_match_reference(ref, tmp_path):
         assert ref_fp == our_fp
         assert _edge_fingerprints(ref_pos, ref_g["edge"]["control"]) == \
             _edge_fingerprints(our_pos, ours["edge"]["control"])
+
+
+@pytest.mark.slow
+def test_merge_cc_matches_reference(ref, tmp_path):
+    """Golden parity for the CC/super-edge builder (mergeCC +
+    getConnnectedComponent, build_graph_bbox.py:53-213): run the
+    reference's own function on OUR merged graph (identical node ids) and
+    compare intra-CC cliques, cross-CC containment edges, their 6-dim
+    attrs, and the transitively merged CC partition."""
+    np.bool = np.bool_  # the reference predates numpy 2.0's removal
+    import utils.svg_utils.build_graph_bbox as bgb
+
+    from yolat_tpu.data.synthetic import write_dataset
+    from yolat_tpu.geom.graph_build import (
+        build_svg_graph,
+        merge_connected_components,
+        merge_nodes,
+        cubics_to_graph,
+    )
+    from yolat_tpu.geom.bezier import primitives_to_cubics
+    from yolat_tpu.geom.split_cross import split_cross
+    from yolat_tpu.geom.svg_io import SVGDocument
+
+    root = str(tmp_path / "cc")
+    write_dataset(root, n_train=2, n_test=0, seed=33, width=700.0,
+                  height=500.0, n_rooms=2, symbols_per_room=(1, 2))
+    with open(os.path.join(root, "train_list.txt")) as f:
+        files = [os.path.join(root, l.strip()) for l in f if l.strip()]
+
+    for path in files:
+        doc = SVGDocument.from_file(path)
+        cubics = primitives_to_cubics(split_cross(doc.shapes))
+        g = merge_nodes(cubics_to_graph(cubics, doc.width, doc.height))
+
+        node_dict = {
+            "pos": {"spatial": np.asarray(g["pos"], dtype=np.float64)},
+            "attr": {
+                "is_control": np.asarray(g["attr"]["is_control"]).reshape(-1, 1),
+                "color": np.asarray(g["attr"]["color"]),
+            },
+            "edge": {"shape": np.asarray(g["edge"]["shape"]).reshape(-1, 2)},
+        }
+        bgb.width, bgb.height = doc.width, doc.height  # module globals the
+        # reference __main__ sets implicitly
+        (ss_ref, cross_ref, ss_attr_ref, cross_attr_ref, _paths,
+         new_cc_ref) = bgb.mergeCC(node_dict)
+
+        ours = merge_connected_components(g)
+
+        def edge_attr_map(edges, attrs):
+            edges = np.asarray(edges).reshape(-1, 2)
+            return {tuple(sorted(map(int, e))): np.asarray(a)
+                    for e, a in zip(edges, np.asarray(attrs).reshape(len(edges), -1))}
+
+        for ref_e, ref_a, our_e, our_a in (
+            (ss_ref, ss_attr_ref, ours["shape_shape_edges"], ours["shape_shape_attr"]),
+            (cross_ref, cross_attr_ref, ours["cross_shape_edges"], ours["cross_attr"]),
+        ):
+            m_ref = edge_attr_map(ref_e, ref_a)
+            m_our = edge_attr_map(our_e, our_a)
+            assert set(m_ref) == set(m_our)
+            for k in m_ref:
+                np.testing.assert_allclose(m_our[k], m_ref[k], atol=1e-12)
+
+        # Deliberate deviation: the reference's recursive CC merge
+        # (get_all_neighboors, build_graph_bbox.py:164-188) marks the root
+        # visited only AFTER recursion, so whenever >=2 CCs merge the root
+        # CC's node ids are appended TWICE into the merged cluster — real
+        # reference floorplan caches carry duplicated wall-CC ids, which
+        # then duplicate nodes/edges inside that CC's proposals. We emit a
+        # clean partition; compare after deduplication, and assert the
+        # members agree exactly.
+        assert sorted(
+            sorted(set(map(int, c))) for c in new_cc_ref
+        ) == sorted(sorted(map(int, c)) for c in ours["cc"])
+        for c in ours["cc"]:
+            assert len(set(c)) == len(c)  # ours stays duplicate-free
