@@ -571,3 +571,69 @@ def test_merge_cc_matches_reference(ref, tmp_path):
         ) == sorted(sorted(map(int, c)) for c in ours["cc"])
         for c in ours["cc"]:
             assert len(set(c)) == len(c)  # ours stays duplicate-free
+
+
+@pytest.mark.slow
+def test_split_cross_matches_reference(ref, tmp_path):
+    """Golden parity for the cross-point splitter (split_cross.py:323-389:
+    circles split at incident line endpoints into arcs; lines split at
+    points lying on them) on our synthetic scenes. The reference parses
+    arc paths through svgpathtools; the stub's parse_path is replaced with
+    a minimal 'M x y A rx ry rot fa fs x y' reader producing Arc stubs."""
+    import re as _re
+
+    sp = sys.modules["svgpathtools"]
+    Arc = sp.Arc
+
+    def _parse_path(d):
+        m = _re.match(
+            r"M\s*([-\d.eE]+)[ ,]\s*([-\d.eE]+)\s*A\s*([-\d.eE]+)[ ,]"
+            r"\s*([-\d.eE]+)\s+([-\d.eE]+)\s+([01])\s+([01])\s+"
+            r"([-\d.eE]+)[ ,]\s*([-\d.eE]+)", d)
+        assert m, f"unexpected path d: {d}"
+        x0, y0, rx, ry, rot, fa, fs, x1, y1 = map(float, m.groups())
+        a = Arc()
+        a.start = complex(x0, y0)
+        a.end = complex(x1, y1)
+        a.radius = complex(rx, ry)
+        a.rotation = rot
+        a.large_arc = int(fa)
+        a.sweep = int(fs)
+        return [a]
+
+    old_parse = sp.parse_path
+    sp.parse_path = _parse_path
+    try:
+        import utils.svg_utils.split_cross as ref_sc
+
+        ref_sc.parse_path = _parse_path  # module already bound the old stub
+
+        from yolat_tpu.data.synthetic import write_dataset
+        from yolat_tpu.geom.split_cross import split_cross
+        from yolat_tpu.geom.svg_io import SVGDocument
+
+        root = str(tmp_path / "sc")
+        write_dataset(root, n_train=3, n_test=0, seed=44, width=800.0,
+                      height=600.0, n_rooms=3, symbols_per_room=(1, 2))
+        with open(os.path.join(root, "train_list.txt")) as f:
+            files = [os.path.join(root, l.strip()) for l in f if l.strip()]
+
+        def rows(a, width):
+            a = np.asarray(a, dtype=np.float64).reshape(-1, width)
+            return sorted(map(tuple, np.round(a, 9).tolist()))
+
+        for path in files:
+            doc = SVGDocument.from_file(path)
+            theirs = ref_sc.split_cross(doc.shapes)
+            ours = split_cross(doc.shapes)
+
+            assert rows(ours["lines"], 4) == rows(theirs["line"]["start_end"], 4)
+            assert rows(ours["circles"], 3) == rows(theirs["circle"]["param"], 3)
+            ref_arcs = (np.concatenate(
+                [np.asarray(theirs["arc"]["start_end"], np.float64).reshape(-1, 4),
+                 np.asarray(theirs["arc"]["param"], np.float64).reshape(-1, 5)],
+                axis=1) if len(theirs["arc"]["start_end"]) else
+                np.zeros((0, 9)))
+            assert rows(ours["arcs"], 9) == rows(ref_arcs, 9)
+    finally:
+        sp.parse_path = old_parse
