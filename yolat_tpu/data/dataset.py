@@ -368,24 +368,49 @@ class PackedLoader:
             even = (len(steps) // self.n_hosts) * self.n_hosts
             steps = steps[:even][self.host_id :: self.n_hosts]
 
-        for b, window in steps:
-            pad = self._bucket_pads[b]
-            shards = []
-            for d in range(self.n_devices):
-                idxs = window[d * self.batch_size : (d + 1) * self.batch_size]
-                loads = [self._load_compact(int(i)) for i in idxs]
-                shard = pack_files(
-                    [l[0] for l in loads],
-                    [l[1] for l in loads],
-                    [l[2] for l in loads],
-                    pad,
-                )
-                if self.dense:
-                    from yolat_tpu.data.packing import add_dense_neighbors
+        def pack_shard(pad, idxs):
+            loads = [self._load_compact(int(i)) for i in idxs]
+            shard = pack_files(
+                [l[0] for l in loads],
+                [l[1] for l in loads],
+                [l[2] for l in loads],
+                pad,
+            )
+            if self.dense:
+                from yolat_tpu.data.packing import add_dense_neighbors
 
-                    shard = add_dense_neighbors(shard, d_max=self.d_max)
-                shards.append(shard)
-            yield stack_shards(shards)
+                shard = add_dense_neighbors(shard, d_max=self.d_max)
+            return shard
+
+        # per-device shards pack in parallel: the packing body is numpy
+        # copies (GIL released), so a thread pool scales with host cores —
+        # the multi-chip host pipeline would otherwise feed D shards
+        # serially per step
+        # (mixup loads mutate the dataset rng — not thread-safe — and
+        # disable cache_files, which therefore also gates the pool)
+        pool = None
+        if self.n_devices > 1 and self.cache_files and (os.cpu_count() or 1) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(
+                max_workers=min(self.n_devices, os.cpu_count() or 1)
+            )
+        try:
+            for b, window in steps:
+                pad = self._bucket_pads[b]
+                windows = [
+                    window[d * self.batch_size : (d + 1) * self.batch_size]
+                    for d in range(self.n_devices)
+                ]
+                if pool is not None:
+                    shards = list(pool.map(lambda w: pack_shard(pad, w),
+                                           windows))
+                else:
+                    shards = [pack_shard(pad, w) for w in windows]
+                yield stack_shards(shards)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 def stack_shards(shards: list) -> dict:
