@@ -637,3 +637,52 @@ def test_split_cross_matches_reference(ref, tmp_path):
             assert rows(ours["arcs"], 9) == rows(ref_arcs, 9)
     finally:
         sp.parse_path = old_parse
+
+
+@pytest.mark.slow
+def test_merge_cluster_diagram_matches_reference(ref, tmp_path):
+    """Golden parity for the diagrams proximity CC grouping (mergeCluster,
+    build_graph_bbox_diagram.py:110-176 with the 40px expansion at :198):
+    expanded boxes clamp to the unit image and touching extents merge."""
+    np.bool = np.bool_
+    # mergeCluster's inner `from det_util import bbox_iou` expects to run
+    # with the reference's utils/ on sys.path; alias the loaded module
+    sys.modules.setdefault("det_util", ref.det_util)
+    import utils.svg_utils.build_graph_bbox_diagram as bgd
+
+    from yolat_tpu.data.synthetic import write_diagram_dataset
+    from yolat_tpu.geom.graph_build import (
+        connected_components,
+        merge_cluster_diagram,
+        merge_nodes,
+        cubics_to_graph,
+    )
+    from yolat_tpu.geom.bezier import primitives_to_cubics
+    from yolat_tpu.geom.split_cross import split_cross
+    from yolat_tpu.geom.svg_io import SVGDocument
+
+    root = str(tmp_path / "diag")
+    write_diagram_dataset(root, n_train=3, n_test=0, seed=9)
+    with open(os.path.join(root, "train_list.txt")) as f:
+        files = [os.path.join(root, l.strip()) for l in f if l.strip()]
+
+    for path in files:
+        doc = SVGDocument.from_file(path)
+        cubics = primitives_to_cubics(split_cross(doc.shapes))
+        g = merge_nodes(cubics_to_graph(cubics, doc.width, doc.height))
+        ccs = connected_components(g)
+        pos = np.asarray(g["pos"], dtype=np.float64)
+
+        bboxs = []
+        for c in ccs:
+            p = pos[c]
+            bboxs.append((p[:, 0].min(), p[:, 1].min(),
+                          p[:, 0].max(), p[:, 1].max()))
+        ref_cc, _ref_boxes = bgd.mergeCluster(
+            [list(c) for c in ccs], bboxs, ratio=None,
+            expand_length=(40 / doc.width, 40 / doc.height),
+        )
+        ours = merge_cluster_diagram(pos, ccs, doc.width, doc.height)
+
+        assert sorted(sorted(map(int, c)) for c in ref_cc) == \
+            sorted(sorted(map(int, c)) for c in ours)

@@ -27,7 +27,7 @@ from yolat_tpu.geom.svg_io import SVGDocument, read_ground_truth_boxes
 
 
 # bump when the graph/proposal cache formats change semantically
-CACHE_VERSION = 2
+CACHE_VERSION = 3
 
 
 def _atomic_pickle(path: str, obj) -> None:

@@ -386,12 +386,18 @@ def merge_cluster_diagram(pos: np.ndarray, ccs: list, width: float, height: floa
     ex = expand_px / width
     ey = expand_px / height
     boxes = boxes + np.array([-ex, -ey, ex, ey])
+    # the reference clamps the expanded boxes to the unit image and counts
+    # touching extents as overlapping (<=), which matters exactly at the
+    # borders where clamping pins both boxes to 0/1
+    # (build_graph_bbox_diagram.py:126-144)
+    boxes[:, 0:2] = np.maximum(boxes[:, 0:2], 0.0)
+    boxes[:, 2:4] = np.minimum(boxes[:, 2:4], 1.0)
 
     x0a, y0a, x1a, y1a = (boxes[:, k][:, None] for k in range(4))
     x0b, y0b, x1b, y1b = (boxes[:, k][None, :] for k in range(4))
     overlap = (
-        (np.minimum(x1a, x1b) > np.maximum(x0a, x0b))
-        & (np.minimum(y1a, y1b) > np.maximum(y0a, y0b))
+        (np.minimum(x1a, x1b) >= np.maximum(x0a, x0b))
+        & (np.minimum(y1a, y1b) >= np.maximum(y0a, y0b))
     )
 
     uf = UnionFind(len(ccs))
