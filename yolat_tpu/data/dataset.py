@@ -233,15 +233,18 @@ class PackedLoader:
         """Worst-case per-shard pad sizes over all possible batch windows:
         the sum of the `batch_size` largest per-file counts per dimension.
         One streaming pass over the FULL manifest (host-independent, so
-        every host compiles the same programs); files are not retained in
-        memory. With buckets > 1 also assigns every file a size bucket and
-        computes one PadSizes per bucket."""
+        every host compiles the same programs); files are retained in
+        memory only under the cache_files contract (as CompactFiles, which
+        the first epoch would build anyway). With buckets > 1 also assigns
+        every file a size bucket and computes one PadSizes per bucket."""
         from yolat_tpu.data.packing import round_up
 
         nodes, edges, supers, props, gts = [], [], [], [], []
         max_indeg = 1
         for i in range(len(self.ds)):
-            f, (gt, _), _ = self.ds.load(i)
+            # with cache_files this pass doubles as the CompactFile warmup,
+            # so the first epoch doesn't re-read the whole manifest
+            f, (gt, _), _ = self._load_compact(i)
             nodes.append(len(f.pos))
             edges.append(len(f.edge))
             supers.append(len(f.edge_super))
