@@ -646,10 +646,16 @@ class _Accumulator:
 
     def finish(self) -> ProposalFile:
         def cat(parts, width, dtype=np.float64):
-            if parts:
-                return np.concatenate([np.asarray(p, dtype=dtype).reshape(-1, width)
-                                       for p in parts], axis=0)
-            return np.zeros((0, width), dtype=dtype)
+            if not parts:
+                return np.zeros((0, width), dtype=dtype)
+            if len(parts) == 1:
+                # single-CC files (floorplans after containment merging):
+                # np.concatenate copies even a single input — asarray is a
+                # view when the block already has the target dtype
+                return np.ascontiguousarray(
+                    np.asarray(parts[0], dtype=dtype).reshape(-1, width))
+            return np.concatenate([np.asarray(p, dtype=dtype).reshape(-1, width)
+                                   for p in parts], axis=0)
 
         return ProposalFile(
             pos=cat(self.pos, 2),
