@@ -12,11 +12,11 @@ from yolat_tpu.train.loop import create_state
 from yolat_tpu.train.optim import make_optimizer
 
 
-def load_checkpoint(cfg, example_batch):
+def load_checkpoint(cfg, example_batch, tag: str = "best"):
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
     state = create_state(cfg, tx, example_batch, jax.random.key(cfg.seed))
     ckpt = CheckpointManager(cfg.pretrained_model)
-    state, epoch, best = ckpt.restore(state, tag="best")
+    state, epoch, best = ckpt.restore(state, tag=tag)
     return state, epoch, best
 
 

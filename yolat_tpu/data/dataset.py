@@ -44,19 +44,26 @@ class SESYDDataset:
     def __init__(self, root: str, partition: str = "train",
                  bbox_sampling_step: int = 10, mode: str | None = None,
                  class_dict: dict | None = None, cache: bool = True,
-                 do_mixup: bool = False, seed: int = 0):
+                 do_mixup: bool = False, seed: int = 0,
+                 files: list | None = None, require_gt: bool = True):
         self.root = root
         self.partition = partition
         self.step = bbox_sampling_step
-        list_path = os.path.join(root, f"{partition}_list.txt")
-        if not os.path.exists(list_path):
-            # the reference manifests include val_list2.txt, which doesn't
-            # follow the <partition>_list.txt pattern; accept <partition>.txt
-            alt = os.path.join(root, f"{partition}.txt")
-            if os.path.exists(alt):
-                list_path = alt
-        with open(list_path) as f:
-            self.files = [os.path.join(root, line.strip()) for line in f if line.strip()]
+        self.require_gt = require_gt
+        if files is not None:
+            # explicit file list (the bulk-inference CLI path: bare SVGs,
+            # no manifest, optionally no GT sidecars)
+            self.files = list(files)
+        else:
+            list_path = os.path.join(root, f"{partition}_list.txt")
+            if not os.path.exists(list_path):
+                # the reference manifests include val_list2.txt, which doesn't
+                # follow the <partition>_list.txt pattern; accept <partition>.txt
+                alt = os.path.join(root, f"{partition}.txt")
+                if os.path.exists(alt):
+                    list_path = alt
+            with open(list_path) as f:
+                self.files = [os.path.join(root, line.strip()) for line in f if line.strip()]
         if mode is None:
             # the reference keys the class dictionary off the path
             # (graph_dict3.py:57)
@@ -131,9 +138,16 @@ class SESYDDataset:
         path = self.files[idx]
         graph = self._graph(path)
         w, h = graph["img_width"], graph["img_height"]
-        gt_bbox, gt_labels = read_ground_truth_boxes(
-            path.replace(".svg", ".xml"), w, h, self.class_dict
-        )
+        xml_path = path.replace(".svg", ".xml")
+        if os.path.exists(xml_path) or self.require_gt:
+            gt_bbox, gt_labels = read_ground_truth_boxes(
+                xml_path, w, h, self.class_dict
+            )
+        else:
+            # inference on unannotated SVGs: every proposal labels
+            # background; the model's own scores drive detection
+            gt_bbox = np.zeros((0, 4))
+            gt_labels = np.zeros(0, np.int64)
         cache_path = path.replace(".svg", f".props{self.step}.v{CACHE_VERSION}.pkl")
         if self.cache and not self.do_mixup and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
