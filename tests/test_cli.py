@@ -196,3 +196,24 @@ class TestCLIPipeline:
              "--max_images", "1"]
         )
         assert any(f.endswith(".png") for f in os.listdir(g_dir))
+
+        # 7. bulk inference: unannotated SVG dir -> detections JSONL
+        # (restores the LATEST epoch; GT sidecars exist here but are not
+        # required — require_gt=False path)
+        from yolat_tpu.cli import infer as cli_infer
+
+        out_jsonl = str(tmp_path / "dets.jsonl")
+        cli_infer.main(
+            [
+                "--input_dir", os.path.join(synthetic_root, "floorplans-syn"),
+                "--bbox_sampling_step", "5",
+                "--batch_size", "3",
+                "--pretrained_model", ckpt_dir,
+                "--out", out_jsonl,
+                "--conf_th", "0.0",
+            ]
+        )
+        with open(out_jsonl) as f:
+            lines = [json.loads(line) for line in f]
+        assert len(lines) == 5  # all SVGs under the dir
+        assert all("detections" in d and "file" in d for d in lines)
