@@ -13,7 +13,43 @@
 #include <cmath>
 #include <cstdint>
 #include <unordered_set>
+#include <utility>
 #include <vector>
+
+namespace {
+
+// path-compressed union-find (mirror of graph_build.UnionFind)
+struct UnionFind {
+  std::vector<int64_t> parent;
+  explicit UnionFind(long n) : parent(n) {
+    for (long i = 0; i < n; ++i) parent[i] = i;
+  }
+  int64_t find(int64_t i) {
+    while (parent[i] != i) {
+      parent[i] = parent[parent[i]];
+      i = parent[i];
+    }
+    return i;
+  }
+  void unite(int64_t a, int64_t b) {
+    a = find(a);
+    b = find(b);
+    if (a != b) parent[std::max(a, b)] = std::min(a, b);
+  }
+};
+
+// [0, 0, 0, 0, angle, dist^2] super-edge attribute
+// (graph_build._edge_geometry_attr; build_graph_bbox.py:196-197)
+inline void super_attr(const double* pos, int64_t a, int64_t b, double* out) {
+  const double dx = pos[2 * a] - pos[2 * b];
+  const double dy = pos[2 * a + 1] - pos[2 * b + 1];
+  const double d2 = dx * dx + dy * dy;
+  out[0] = out[1] = out[2] = out[3] = 0.0;
+  out[4] = dx / (std::sqrt(d2) + 1e-7);
+  out[5] = d2;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -412,6 +448,228 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
   }
   *n_distinct_out = n_distinct;
   return n_sets;
+}
+
+// Full mergeCC (graph_build.merge_connected_components; reference
+// build_graph_bbox.py:87-213): connected components over shape edges
+// (control nodes excluded), intra-CC clique "super" edges, cross-CC
+// containment edges (>=90% bbox inclusion incl. the degenerate zero-extent
+// conventions), transitive CC merging, and the 6-dim super-edge attrs.
+//
+// Outputs:
+//   out_clique [*,2] + out_clique_attr [*,6]   lexicographically sorted,
+//   out_cross  [*,2] + out_cross_attr  [*,6]   deduped (np.unique order)
+//   out_cc_ids / out_cc_off (CSR)              merged CCs, each sorted,
+//                                              ordered by smallest member
+//   counts_out [3] = n_clique, n_cross, n_cc
+// Returns 0, or -1 if any capacity was exhausted (caller falls back).
+long merge_cc(const double* pos, long n_nodes,
+              const int64_t* edges, long n_edges,
+              const uint8_t* is_control, double contain_th,
+              int64_t* out_clique, long cap_clique,
+              int64_t* out_cross, long cap_cross,
+              double* out_clique_attr, double* out_cross_attr,
+              int64_t* out_cc_ids, long cap_cc_ids,
+              int64_t* out_cc_off, long cap_ccs,
+              int64_t* counts_out) {
+  UnionFind uf(n_nodes);
+  for (long e = 0; e < n_edges; ++e) uf.unite(edges[2 * e], edges[2 * e + 1]);
+
+  // CCs over non-control nodes, ordered by smallest member (ascending node
+  // scan groups members in ascending order automatically)
+  std::vector<int64_t> root_to_cc(n_nodes, -1);
+  std::vector<std::vector<int64_t>> ccs;
+  for (long i = 0; i < n_nodes; ++i) {
+    if (is_control[i]) continue;
+    const int64_t r = uf.find(i);
+    if (root_to_cc[r] < 0) {
+      root_to_cc[r] = (int64_t)ccs.size();
+      ccs.emplace_back();
+    }
+    ccs[root_to_cc[r]].push_back(i);
+  }
+  const long n_cc = (long)ccs.size();
+
+  // intra-CC cliques; member lists are ascending so pairs are (min, max)
+  // and per-CC blocks are lexicographic — but blocks can interleave across
+  // CCs, so a global sort reproduces np.unique's row order
+  long n_clique = 0;
+  for (long c = 0; c < n_cc; ++c) {
+    const auto& m = ccs[c];
+    const long k = (long)m.size();
+    if (n_clique + k * (k - 1) / 2 > cap_clique) return -1;
+    for (long i = 0; i < k; ++i)
+      for (long j = i + 1; j < k; ++j) {
+        out_clique[2 * n_clique] = m[i];
+        out_clique[2 * n_clique + 1] = m[j];
+        ++n_clique;
+      }
+  }
+  {
+    std::vector<std::pair<int64_t, int64_t>> p(n_clique);
+    for (long i = 0; i < n_clique; ++i)
+      p[i] = {out_clique[2 * i], out_clique[2 * i + 1]};
+    std::sort(p.begin(), p.end());
+    p.erase(std::unique(p.begin(), p.end()), p.end());
+    n_clique = (long)p.size();
+    for (long i = 0; i < n_clique; ++i) {
+      out_clique[2 * i] = p[i].first;
+      out_clique[2 * i + 1] = p[i].second;
+    }
+  }
+
+  // CC bboxes + containment matrix (build_graph_bbox.py:130-160)
+  std::vector<double> bx0(n_cc), by0(n_cc), bx1(n_cc), by1(n_cc);
+  for (long c = 0; c < n_cc; ++c) {
+    double x0 = 1e300, y0 = 1e300, x1 = -1e300, y1 = -1e300;
+    for (int64_t i : ccs[c]) {
+      const double px = pos[2 * i], py = pos[2 * i + 1];
+      if (px < x0) x0 = px;
+      if (px > x1) x1 = px;
+      if (py < y0) y0 = py;
+      if (py > y1) y1 = py;
+    }
+    bx0[c] = x0; by0[c] = y0; bx1[c] = x1; by1[c] = y1;
+  }
+  std::vector<uint8_t> contained(n_cc * n_cc, 0);
+  for (long i = 0; i < n_cc; ++i) {
+    for (long j = 0; j < n_cc; ++j) {
+      if (i == j) continue;
+      const double ix0 = std::max(bx0[i], bx0[j]);
+      const double iy0 = std::max(by0[i], by0[j]);
+      const double ix1 = std::min(bx1[i], bx1[j]);
+      const double iy1 = std::min(by1[i], by1[j]);
+      const double cw = bx1[j] - bx0[j], ch = by1[j] - by0[j];
+      const double child_area = cw * ch;
+      const double inter =
+          std::max(ix1 - ix0, 0.0) * std::max(iy1 - iy0, 0.0);
+      bool in = false;
+      if (child_area > 0.0) in = inter / child_area > contain_th;
+      if (cw == 0.0)
+        in = in || (ix1 - ix0 == 0.0 &&
+                    std::max(iy1 - iy0, 0.0) > contain_th * ch);
+      if (ch == 0.0)
+        in = in || (std::max(ix1 - ix0, 0.0) > contain_th * cw &&
+                    iy1 - iy0 == 0.0);
+      contained[i * n_cc + j] = in;
+    }
+  }
+
+  // cross-CC edges for each contained (parent, child) pair: full bipartite
+  // product, pair-sorted, globally deduped (np.unique order)
+  {
+    std::vector<std::pair<int64_t, int64_t>> p;
+    for (long i = 0; i < n_cc; ++i)
+      for (long j = 0; j < n_cc; ++j) {
+        if (!contained[i * n_cc + j]) continue;
+        for (int64_t a : ccs[i])
+          for (int64_t b : ccs[j])
+            p.emplace_back(std::min(a, b), std::max(a, b));
+      }
+    std::sort(p.begin(), p.end());
+    p.erase(std::unique(p.begin(), p.end()), p.end());
+    if ((long)p.size() > cap_cross) return -1;
+    for (long i = 0; i < (long)p.size(); ++i) {
+      out_cross[2 * i] = p[i].first;
+      out_cross[2 * i + 1] = p[i].second;
+    }
+    counts_out[1] = (long)p.size();
+  }
+
+  for (long i = 0; i < n_clique; ++i)
+    super_attr(pos, out_clique[2 * i], out_clique[2 * i + 1],
+               out_clique_attr + 6 * i);
+  for (long i = 0; i < counts_out[1]; ++i)
+    super_attr(pos, out_cross[2 * i], out_cross[2 * i + 1],
+               out_cross_attr + 6 * i);
+
+  // transitively merge contained CCs (either direction)
+  UnionFind cuf(n_cc);
+  for (long i = 0; i < n_cc; ++i)
+    for (long j = 0; j < n_cc; ++j)
+      if (contained[i * n_cc + j]) cuf.unite(i, j);
+  std::vector<int64_t> groot_to_g(n_cc, -1);
+  std::vector<std::vector<int64_t>> merged;
+  for (long c = 0; c < n_cc; ++c) {  // CC order = ascending min member
+    const int64_t r = cuf.find(c);
+    if (groot_to_g[r] < 0) {
+      groot_to_g[r] = (int64_t)merged.size();
+      merged.emplace_back();
+    }
+    auto& g = merged[groot_to_g[r]];
+    g.insert(g.end(), ccs[c].begin(), ccs[c].end());
+  }
+  if ((long)merged.size() > cap_ccs) return -1;
+  long total = 0;
+  out_cc_off[0] = 0;
+  for (long g = 0; g < (long)merged.size(); ++g) {
+    auto& m = merged[g];
+    std::sort(m.begin(), m.end());
+    if (total + (long)m.size() > cap_cc_ids) return -1;
+    for (int64_t v : m) out_cc_ids[total++] = v;
+    out_cc_off[g + 1] = total;
+  }
+
+  counts_out[0] = n_clique;
+  counts_out[2] = (long)merged.size();
+  return 0;
+}
+
+// Grid-sweep rectangle enumeration (proposals._sweep_rects inner walks +
+// the nested rect product; reference graph_dict3.py:472-523 walk order).
+// x/y value lists are ascending-unique; grids are the boundary positions.
+// Emits rects as (x0, x1, y0, y1) inclusive index bounds in the exact
+// reference nesting: y_start > x_start > y_end > x_end.
+// Returns rect count, or -1 if cap_rects was exhausted.
+long sweep_rects(const double* xv, long nx, const double* yv, long ny,
+                 const double* xg, long ngx, const double* yg, long ngy,
+                 int32_t* out_rects, long cap_rects) {
+  auto walk_starts = [](const double* v, long n, const double* g, long ng,
+                        std::vector<std::pair<long, long>>& out) {
+    long prev = -1;
+    for (long gi = 0; gi < ng; ++gi) {
+      long x = prev + 1;
+      while (x < n && v[x] < g[gi]) ++x;
+      if (x == prev) continue;
+      prev = x;
+      if (x < n) out.emplace_back(x, gi);
+    }
+  };
+  auto walk_ends = [](const double* v, long n, const double* g, long ng,
+                      long gi0, long start, std::vector<long>& out) {
+    long prev = start;
+    for (long k = gi0 + 1; k < ng; ++k) {
+      long x = prev + 1;
+      while (x < n && v[x] <= g[k]) ++x;
+      const long e = x - 1;
+      if (e == prev) continue;
+      prev = e;
+      out.push_back(e);
+    }
+  };
+
+  std::vector<std::pair<long, long>> xs, ys;
+  walk_starts(xv, nx, xg, ngx, xs);
+  walk_starts(yv, ny, yg, ngy, ys);
+  std::vector<std::vector<long>> xe(xs.size()), ye(ys.size());
+  for (size_t i = 0; i < xs.size(); ++i)
+    walk_ends(xv, nx, xg, ngx, xs[i].second, xs[i].first, xe[i]);
+  for (size_t i = 0; i < ys.size(); ++i)
+    walk_ends(yv, ny, yg, ngy, ys[i].second, ys[i].first, ye[i]);
+
+  long n = 0;
+  for (size_t yi = 0; yi < ys.size(); ++yi)
+    for (size_t xi = 0; xi < xs.size(); ++xi)
+      for (long y1 : ye[yi])
+        for (long x1 : xe[xi]) {
+          if (n >= cap_rects) return -1;
+          out_rects[4 * n] = (int32_t)xs[xi].first;
+          out_rects[4 * n + 1] = (int32_t)x1;
+          out_rects[4 * n + 2] = (int32_t)ys[yi].first;
+          out_rects[4 * n + 3] = (int32_t)y1;
+          ++n;
+        }
+  return n;
 }
 
 }  // extern "C"

@@ -109,3 +109,116 @@ class TestAngleStats:
         want = python_angle_stats(3, edges, pos, ANGLE_TH)
         assert got["n_90"] + got["n_less90"] + got["n_more90"] == \
             want["n_90"] + want["n_less90"] + want["n_more90"] == 1
+
+
+def _random_graph(rng, n_ccs=4, degenerate=False):
+    """Random multi-CC graph dict with optional zero-extent CCs (exercises
+    the degenerate containment conventions, build_graph_bbox.py:130-160)."""
+    pos, edges, ctrl = [], [], []
+    base = 0
+    for c in range(n_ccs):
+        k = int(rng.integers(3, 9))
+        center = rng.uniform(0.1, 0.9, 2)
+        scale = rng.uniform(0.02, 0.3)
+        pts = center + scale * rng.uniform(-1, 1, (k, 2))
+        if degenerate and c % 3 == 1:
+            pts[:, 0] = pts[0, 0]  # zero-width CC
+        if degenerate and c % 3 == 2:
+            pts[:, 1] = pts[0, 1]  # zero-height CC
+        pos.append(pts)
+        # chain edges keep the CC connected; some controls sprinkled in
+        for i in range(k - 1):
+            edges.append([base + i, base + i + 1])
+        is_c = np.zeros(k, dtype=np.float64)
+        if k > 4:
+            is_c[rng.integers(1, k - 1)] = 1.0
+        ctrl.append(is_c)
+        base += k
+    return {
+        "pos": np.concatenate(pos, axis=0),
+        "edge": {"shape": np.asarray(edges, dtype=np.int64)},
+        "attr": {"is_control": np.concatenate(ctrl).reshape(-1, 1)},
+    }
+
+
+class TestMergeCCNative:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_python(self, lib, seed):
+        from yolat_tpu.geom import graph_build as gb
+
+        rng = np.random.default_rng(seed)
+        g = _random_graph(rng, n_ccs=3 + seed % 4, degenerate=seed % 2 == 1)
+        want = gb._merge_connected_components_py(g)
+        got = _native.merge_cc_native(
+            g["pos"], g["edge"]["shape"],
+            np.asarray(g["attr"]["is_control"]).reshape(-1) > 0.5,
+            gb.CONTAIN_TH,
+        )
+        assert got is not None
+        np.testing.assert_array_equal(got["shape_shape_edges"],
+                                      want["shape_shape_edges"])
+        np.testing.assert_array_equal(got["cross_shape_edges"],
+                                      want["cross_shape_edges"])
+        np.testing.assert_allclose(got["shape_shape_attr"],
+                                   want["shape_shape_attr"], rtol=0, atol=0)
+        np.testing.assert_allclose(got["cross_attr"], want["cross_attr"],
+                                   rtol=0, atol=0)
+        assert got["cc"] == want["cc"]
+
+    def test_nested_boxes_merge(self, lib):
+        # a CC fully inside another must produce cross edges + one merged CC
+        from yolat_tpu.geom import graph_build as gb
+
+        outer = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        inner = np.array([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6]])
+        g = {
+            "pos": np.concatenate([outer, inner]),
+            "edge": {"shape": np.array(
+                [[0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6]],
+                dtype=np.int64)},
+            "attr": {"is_control": np.zeros((7, 1))},
+        }
+        want = gb._merge_connected_components_py(g)
+        got = gb.merge_connected_components(g)
+        assert len(got["cross_shape_edges"]) == 12  # 4 x 3 bipartite
+        np.testing.assert_array_equal(got["cross_shape_edges"],
+                                      want["cross_shape_edges"])
+        assert got["cc"] == want["cc"] == [list(range(7))]
+
+
+class TestSweepRectsNative:
+    @pytest.mark.parametrize("seed", range(6))
+    def test_matches_python_walk(self, lib, seed):
+        from yolat_tpu.geom import proposals as pr
+
+        rng = np.random.default_rng(100 + seed)
+        n = int(rng.integers(4, 40))
+        pts = rng.uniform(0, 1, (n, 2))
+        if seed % 3 == 0:  # duplicated coordinate values stress the walks
+            pts[:, 0] = np.round(pts[:, 0] * 7) / 7
+            pts[:, 1] = np.round(pts[:, 1] * 5) / 5
+        step = [1, 3, 10][seed % 3]
+
+        x_values = np.unique(pts[:, 0])
+        y_values = np.unique(pts[:, 1])
+        if len(x_values) < 2 or len(y_values) < 2:
+            pytest.skip("degenerate scene")
+        xg = pr._grid_boundaries(x_values[0], x_values[-1], step)
+        yg = pr._grid_boundaries(y_values[0], y_values[-1], step)
+
+        got = _native.sweep_rects_native(x_values, y_values, xg, yg)
+        assert got is not None
+
+        x_starts = pr._walk_starts(x_values, xg)
+        y_starts = pr._walk_starts(y_values, yg)
+        x_ends = {(x0, gi): pr._walk_ends(x_values, xg, gi, x0)
+                  for x0, gi in x_starts}
+        y_ends = {(y0, gi): pr._walk_ends(y_values, yg, gi, y0)
+                  for y0, gi in y_starts}
+        want = [(x0, x1, y0, y1)
+                for y0, giy in y_starts
+                for x0, gix in x_starts
+                for y1 in y_ends[(y0, giy)]
+                for x1 in x_ends[(x0, gix)]]
+        np.testing.assert_array_equal(
+            got, np.asarray(want, dtype=np.int32).reshape(-1, 4))

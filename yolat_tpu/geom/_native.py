@@ -85,10 +85,102 @@ def load_library():
                 f64p, ctypes.c_long, i64p,
                 ctypes.c_int, f64p,
             ]
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.merge_cc.restype = ctypes.c_long
+            lib.merge_cc.argtypes = [
+                f64p, ctypes.c_long, i64p, ctypes.c_long, u8p,
+                ctypes.c_double,
+                i64p, ctypes.c_long, i64p, ctypes.c_long,
+                f64p, f64p,
+                i64p, ctypes.c_long, i64p, ctypes.c_long,
+                i64p,
+            ]
+            lib.sweep_rects.restype = ctypes.c_long
+            lib.sweep_rects.argtypes = [
+                f64p, ctypes.c_long, f64p, ctypes.c_long,
+                f64p, ctypes.c_long, f64p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ]
             _lib = lib
         except Exception:
             _lib = None
         return _lib
+
+
+def merge_cc_native(pos: np.ndarray, edges: np.ndarray,
+                    is_control: np.ndarray, contain_th: float):
+    """Full mergeCC in C++: returns the merge_connected_components dict, or
+    None (library unavailable / capacity retry exhausted)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    edges = np.ascontiguousarray(edges, dtype=np.int64).reshape(-1, 2)
+    ctrl = np.ascontiguousarray(is_control, dtype=np.uint8)
+    n = len(pos)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    cap_clique = max(n * 64, 1 << 14)
+    cap_cross = max(n * 16, 1 << 14)
+    for _ in range(3):
+        out_clique = np.empty((cap_clique, 2), np.int64)
+        out_cross = np.empty((cap_cross, 2), np.int64)
+        clique_attr = np.empty((cap_clique, 6), np.float64)
+        cross_attr = np.empty((cap_cross, 6), np.float64)
+        cc_ids = np.empty(max(n, 1), np.int64)
+        cc_off = np.empty(n + 2, np.int64)
+        counts = np.zeros(3, np.int64)
+        rc = lib.merge_cc(
+            pos.ctypes.data_as(f64p), n,
+            edges.ctypes.data_as(i64p), len(edges),
+            ctrl.ctypes.data_as(u8p), float(contain_th),
+            out_clique.ctypes.data_as(i64p), cap_clique,
+            out_cross.ctypes.data_as(i64p), cap_cross,
+            clique_attr.ctypes.data_as(f64p), cross_attr.ctypes.data_as(f64p),
+            cc_ids.ctypes.data_as(i64p), len(cc_ids),
+            cc_off.ctypes.data_as(i64p), n + 1,
+            counts.ctypes.data_as(i64p),
+        )
+        if rc == 0:
+            nq, nx, nc = (int(c) for c in counts)
+            return {
+                "shape_shape_edges": out_clique[:nq].copy(),
+                "cross_shape_edges": out_cross[:nx].copy(),
+                "shape_shape_attr": clique_attr[:nq].copy(),
+                "cross_attr": cross_attr[:nx].copy(),
+                "cc": [cc_ids[cc_off[i]:cc_off[i + 1]].tolist()
+                       for i in range(nc)],
+            }
+        cap_clique *= 4
+        cap_cross *= 4
+    return None
+
+
+def sweep_rects_native(x_values, y_values, x_grids, y_grids):
+    """Walk-order rectangle enumeration in C++; [n, 4] int32 rects (possibly
+    empty) or None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    xv = np.ascontiguousarray(x_values, dtype=np.float64)
+    yv = np.ascontiguousarray(y_values, dtype=np.float64)
+    xg = np.ascontiguousarray(x_grids, dtype=np.float64)
+    yg = np.ascontiguousarray(y_grids, dtype=np.float64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    # exact bound: <= ngx^2 * ngy^2 rects (starts/ends are grid-bounded)
+    cap = max((len(xg) * len(yg)) ** 2, 64)
+    out = np.empty((cap, 4), np.int32)
+    n = lib.sweep_rects(
+        xv.ctypes.data_as(f64p), len(xv), yv.ctypes.data_as(f64p), len(yv),
+        xg.ctypes.data_as(f64p), len(xg), yg.ctypes.data_as(f64p), len(yg),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].copy()
 
 
 def enumerate_rect_sets_native(xi: np.ndarray, yi: np.ndarray,

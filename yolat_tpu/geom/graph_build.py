@@ -315,7 +315,24 @@ def merge_connected_components(graph: dict) -> dict:
 
     Returns dict with keys: shape_shape_edges, cross_shape_edges,
     shape_shape_attr, cross_attr, cc (merged clusters, each sorted).
-    """
+
+    Dispatches to the native C++ kernel (csrc/geomcore.cpp merge_cc) when
+    available; the numpy path below is the fallback and equivalence oracle
+    (tests/test_native.py)."""
+    from yolat_tpu.geom._native import merge_cc_native
+
+    native = merge_cc_native(
+        np.asarray(graph["pos"], dtype=np.float64),
+        np.asarray(graph["edge"]["shape"], dtype=np.int64),
+        np.asarray(graph["attr"]["is_control"]).reshape(-1) > 0.5,
+        CONTAIN_TH,
+    )
+    if native is not None:
+        return native
+    return _merge_connected_components_py(graph)
+
+
+def _merge_connected_components_py(graph: dict) -> dict:
     pos = np.asarray(graph["pos"], dtype=np.float64)
     ccs = connected_components(graph)
     boxes = _cc_bboxes(pos, ccs)

@@ -182,6 +182,12 @@ def _sweep_rects(pos_cluster: np.ndarray, step_count: int):
     x_grids = _grid_boundaries(x_values[0], x_values[-1], step_count)
     y_grids = _grid_boundaries(y_values[0], y_values[-1], step_count)
 
+    from yolat_tpu.geom._native import sweep_rects_native
+
+    native = sweep_rects_native(x_values, y_values, x_grids, y_grids)
+    if native is not None:
+        return (xi, yi, native) if len(native) else None
+
     x_starts = _walk_starts(x_values, x_grids)
     y_starts = _walk_starts(y_values, y_grids)
     x_ends_of = {(x0, gix): _walk_ends(x_values, x_grids, gix, x0)
