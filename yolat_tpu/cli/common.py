@@ -91,6 +91,29 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def apply_platform_env() -> None:
+    """Honor JAX_PLATFORMS in-process (standard JAX semantics).
+
+    The axon TPU PJRT plugin in this image registers via sitecustomize and
+    overrides the JAX_PLATFORMS environment variable; when its tunnel is
+    down, backend init hangs instead of raising. `jax.config.update` wins
+    over the plugin as long as no backend has been initialised yet, so
+    re-applying the env var here restores `JAX_PLATFORMS=cpu python -m
+    yolat_tpu.cli.train ...` as a working escape hatch (same mechanism as
+    __graft_entry__._force_cpu_platform and tests/conftest.py)."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not want:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # backend already initialised
+
+
 def enable_compilation_cache(path: str = "/tmp/yolat_xla_cache") -> None:
     """Persistent XLA compilation cache: first compiles through a
     remote-attached device link run 20s-minutes; cached reloads are
@@ -106,6 +129,7 @@ def enable_compilation_cache(path: str = "/tmp/yolat_xla_cache") -> None:
 
 
 def config_from_args(args) -> Config:
+    apply_platform_env()
     enable_compilation_cache()
     fields = set(Config.__dataclass_fields__)
     kw = {k: v for k, v in vars(args).items() if k in fields}
