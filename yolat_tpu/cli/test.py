@@ -15,6 +15,13 @@ from yolat_tpu.train.optim import make_optimizer
 def load_checkpoint(cfg, example_batch, tag: str = "best"):
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
     state = create_state(cfg, tx, example_batch, jax.random.key(cfg.seed))
+    if cfg.pretrained_model.endswith(".pth"):
+        # a reference torch checkpoint: migrate its weights
+        # (train/import_reference.py)
+        from yolat_tpu.train.import_reference import state_from_pth
+
+        return state_from_pth(state, cfg.pretrained_model,
+                              n_blocks=cfg.n_blocks), 0, float("nan")
     ckpt = CheckpointManager(cfg.pretrained_model)
     state, epoch, best = ckpt.restore(state, tag=tag)
     return state, epoch, best

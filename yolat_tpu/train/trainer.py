@@ -124,20 +124,28 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     start_epoch = 0
     best_value = -float("inf")
     if cfg.pretrained_model:
-        # accepted forms: a checkpoint dir (restores 'best'), or a specific
+        # accepted forms: a checkpoint dir (restores 'best'), a specific
         # <dir>/ckpt_<tag> path (load_pretrained_models parity,
         # utils/ckpt_util.py:27-104: restores model + optimizer + epoch +
-        # best metric)
+        # best metric), or a reference torch `.pth` checkpoint (migrated
+        # weights, fresh optimizer state — train/import_reference.py)
         path = cfg.pretrained_model.rstrip("/")
-        if os.path.basename(path).startswith("ckpt_"):
-            restore_dir, tag = os.path.dirname(path), os.path.basename(path)[5:]
+        if path.endswith(".pth"):
+            from yolat_tpu.train.import_reference import state_from_pth
+
+            state = state_from_pth(state, path, n_blocks=cfg.n_blocks)
+            logging.info("imported reference checkpoint %s", path)
         else:
-            restore_dir, tag = path, "best"
-        state, start_epoch, best_value = CheckpointManager(restore_dir).restore(
-            state, tag=tag
-        )
-        logging.info("resumed from %s (tag %s) at epoch %d",
-                     restore_dir, tag, start_epoch)
+            if os.path.basename(path).startswith("ckpt_"):
+                restore_dir = os.path.dirname(path)
+                tag = os.path.basename(path)[5:]
+            else:
+                restore_dir, tag = path, "best"
+            state, start_epoch, best_value = CheckpointManager(
+                restore_dir
+            ).restore(state, tag=tag)
+            logging.info("resumed from %s (tag %s) at epoch %d",
+                         restore_dir, tag, start_epoch)
 
     mesh = None
     if cfg.n_devices > 1 or multihost:
