@@ -363,6 +363,83 @@ def test_pth_round_trip(ref_arch, tmp_path):
         np.testing.assert_array_equal(v, flat_b[p])
 
 
+def test_exported_weights_drive_reference_model(ref_arch, monkeypatch,
+                                                tmp_path):
+    """The reverse migration: OUR random-init weights exported to a
+    reference .pth load into the reference model strict=True and produce
+    the same logits the flax model does."""
+    torch = ref_arch.torch
+    import jax
+    import jax.numpy as jnp
+
+    from yolat_tpu.data.packing import finalize_batch
+    from yolat_tpu.data.toy import random_packed_batch
+    from yolat_tpu.train.config import Config
+    from yolat_tpu.train.import_reference import (
+        convert_state_dict,
+        save_reference_checkpoint,
+    )
+    from yolat_tpu.train.loop import build_model
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                        raising=False)
+
+    batch, _ = random_packed_batch(seed=7, n_images=1, ccs_per_image=3,
+                                   n_classes=17, step=4)
+    fb = jax.device_get(finalize_batch(jax.tree.map(jnp.asarray, batch)))
+
+    cfg = Config(n_classes=17, data_aug=False)
+    model = build_model(cfg)
+    variables = jax.device_get(
+        model.init({"params": jax.random.key(4)},
+                   jax.tree.map(jnp.asarray, fb), train=True)
+    )
+    logits, _ = model.apply(jax.tree.map(jnp.asarray, variables),
+                            jax.tree.map(jnp.asarray, fb), train=False)
+
+    path = tmp_path / "exported_best.pth"
+    save_reference_checkpoint(variables, str(path), n_blocks=cfg.n_blocks,
+                              epoch=3)
+
+    ref_model = ref_arch.arch.SparseCADGCN(_canonical_opt())
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    assert ckpt["epoch"] == 3
+    ref_model.load_state_dict(ckpt["state_dict"], strict=True)
+    ref_model.eval()
+
+    nv = _prefix_valid(fb["node_mask"])
+    pv = _prefix_valid(fb["proposal_mask"])
+    emask = np.asarray(fb["edge_mask"]).astype(bool)
+    t = lambda a, dt=torch.float32: torch.tensor(np.asarray(a), dtype=dt)
+    data = SimpleNamespace(
+        x=t(fb["x"][:nv]),
+        edge=t(np.asarray(fb["edge"])[emask], torch.long),
+        e_attr=t(np.asarray(fb["e_attr"])[emask]),
+        bbox_idx=t(fb["bbox_idx"][:nv], torch.long),
+        bbox=t(fb["bbox"][:pv]),
+        stat_feats=torch.zeros(pv, 13),
+    )
+    with torch.no_grad():
+        ref_cls, _ = ref_model(data, None)
+    np.testing.assert_allclose(
+        np.asarray(logits[:pv], np.float64), ref_cls.numpy(),
+        rtol=2e-4, atol=2e-4,
+    )
+
+    # round trip: export -> convert reproduces the original variables
+    import jax.tree_util as jtu
+
+    back = convert_state_dict(
+        {k: v.numpy() for k, v in ckpt["state_dict"].items()},
+        n_blocks=cfg.n_blocks,
+    )
+    flat_v = jtu.tree_flatten_with_path(variables)[0]
+    flat_b = dict(jtu.tree_flatten_with_path(back)[0])
+    assert len(flat_v) == len(flat_b)
+    for p, v in flat_v:
+        np.testing.assert_allclose(np.asarray(v), flat_b[p], rtol=1e-6)
+
+
 def test_state_from_pth_replaces_weights(ref_arch, tmp_path):
     """The trainer/test-CLI `--pretrained_model foo.pth` path: a fresh
     TrainState picks up the reference weights in place."""

@@ -135,6 +135,85 @@ def convert_state_dict(sd: Mapping[str, np.ndarray], n_blocks: int = 2):
     return {"params": params, "batch_stats": stats}
 
 
+def _export_mlp(params: Mapping, stats: Mapping, prefix: str) -> dict:
+    """Our MLP subtree -> reference flat-Sequential keys.
+
+    Inverse of `_convert_mlp`. Sequential indices follow torch_nn.MLP's
+    construction (gcn_lib/sparse/torch_nn.py:50-71): Lin, then — unless the
+    stage is bare — BN and an activation layer (tensorless, but it consumes
+    an index). In the canonical model a stage has BN iff it has an
+    activation, so BN presence in our tree determines the layout; Dropout2d
+    stages only ever trail the final Lin there, shifting no keyed module.
+    """
+    out: dict = {}
+    n_stage = sum(1 for k in params if k.startswith("dense_"))
+    idx = 0
+    for k in range(n_stage):
+        d = params[f"dense_{k}"]
+        out[f"{prefix}.{idx}.weight"] = np.asarray(d["kernel"]).T.copy()
+        if "bias" in d:
+            out[f"{prefix}.{idx}.bias"] = np.asarray(d["bias"])
+        idx += 1
+        if f"bn_{k}" in params:
+            b, st = params[f"bn_{k}"], stats[f"bn_{k}"]
+            out[f"{prefix}.{idx}.weight"] = np.asarray(b["scale"])
+            out[f"{prefix}.{idx}.bias"] = np.asarray(b["bias"])
+            out[f"{prefix}.{idx}.running_mean"] = np.asarray(st["mean"])
+            out[f"{prefix}.{idx}.running_var"] = np.asarray(st["var"])
+            out[f"{prefix}.{idx}.num_batches_tracked"] = np.zeros((), np.int64)
+            idx += 2  # BN + the activation layer's index
+    return out
+
+
+def _export_linear(p: Mapping, prefix: str) -> dict:
+    out = {f"{prefix}.weight": np.asarray(p["kernel"]).T.copy()}
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+    return out
+
+
+def export_state_dict(variables: Mapping, n_blocks: int = 2) -> dict:
+    """Our flax variables -> the reference's torch state dict (numpy
+    leaves). Inverse of `convert_state_dict`: the result loads into the
+    reference SparseCADGCN with ``load_state_dict(strict=True)``."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: dict = {}
+    cls_p, cls_s = params["cls_net"], stats.get("cls_net", {})
+    for i in range(n_blocks):
+        name = f"AttrEdgeGP2_{i}"
+        ref = ("cls_net.head.gconv" if i == 0
+               else f"cls_net.backbone.{i - 1}.body.gconv")
+        p, s = cls_p[name], cls_s.get(name, {})
+        out.update(_export_mlp(p["nn"], s.get("nn", {}), f"{ref}.nn"))
+        out.update(_export_linear(p["lin_r"], f"{ref}.lin_r"))
+        out.update(_export_mlp(p["mlp_node"], s.get("mlp_node", {}),
+                               f"{ref}.mlp_node"))
+    for name in ("fusion_block", "fusion_block_super"):
+        out.update(_export_mlp(cls_p[name], cls_s.get(name, {}),
+                               f"cls_net.{name}"))
+    k = 0
+    while f"pred_{k}" in params:
+        out.update(_export_mlp(params[f"pred_{k}"],
+                               stats.get(f"pred_{k}", {}),
+                               f"prediction_cls.{k}"))
+        k += 1
+    return out
+
+
+def save_reference_checkpoint(variables: Mapping, path: str,
+                              n_blocks: int = 2, epoch: int = 0) -> None:
+    """Write a reference-format .pth ({'state_dict': ...},
+    utils/ckpt_util.py:107-111) loadable by the reference's own drivers."""
+    import torch
+
+    # copy: jax.device_get leaves can be non-writable views, which torch
+    # tensors cannot wrap
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in export_state_dict(variables, n_blocks=n_blocks).items()}
+    torch.save({"state_dict": sd, "epoch": epoch}, path)
+
+
 def state_from_pth(state, path: str, n_blocks: int = 2):
     """Return `state` with params/batch_stats from a reference .pth.
 
