@@ -247,24 +247,36 @@ long build_rect_proposals(const int32_t* xi, const int32_t* yi, long n_points,
 }
 
 // Full per-CC proposal pipeline: rectangle enumeration + point-set dedup +
-// acceptance filters + per-window features, one pass, no Python in the loop.
-// Replaces generate_proposals' per-proposal body (yolat_tpu/geom/
-// proposals.py; reference semantics Datasets/graph_dict3.py:556-705):
+// acceptance filters + per-window features + GT labelling + attribute-row
+// gathers, one pass, no Python in the loop. Replaces generate_proposals'
+// per-proposal body AND the numpy labelling epilogue (yolat_tpu/geom/
+// proposals.py; reference semantics Datasets/graph_dict3.py:556-705,625-641):
 //   * window accepted iff it has >=1 induced shape edge, extent > min_extent
 //     on both axes, and >=1 node-angle pair (graph_dict3.py:597,621,681);
-//   * induced edge endpoints are emitted as window-local indices (the rank
-//     of the endpoint in the window's ascending point-id list);
+//   * induced edge endpoints are emitted as CC-LOCAL row indices (window
+//     start in the flat member stream + rank in the window's ascending
+//     point-id list) — the accumulator only adds its global offset;
 //   * out_feats row: [min_x, min_y, max_x, max_y,  n_points, n_edges,
 //     n_90, n_less90, n_more90, w, h, angle mean/max/min/std,
-//     edge-dist mean/std]  (4 box coords + the 13-dim stat_feat).
+//     edge-dist mean/std]  (4 box coords + the 13-dim stat_feat);
+//   * attr_e/attr_s are the per-cluster-edge 6-dim attribute rows; the
+//     induced windows' rows are copied out alongside the edge ids
+//     (edge dist = attr_e col 5 feeds the dist stats);
+//   * GT labelling per accepted window (same float order as the numpy
+//     _iou_ios_many epilogue): IoU argmax over gtb, label = gt_lab[argmax]
+//     if best IoU > iou_th else bg_label, target box = the matched GT (0 if
+//     background), has_obj = IoS-at-IoU-argmax > ios_th.
 // n_distinct_out counts distinct non-empty point sets BEFORE filtering
 // (the caller's "CC produced candidate windows" invariant check).
 // Returns accepted window count, or -1 on capacity exhaustion.
 long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
                      const double* pos, const int32_t* rects, long n_rects,
                      const int64_t* eu, const int64_t* ev, long n_edges,
-                     const double* edist,
+                     const double* attr_e,
                      const int64_t* su, const int64_t* sv, long n_supers,
+                     const double* attr_s, const uint8_t* issuper,
+                     const double* gtb, const int64_t* gt_lab, long n_gt,
+                     long bg_label, double iou_th, double ios_th,
                      double angle_th, double min_extent,
                      int64_t* out_ids, long max_total_ids, int64_t* out_id_off,
                      int64_t* out_eids, long max_total_eids,
@@ -273,7 +285,10 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
                      int64_t* out_sid_off, int64_t* out_sloc,
                      double* out_feats, long max_sets,
                      int64_t* n_distinct_out,
-                     int normalize, double* out_pos) {
+                     int normalize, double* out_pos,
+                     double* out_eattr, double* out_sattr,
+                     uint8_t* out_issuper, int64_t* out_labels,
+                     double* out_targets, int64_t* out_hasobj) {
   std::unordered_set<uint64_t> seen;
   seen.reserve(n_rects * 2);
   std::vector<int64_t> ids;
@@ -323,7 +338,8 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
     long n_we = 0;
     double dsum = 0.0, dsumsq = 0.0;
     if (accept) {
-      // induced shape edges: both endpoints members (4 int compares each)
+      // induced shape edges: both endpoints members (4 int compares each);
+      // endpoint rows are CC-local (total_ids = this window's member start)
       if ((long)nbr.size() < nw) nbr.resize(nw);
       for (long k = 0; k < nw; ++k) nbr[k].clear();
       long cap_e = max_total_eids - total_eids;
@@ -333,13 +349,16 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
             xi[b] >= x0 && xi[b] <= x1 && yi[b] >= y0 && yi[b] <= y1) {
           if (n_we >= cap_e) { for (long p : ids) loc[p] = -1; return -1; }
           const int64_t la = loc[a], lb = loc[b];
-          out_eids[total_eids + n_we] = e;
-          out_eloc[2 * (total_eids + n_we)] = la;
-          out_eloc[2 * (total_eids + n_we) + 1] = lb;
+          const long row = total_eids + n_we;
+          out_eids[row] = e;
+          out_eloc[2 * row] = total_ids + la;
+          out_eloc[2 * row + 1] = total_ids + lb;
+          for (int c = 0; c < 6; ++c) out_eattr[6 * row + c] = attr_e[6 * e + c];
           nbr[la].push_back(lb);
           nbr[lb].push_back(la);
-          dsum += edist[e];
-          dsumsq += edist[e] * edist[e];
+          const double d = attr_e[6 * e + 5];
+          dsum += d;
+          dsumsq += d * d;
           ++n_we;
         }
       }
@@ -412,9 +431,11 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
         if (xi[a] >= x0 && xi[a] <= x1 && yi[a] >= y0 && yi[a] <= y1 &&
             xi[b] >= x0 && xi[b] <= x1 && yi[b] >= y0 && yi[b] <= y1) {
           if (n_ws >= cap_s) { for (long p : ids) loc[p] = -1; return -1; }
-          out_sids[total_sids + n_ws] = e;
-          out_sloc[2 * (total_sids + n_ws)] = loc[a];
-          out_sloc[2 * (total_sids + n_ws) + 1] = loc[b];
+          const long row = total_sids + n_ws;
+          out_sids[row] = e;
+          out_sloc[2 * row] = total_ids + loc[a];
+          out_sloc[2 * row + 1] = total_ids + loc[b];
+          for (int c = 0; c < 6; ++c) out_sattr[6 * row + c] = attr_s[6 * e + c];
           ++n_ws;
         }
       }
@@ -431,6 +452,7 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
           out_pos[2 * total_ids] = pos[2 * v];
           out_pos[2 * total_ids + 1] = pos[2 * v + 1];
         }
+        out_issuper[total_ids] = issuper[v];
         out_ids[total_ids++] = v;
       }
       total_eids += n_we;
@@ -438,6 +460,39 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
       double* f = out_feats + 17 * n_sets;
       f[0] = mnx; f[1] = mny; f[2] = mxx; f[3] = mxy;
       for (int k = 0; k < 13; ++k) f[4 + k] = feats[k];
+
+      // GT labelling (graph_dict3.py:625-641; float order matches the
+      // numpy epilogue _iou_ios_many: first IoU argmax wins ties)
+      long best = -1;
+      double best_iou = -1.0, best_ios = 0.0;
+      for (long g = 0; g < n_gt; ++g) {
+        const double gx0 = gtb[4 * g], gy0 = gtb[4 * g + 1];
+        const double gx1 = gtb[4 * g + 2], gy1 = gtb[4 * g + 3];
+        const double ix0 = mnx > gx0 ? mnx : gx0;
+        const double iy0 = mny > gy0 ? mny : gy0;
+        const double ix1 = mxx < gx1 ? mxx : gx1;
+        const double iy1 = mxy < gy1 ? mxy : gy1;
+        const double iw = ix1 - ix0 > 0.0 ? ix1 - ix0 : 0.0;
+        const double ih = iy1 - iy0 > 0.0 ? iy1 - iy0 : 0.0;
+        const double inter = iw * ih;
+        const double a1 = (mxx - mnx) * (mxy - mny);
+        const double a2 = (gx1 - gx0) * (gy1 - gy0);
+        const double iou = inter / (a1 + a2 - inter + 1e-16);
+        if (iou > best_iou) {
+          best_iou = iou;
+          best_ios = inter / a2;
+          best = g;
+        }
+      }
+      if (best >= 0 && best_iou > iou_th) {
+        out_labels[n_sets] = gt_lab[best];
+        for (int c = 0; c < 4; ++c)
+          out_targets[4 * n_sets + c] = gtb[4 * best + c];
+      } else {
+        out_labels[n_sets] = bg_label;
+        for (int c = 0; c < 4; ++c) out_targets[4 * n_sets + c] = 0.0;
+      }
+      out_hasobj[n_sets] = (best >= 0 && best_ios > ios_th) ? 1 : 0;
       ++n_sets;
       out_id_off[n_sets] = total_ids;
       out_eid_off[n_sets] = total_eids;

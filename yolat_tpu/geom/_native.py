@@ -71,21 +71,24 @@ def load_library():
                 i64p, ctypes.c_long, i64p, ctypes.c_long,
             ]
             f64p = ctypes.POINTER(ctypes.c_double)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
             lib.window_pipeline.restype = ctypes.c_long
             lib.window_pipeline.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_long, f64p,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
                 i64p, i64p, ctypes.c_long, f64p,
-                i64p, i64p, ctypes.c_long,
+                i64p, i64p, ctypes.c_long, f64p, u8p,
+                f64p, i64p, ctypes.c_long,
+                ctypes.c_long, ctypes.c_double, ctypes.c_double,
                 ctypes.c_double, ctypes.c_double,
                 i64p, ctypes.c_long, i64p,
                 i64p, ctypes.c_long, i64p, i64p,
                 i64p, ctypes.c_long, i64p, i64p,
                 f64p, ctypes.c_long, i64p,
                 ctypes.c_int, f64p,
+                f64p, f64p, u8p, i64p, f64p, i64p,
             ]
-            u8p = ctypes.POINTER(ctypes.c_uint8)
             lib.merge_cc.restype = ctypes.c_long
             lib.merge_cc.argtypes = [
                 f64p, ctypes.c_long, i64p, ctypes.c_long, u8p,
@@ -269,15 +272,19 @@ def build_rect_proposals_native(xi, yi, rects, edges_cl, supers_cl):
 
 
 def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
-                           edist, angle_th, min_extent,
+                           attr_e, attr_s, issuper_cluster,
+                           gt_boxes, gt_label_vals, bg_label,
+                           iou_th, ios_th, angle_th, min_extent,
                            normalize_pos: bool = False):
-    """Full per-CC window pipeline (enumeration + dedup + filters + features)
-    in C++. Returns a dict of flat CSR arrays, or None (library unavailable /
-    capacity retry exhausted):
+    """Full per-CC window pipeline (enumeration + dedup + filters + features
+    + GT labelling + attribute-row gathers) in C++. Returns a dict of flat
+    CSR arrays, or None (library unavailable / capacity retry exhausted):
       n_w, n_distinct, ids [T], id_off [n_w+1], eids [Te], eid_off, eloc
-      [Te,2] (window-local endpoints), sids [Ts], sid_off, sloc [Ts,2],
-      feats [n_w, 17] = box(4) + stat_feat(13), pos [T, 2] per-member
-      positions (normalised to each window box when normalize_pos).
+      [Te,2] (CC-LOCAL member-row endpoints), sids [Ts], sid_off, sloc
+      [Ts,2], feats [n_w, 17] = box(4) + stat_feat(13), pos [T, 2]
+      per-member positions (normalised to each window box when
+      normalize_pos), issuper [T] bool, eattr [Te,6], sattr [Ts,6],
+      labels [n_w], targets [n_w,4], hasobj [n_w].
     """
     lib = load_library()
     if lib is None or len(rects) == 0:
@@ -292,11 +299,16 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
     ev = np.ascontiguousarray(edges_cl[:, 1])
     su = np.ascontiguousarray(supers_cl[:, 0])
     sv = np.ascontiguousarray(supers_cl[:, 1])
-    edist = np.ascontiguousarray(edist, dtype=np.float64)
+    attr_e = np.ascontiguousarray(attr_e, dtype=np.float64).reshape(-1, 6)
+    attr_s = np.ascontiguousarray(attr_s, dtype=np.float64).reshape(-1, 6)
+    issuper = np.ascontiguousarray(issuper_cluster, dtype=np.uint8)
+    gtb = np.ascontiguousarray(gt_boxes, dtype=np.float64).reshape(-1, 4)
+    gt_lab = np.ascontiguousarray(gt_label_vals, dtype=np.int64)
 
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
     max_sets = len(rects)
 
     cap_ids = max(len(xi) * 64, 1 << 16)
@@ -313,14 +325,23 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
         out_sloc = np.empty((cap_sids, 2), np.int64)
         out_feats = np.empty((max_sets, 17), np.float64)
         out_pos = np.empty((cap_ids, 2), np.float64)
+        out_eattr = np.empty((cap_eids, 6), np.float64)
+        out_sattr = np.empty((cap_sids, 6), np.float64)
+        out_issuper = np.empty(cap_ids, np.uint8)
+        out_labels = np.empty(max_sets, np.int64)
+        out_targets = np.empty((max_sets, 4), np.float64)
+        out_hasobj = np.empty(max_sets, np.int64)
         n_distinct = np.zeros(1, np.int64)
         n = lib.window_pipeline(
             xi.ctypes.data_as(i32p), yi.ctypes.data_as(i32p), len(xi),
             pos.ctypes.data_as(f64p),
             rects.ctypes.data_as(i32p), len(rects),
             eu.ctypes.data_as(i64p), ev.ctypes.data_as(i64p), len(eu),
-            edist.ctypes.data_as(f64p),
+            attr_e.ctypes.data_as(f64p),
             su.ctypes.data_as(i64p), sv.ctypes.data_as(i64p), len(su),
+            attr_s.ctypes.data_as(f64p), issuper.ctypes.data_as(u8p),
+            gtb.ctypes.data_as(f64p), gt_lab.ctypes.data_as(i64p), len(gtb),
+            int(bg_label), float(iou_th), float(ios_th),
             float(angle_th), float(min_extent),
             out_ids.ctypes.data_as(i64p), cap_ids,
             out_id_off.ctypes.data_as(i64p),
@@ -332,13 +353,19 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
             n_distinct.ctypes.data_as(i64p),
             ctypes.c_int(1 if normalize_pos else 0),
             out_pos.ctypes.data_as(f64p),
+            out_eattr.ctypes.data_as(f64p), out_sattr.ctypes.data_as(f64p),
+            out_issuper.ctypes.data_as(u8p),
+            out_labels.ctypes.data_as(i64p),
+            out_targets.ctypes.data_as(f64p),
+            out_hasobj.ctypes.data_as(i64p),
         )
         if n >= 0:
+            t = int(out_id_off[n])
             te, ts = int(out_eid_off[n]), int(out_sid_off[n])
             return {
                 "n_w": int(n),
                 "n_distinct": int(n_distinct[0]),
-                "ids": out_ids[: int(out_id_off[n])].copy(),
+                "ids": out_ids[:t].copy(),
                 "id_off": out_id_off[: n + 1].copy(),
                 "eids": out_eids[:te].copy(),
                 "eid_off": out_eid_off[: n + 1].copy(),
@@ -347,7 +374,13 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
                 "sid_off": out_sid_off[: n + 1].copy(),
                 "sloc": out_sloc[:ts].copy(),
                 "feats": out_feats[:n].copy(),
-                "pos": out_pos[: int(out_id_off[n])].copy(),
+                "pos": out_pos[:t].copy(),
+                "issuper": out_issuper[:t].astype(bool),
+                "eattr": out_eattr[:te].copy(),
+                "sattr": out_sattr[:ts].copy(),
+                "labels": out_labels[:n].copy(),
+                "targets": out_targets[:n].copy(),
+                "hasobj": out_hasobj[:n].copy(),
             }
         cap_ids *= 4
         cap_eids *= 4

@@ -391,8 +391,12 @@ def generate_proposals(
             xi, yi, rects = swept
             bulk = window_pipeline_native(
                 xi, yi, pos_cluster, rects, edges_cl, supers_cl,
-                e_attr[cc_edge_ids][:, -1], ANGLE_TH, MIN_EXTENT,
-                normalize_pos=normalize_bbox,
+                e_attr[cc_edge_ids], e_attr_super[cc_super_ids],
+                is_super[cluster],
+                gt_bbox[gt_valid] if len(gt_valid) else np.zeros((0, 4)),
+                gt_labels[gt_valid] if len(gt_valid) else np.zeros(0, np.int64),
+                n_classes - 1, IOU_LABEL_TH, IOS_OBJ_TH,
+                ANGLE_TH, MIN_EXTENT, normalize_pos=normalize_bbox,
             )
         if bulk is not None:
             if bulk["n_distinct"] == 0:
@@ -401,9 +405,7 @@ def generate_proposals(
                 raise ValueError(
                     "connected component intersects no ground-truth box"
                 )
-            _consume_bulk(acc, bulk, cluster, pos_cluster, is_super, e_attr,
-                          e_attr_super, cc_edge_ids, cc_super_ids, gt_bbox,
-                          gt_labels, gt_valid, n_classes, normalize_bbox)
+            _consume_bulk(acc, bulk)
             continue
 
         cores = _cc_proposal_cores(pos_cluster, bbox_sampling_step,
@@ -496,52 +498,20 @@ def generate_proposals(
     return acc.finish()
 
 
-def _consume_bulk(acc, bulk, cluster, pos_cluster, is_super, e_attr,
-                  e_attr_super, cc_edge_ids, cc_super_ids, gt_bbox, gt_labels,
-                  gt_valid, n_classes, normalize_bbox):
-    """Vectorised epilogue of the native window pipeline: GT labelling,
-    per-window position normalisation, and one bulk accumulator append for
-    the whole CC (same arrays the per-proposal loop would emit)."""
-    n_w = bulk["n_w"]
-    if n_w == 0:
+def _consume_bulk(acc, bulk):
+    """Epilogue of the native window pipeline: everything (GT labelling,
+    position normalisation, attribute gathers, member flags) is emitted by
+    the C++ pass — one bulk accumulator append for the whole CC (same
+    arrays the per-proposal loop would emit)."""
+    if bulk["n_w"] == 0:
         return
     feats = bulk["feats"]
-    boxes = feats[:, :4]
-    stat_feats = feats[:, 4:]
-    id_off = bulk["id_off"]
-    counts = np.diff(id_off)
-
-    ids_flat = bulk["ids"]
-    node_ids = cluster[ids_flat]
-    if "pos" in bulk:
-        # the C++ pipeline already emitted per-window (normalised) positions
-        pos_rows = bulk["pos"]
-    else:
-        pos_rows = pos_cluster[ids_flat]
-        if normalize_bbox:
-            wh = boxes[:, 2:4] - boxes[:, 0:2]
-            pos_rows = (pos_rows - np.repeat(boxes[:, 0:2], counts, axis=0)) \
-                / np.repeat(wh, counts, axis=0)
-
-    if len(gt_valid):
-        gtb = gt_bbox[gt_valid]
-        iou, ios = _iou_ios_many(boxes, gtb)
-        idx = np.argmax(iou, axis=1)
-        rows = np.arange(n_w)
-        hit = iou[rows, idx] > IOU_LABEL_TH
-        labels = np.where(hit, gt_labels[gt_valid[idx]], n_classes - 1)
-        targets = np.where(hit[:, None], gtb[idx], 0.0)
-        has_obj = (ios[rows, idx] > IOS_OBJ_TH).astype(np.int64)
-    else:
-        labels = np.full(n_w, n_classes - 1, np.int64)
-        targets = np.zeros((n_w, 4))
-        has_obj = np.zeros(n_w, np.int64)
-
     acc.add_cc_bulk(
-        pos_rows, is_super[node_ids], id_off,
-        bulk["eloc"], bulk["eid_off"], e_attr[cc_edge_ids[bulk["eids"]]],
-        bulk["sloc"], bulk["sid_off"], e_attr_super[cc_super_ids[bulk["sids"]]],
-        labels, boxes, targets, stat_feats, has_obj,
+        bulk["pos"], bulk["issuper"], bulk["id_off"],
+        bulk["eloc"], bulk["eid_off"], bulk["eattr"],
+        bulk["sloc"], bulk["sid_off"], bulk["sattr"],
+        bulk["labels"], feats[:, :4], bulk["targets"], feats[:, 4:],
+        bulk["hasobj"],
     )
 
 
@@ -613,11 +583,12 @@ class _Accumulator:
         pid0 = self.n
         self.n += n_w
         counts = np.diff(id_off)
-        node_starts = self.offset + id_off[:-1]
         self.pos.append(pos_rows)
         self.is_super.append(np.asarray(is_super_rows, dtype=bool))
-        self.edge.append(eloc + np.repeat(node_starts, np.diff(eid_off))[:, None])
-        self.edge_super.append(sloc + np.repeat(node_starts, np.diff(sid_off))[:, None])
+        # eloc/sloc are CC-local member-row indices (the native pipeline
+        # already offset each window's local ranks by its member start)
+        self.edge.append(eloc + self.offset)
+        self.edge_super.append(sloc + self.offset)
         self.e_attr.append(e_attr_rows.reshape(-1, 6))
         self.e_attr_super.append(e_attr_super_rows.reshape(-1, 6))
         # whole-block appends: per-row extends left finish() concatenating
