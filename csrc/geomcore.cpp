@@ -296,6 +296,74 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
   std::vector<int64_t> loc(n_points, -1);  // point -> window-local rank
   std::vector<std::vector<int64_t>> nbr;
 
+  // Per-axis prefix bitsets: the grid extents gx/gy are tiny (the sweep
+  // emits ~bbox_sampling_step boundaries per axis), so membership of a
+  // rect [x0,x1]x[y0,y1] is 4 fused AND/ANDNOT word-ops per 64 entities —
+  // `xle[c]` holds the entities with coordinate <= c, so the in-range set
+  // is xle[x1] & ~xle[x0-1] (& the same for y). Bit extraction walks ids
+  // in ascending order, which the dedup hash, the window-local ranks, and
+  // the emitted id/edge order all rely on (parity with the numpy oracle).
+  long gx = 1, gy = 1;
+  for (long p = 0; p < n_points; ++p) {
+    if ((long)xi[p] >= gx) gx = xi[p] + 1;
+    if ((long)yi[p] >= gy) gy = yi[p] + 1;
+  }
+  const long W = (n_points + 63) >> 6;
+  const long We = (n_edges + 63) >> 6;
+  const long Ws = (n_supers + 63) >> 6;
+  if ((gx + gy) * (W + We + Ws) > (1L << 27)) return -1;  // degenerate grid
+  std::vector<uint64_t> pxle(gx * W, 0), pyle(gy * W, 0);
+  for (long p = 0; p < n_points; ++p) {
+    pxle[(long)xi[p] * W + (p >> 6)] |= 1ull << (p & 63);
+    pyle[(long)yi[p] * W + (p >> 6)] |= 1ull << (p & 63);
+  }
+  // edges/supers: both endpoints inside <=> max coord <= hi AND min >= lo
+  std::vector<uint64_t> exle(gx * We, 0), exnle(gx * We, 0),
+      eyle(gy * We, 0), eynle(gy * We, 0);
+  for (long e = 0; e < n_edges; ++e) {
+    const int32_t xa = xi[eu[e]], xb = xi[ev[e]];
+    const int32_t ya = yi[eu[e]], yb = yi[ev[e]];
+    exle[(long)(xa > xb ? xa : xb) * We + (e >> 6)] |= 1ull << (e & 63);
+    exnle[(long)(xa < xb ? xa : xb) * We + (e >> 6)] |= 1ull << (e & 63);
+    eyle[(long)(ya > yb ? ya : yb) * We + (e >> 6)] |= 1ull << (e & 63);
+    eynle[(long)(ya < yb ? ya : yb) * We + (e >> 6)] |= 1ull << (e & 63);
+  }
+  std::vector<uint64_t> sxle(gx * Ws, 0), sxnle(gx * Ws, 0),
+      syle(gy * Ws, 0), synle(gy * Ws, 0);
+  for (long e = 0; e < n_supers; ++e) {
+    const int32_t xa = xi[su[e]], xb = xi[sv[e]];
+    const int32_t ya = yi[su[e]], yb = yi[sv[e]];
+    sxle[(long)(xa > xb ? xa : xb) * Ws + (e >> 6)] |= 1ull << (e & 63);
+    sxnle[(long)(xa < xb ? xa : xb) * Ws + (e >> 6)] |= 1ull << (e & 63);
+    syle[(long)(ya > yb ? ya : yb) * Ws + (e >> 6)] |= 1ull << (e & 63);
+    synle[(long)(ya < yb ? ya : yb) * Ws + (e >> 6)] |= 1ull << (e & 63);
+  }
+  auto prefix_or = [](std::vector<uint64_t>& t, long n, long w) {
+    for (long c = 1; c < n; ++c)
+      for (long k = 0; k < w; ++k) t[c * w + k] |= t[(c - 1) * w + k];
+  };
+  prefix_or(pxle, gx, W);
+  prefix_or(pyle, gy, W);
+  prefix_or(exle, gx, We);
+  prefix_or(exnle, gx, We);
+  prefix_or(eyle, gy, We);
+  prefix_or(eynle, gy, We);
+  prefix_or(sxle, gx, Ws);
+  prefix_or(sxnle, gx, Ws);
+  prefix_or(syle, gy, Ws);
+  prefix_or(synle, gy, Ws);
+  // in-range word for entity table (xle, optional-lo xnle) at word k
+  auto range_word = [&](const std::vector<uint64_t>& xle_t,
+                        const std::vector<uint64_t>& xnle_t,
+                        const std::vector<uint64_t>& yle_t,
+                        const std::vector<uint64_t>& ynle_t, long w,
+                        long cx1, long cx0, long cy1, long cy0, long k) {
+    uint64_t m = xle_t[cx1 * w + k] & yle_t[cy1 * w + k];
+    if (cx0 >= 0) m &= ~xnle_t[cx0 * w + k];
+    if (cy0 >= 0) m &= ~ynle_t[cy0 * w + k];
+    return m;
+  };
+
   long n_sets = 0, n_distinct = 0;
   long total_ids = 0, total_eids = 0, total_sids = 0;
   out_id_off[0] = 0;
@@ -305,10 +373,18 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
   for (long r = 0; r < n_rects; ++r) {
     const int32_t x0 = rects[4 * r], x1 = rects[4 * r + 1];
     const int32_t y0 = rects[4 * r + 2], y1 = rects[4 * r + 3];
+    if (x1 < 0 || y1 < 0) continue;
+    const long cx1 = x1 < gx ? x1 : gx - 1;
+    const long cy1 = y1 < gy ? y1 : gy - 1;
+    const long cx0 = x0 <= 0 ? -1 : (x0 - 1 < gx ? x0 - 1 : gx - 1);
+    const long cy0 = y0 <= 0 ? -1 : (y0 - 1 < gy ? y0 - 1 : gy - 1);
     ids.clear();
     uint64_t h = 1469598103934665603ull;
-    for (long p = 0; p < n_points; ++p) {
-      if (xi[p] >= x0 && xi[p] <= x1 && yi[p] >= y0 && yi[p] <= y1) {
+    for (long k = 0; k < W; ++k) {
+      uint64_t m = range_word(pxle, pxle, pyle, pyle, W, cx1, cx0, cy1, cy0, k);
+      while (m) {
+        const long p = (k << 6) + __builtin_ctzll(m);
+        m &= m - 1;
         loc[p] = (int64_t)ids.size();
         ids.push_back(p);
         h ^= (uint64_t)p + 0x9e3779b97f4a7c15ull;
@@ -343,12 +419,14 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
       if ((long)nbr.size() < nw) nbr.resize(nw);
       for (long k = 0; k < nw; ++k) nbr[k].clear();
       long cap_e = max_total_eids - total_eids;
-      for (long e = 0; e < n_edges; ++e) {
-        const int64_t a = eu[e], b = ev[e];
-        if (xi[a] >= x0 && xi[a] <= x1 && yi[a] >= y0 && yi[a] <= y1 &&
-            xi[b] >= x0 && xi[b] <= x1 && yi[b] >= y0 && yi[b] <= y1) {
+      for (long k = 0; k < We; ++k) {
+        uint64_t m = range_word(exle, exnle, eyle, eynle, We,
+                                cx1, cx0, cy1, cy0, k);
+        while (m) {
+          const long e = (k << 6) + __builtin_ctzll(m);
+          m &= m - 1;
           if (n_we >= cap_e) { for (long p : ids) loc[p] = -1; return -1; }
-          const int64_t la = loc[a], lb = loc[b];
+          const int64_t la = loc[eu[e]], lb = loc[ev[e]];
           const long row = total_eids + n_we;
           out_eids[row] = e;
           out_eloc[2 * row] = total_ids + la;
@@ -426,15 +504,17 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
       }
       long n_ws = 0;
       const long cap_s = max_total_sids - total_sids;
-      for (long e = 0; e < n_supers; ++e) {
-        const int64_t a = su[e], b = sv[e];
-        if (xi[a] >= x0 && xi[a] <= x1 && yi[a] >= y0 && yi[a] <= y1 &&
-            xi[b] >= x0 && xi[b] <= x1 && yi[b] >= y0 && yi[b] <= y1) {
+      for (long k = 0; k < Ws; ++k) {
+        uint64_t m = range_word(sxle, sxnle, syle, synle, Ws,
+                                cx1, cx0, cy1, cy0, k);
+        while (m) {
+          const long e = (k << 6) + __builtin_ctzll(m);
+          m &= m - 1;
           if (n_ws >= cap_s) { for (long p : ids) loc[p] = -1; return -1; }
           const long row = total_sids + n_ws;
           out_sids[row] = e;
-          out_sloc[2 * row] = total_ids + loc[a];
-          out_sloc[2 * row + 1] = total_ids + loc[b];
+          out_sloc[2 * row] = total_ids + loc[su[e]];
+          out_sloc[2 * row + 1] = total_ids + loc[sv[e]];
           for (int c = 0; c < 6; ++c) out_sattr[6 * row + c] = attr_s[6 * e + c];
           ++n_ws;
         }
