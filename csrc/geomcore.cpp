@@ -49,9 +49,122 @@ inline void super_attr(const double* pos, int64_t a, int64_t b, double* out) {
   out[5] = d2;
 }
 
+// Greedy row-order merge of points closer than merge_th, groups collapse
+// to their mean (split_cross.merge_close_points; reference
+// split_cross.py:57-69). io: k points in `pts`, returns merged count.
+inline long merge_close(std::vector<double>& pts, double merge_th) {
+  const long k = (long)pts.size() / 2;
+  if (k == 0) return 0;
+  std::vector<uint8_t> merged(k, 0);
+  std::vector<double> out;
+  out.reserve(pts.size());
+  for (long i = 0; i < k; ++i) {
+    double sx = 0, sy = 0;
+    long cnt = 0;
+    // first pass: mean over unmerged close points
+    for (long j = 0; j < k; ++j) {
+      const double dx = pts[2 * i] - pts[2 * j];
+      const double dy = pts[2 * i + 1] - pts[2 * j + 1];
+      if (std::sqrt(dx * dx + dy * dy) < merge_th && !merged[j]) {
+        sx += pts[2 * j];
+        sy += pts[2 * j + 1];
+        ++cnt;
+      }
+    }
+    if (cnt == 0) continue;
+    out.push_back(sx / cnt);
+    out.push_back(sy / cnt);
+    // second pass: mark everything close to i merged (incl. already-merged)
+    for (long j = 0; j < k; ++j) {
+      const double dx = pts[2 * i] - pts[2 * j];
+      const double dy = pts[2 * i + 1] - pts[2 * j + 1];
+      if (std::sqrt(dx * dx + dy * dy) < merge_th) merged[j] = 1;
+    }
+  }
+  pts.swap(out);
+  return (long)pts.size() / 2;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Split each line at candidate points lying on it (split_cross.split_line +
+// _points_on_line_batch; reference split_cross.py:237-321). Epsilon
+// semantics preserved exactly: 1px endpoint exclusion boxes keyed on the
+// min/max corners, 3px point-to-line distance (line_th), bbox projection
+// containment, merge_th greedy point merging, dominant-axis stable
+// ordering. Returns the emitted line count, or -1 on capacity exhaustion.
+long split_lines(const double* lines, long n_lines,
+                 const double* points, long n_points,
+                 double line_th, double merge_th,
+                 double* out_lines, long cap_out) {
+  const double th2 = line_th * line_th;
+  std::vector<double> sp;
+  std::vector<long> order;
+  long n_out = 0;
+  for (long li = 0; li < n_lines; ++li) {
+    const double x0 = lines[4 * li], y0 = lines[4 * li + 1];
+    const double x1 = lines[4 * li + 2], y1 = lines[4 * li + 3];
+    const double min_x = x0 < x1 ? x0 : x1, max_x = x0 < x1 ? x1 : x0;
+    const double min_y = y0 < y1 ? y0 : y1, max_y = y0 < y1 ? y1 : y0;
+    const bool vert = (x1 - x0) == 0.0;
+    const double dx = vert ? 1.0 : x1 - x0;
+    const double a = (y1 - y0) / dx;
+    const double b = y0 - a * x0;
+    const double denom = a * a + 1;
+
+    sp.clear();
+    for (long p = 0; p < n_points; ++p) {
+      const double x = points[2 * p], y = points[2 * p + 1];
+      const bool is_se =
+          (std::fabs(x - min_x) <= 1 && std::fabs(y - min_y) <= 1) ||
+          (std::fabs(x - max_x) <= 1 && std::fabs(y - max_y) <= 1);
+      if (is_se) continue;
+      const double t = a * x - y + b;
+      const double d2 = vert ? (x - x0) * (x - x0) : t * t / denom;
+      if (!(d2 < th2)) continue;
+      const double x_proj = vert ? x0 : (a * (y - b) + x) / denom;
+      const double y_proj = vert ? y : a * x_proj + b;
+      if (x_proj >= min_x && x_proj <= max_x && y_proj >= min_y &&
+          y_proj <= max_y) {
+        sp.push_back(x);
+        sp.push_back(y);
+      }
+    }
+    if (sp.empty()) {
+      if (n_out >= cap_out) return -1;
+      out_lines[4 * n_out] = x0;
+      out_lines[4 * n_out + 1] = y0;
+      out_lines[4 * n_out + 2] = x1;
+      out_lines[4 * n_out + 3] = y1;
+      ++n_out;
+      continue;
+    }
+    merge_close(sp, merge_th);
+    // [start, merged..., end], stable-ordered along the dominant axis
+    // (split_cross.py:296-306)
+    sp.insert(sp.begin(), {x0, y0});
+    sp.push_back(x1);
+    sp.push_back(y1);
+    const long k = (long)sp.size() / 2;
+    const int axis = (x1 == x0) ? 1 : (std::fabs(a) > 0.5 ? 1 : 0);
+    order.resize(k);
+    for (long i = 0; i < k; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(), [&](long u, long v) {
+      return sp[2 * u + axis] < sp[2 * v + axis];
+    });
+    if (n_out + k - 1 > cap_out) return -1;
+    for (long i = 0; i + 1 < k; ++i) {
+      out_lines[4 * n_out] = sp[2 * order[i]];
+      out_lines[4 * n_out + 1] = sp[2 * order[i] + 1];
+      out_lines[4 * n_out + 2] = sp[2 * order[i + 1]];
+      out_lines[4 * n_out + 3] = sp[2 * order[i + 1] + 1];
+      ++n_out;
+    }
+  }
+  return n_out;
+}
 
 // edges_local: [n_edges, 2] int64 local node ids in [0, n_local)
 // pos:         [n_local, 2] float64

@@ -222,3 +222,37 @@ class TestSweepRectsNative:
                 for x1 in x_ends[(x0, gix)]]
         np.testing.assert_array_equal(
             got, np.asarray(want, dtype=np.int32).reshape(-1, 4))
+
+
+class TestSplitLinesNative:
+    """Native split_lines == the numpy split_line fallback on fuzzed
+    scenes (epsilon-threshold decisions, greedy point merging, dominant-
+    axis stable ordering)."""
+
+    @pytest.mark.parametrize("seed", range(20))
+    def test_matches_python(self, lib, seed, monkeypatch):
+        import importlib
+
+        sc = importlib.import_module("yolat_tpu.geom.split_cross")
+
+        rng = np.random.default_rng(300 + seed)
+        n_l = int(rng.integers(2, 30))
+        # integer-ish endpoints (SESYD lines are pixel-valued) plus a few
+        # exact duplicates and shared endpoints to stress the 1px boxes
+        lines = rng.integers(0, 80, (n_l, 4)).astype(np.float64)
+        if seed % 2:
+            lines[:: 3, 2] = lines[:: 3, 0]  # vertical lines
+        if seed % 3 == 0 and n_l > 2:
+            lines[1] = lines[0]
+        pts = lines.reshape(-1, 2)
+        # near-collinear jitter points exercise the 3px distance band
+        extra = pts[: max(1, len(pts) // 3)] + rng.normal(0, 2.0, 1)
+        pts = np.concatenate([pts, extra], axis=0)
+
+        got = _native.split_lines_native(pts_lines := lines, pts,
+                                         sc.LINE_TH, sc.MERGE_TH)
+        assert got is not None
+        monkeypatch.setattr(_native, "split_lines_native",
+                            lambda *a, **k: None)
+        want = sc.split_line(pts, pts_lines)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)

@@ -35,8 +35,12 @@ def load_library():
         so = os.path.join(_csrc_dir(), "libgeomcore.so")
         try:
             if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                # -ffp-contract=off: no FMA contraction, so float-threshold
+                # decisions (split distances, IoU labels) match numpy's
+                # un-contracted arithmetic bit for bit
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                    ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                     "-o", so, src],
                     check=True, capture_output=True,
                 )
             lib = ctypes.CDLL(so)
@@ -103,6 +107,12 @@ def load_library():
                 f64p, ctypes.c_long, f64p, ctypes.c_long,
                 f64p, ctypes.c_long, f64p, ctypes.c_long,
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ]
+            lib.split_lines.restype = ctypes.c_long
+            lib.split_lines.argtypes = [
+                f64p, ctypes.c_long, f64p, ctypes.c_long,
+                ctypes.c_double, ctypes.c_double,
+                f64p, ctypes.c_long,
             ]
             _lib = lib
         except Exception:
@@ -385,6 +395,32 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
         cap_ids *= 4
         cap_eids *= 4
         cap_sids *= 4
+    return None
+
+
+def split_lines_native(lines: np.ndarray, points: np.ndarray,
+                       line_th: float, merge_th: float):
+    """Native split_line (endpoint-split of lines at incident points);
+    returns the [L', 4] line array or None (library unavailable /
+    capacity retry exhausted)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    lines = np.ascontiguousarray(lines, dtype=np.float64).reshape(-1, 4)
+    points = np.ascontiguousarray(points, dtype=np.float64).reshape(-1, 2)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    cap = max(len(lines) * 8 + len(points) * 2, 1 << 10)
+    for _ in range(3):
+        out = np.empty((cap, 4), np.float64)
+        n = lib.split_lines(
+            lines.ctypes.data_as(f64p), len(lines),
+            points.ctypes.data_as(f64p), len(points),
+            float(line_th), float(merge_th),
+            out.ctypes.data_as(f64p), cap,
+        )
+        if n >= 0:
+            return out[:n].copy()
+        cap *= 4
     return None
 
 

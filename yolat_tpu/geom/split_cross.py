@@ -156,6 +156,12 @@ def split_line(points: np.ndarray, lines: np.ndarray) -> np.ndarray:
     """Split each line at candidate points lying on it. Returns [L', 4]."""
     lines = np.asarray(lines, dtype=np.float64).reshape(-1, 4)
     points = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    if len(lines) and len(points):
+        from yolat_tpu.geom._native import split_lines_native
+
+        native = split_lines_native(lines, points, LINE_TH, MERGE_TH)
+        if native is not None:
+            return native
     on_all = (
         _points_on_line_batch(points, lines)
         if len(points) and len(lines)
