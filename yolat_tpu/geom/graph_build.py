@@ -211,7 +211,7 @@ def merge_nodes(graph: dict) -> dict:
     me, sa = me[keep], sa[keep]
     me = np.sort(me, axis=1)
     if len(me):
-        uniq, inv = np.unique(me, axis=0, return_inverse=True)
+        uniq, inv = _unique_pairs(me, n_cluster)
         pooled = _segment_mean(sa, inv, len(uniq))
         merged["edge"]["shape"] = uniq
         merged["edge_attr"]["shape"] = pooled
@@ -233,12 +233,25 @@ def merge_nodes(graph: dict) -> dict:
 
 
 def _segment_mean(values: np.ndarray, seg: np.ndarray, n_seg: int) -> np.ndarray:
+    # per-column bincount beats np.add.at (a slow ufunc.at) ~20x at these
+    # widths (<= 6 columns)
     values = values.reshape(len(values), -1)
-    out = np.zeros((n_seg, values.shape[1]), dtype=np.float64)
-    np.add.at(out, seg, values)
+    out = np.stack(
+        [np.bincount(seg, weights=values[:, c], minlength=n_seg)
+         for c in range(values.shape[1])], axis=1,
+    ) if values.shape[1] else np.zeros((n_seg, 0))
     counts = np.bincount(seg, minlength=n_seg).astype(np.float64)
     counts[counts == 0] = 1.0
     return out / counts[:, None]
+
+
+def _unique_pairs(pairs: np.ndarray, n: int):
+    """np.unique(pairs, axis=0, return_inverse=True) for [E, 2] int pairs
+    with entries < n, via packed 1-D keys (same lexicographic order,
+    much faster than the axis=0 structured-view path)."""
+    key = pairs[:, 0] * np.int64(n) + pairs[:, 1]
+    uk, inv = np.unique(key, return_inverse=True)
+    return np.stack([uk // n, uk % n], axis=1), inv
 
 
 # ---------------------------------------------------------------------------
