@@ -217,18 +217,13 @@ def _class_fixpoint_nms(boxes, conf, cand_valid, iou_thres: float,
         kept[c, i] = cand[c, i] AND NOT exists j:
                        kept[c, j] AND iou(j, i) > th AND s[c, j] > s[c, i]
 
-    The inner exists-with-strictly-higher-score test is one masked
-    max-product: m[c, i] = max_j (kept[c, j] * s[c, j] * over[j, i]);
-    suppressed iff m > s (scores are > conf_thres >= 0 on kept rows, and
-    the diagonal term m >= s_i never self-suppresses under strict >).
-    Convergence: the strict-score relation is a DAG per class, so sweeps
-    settle candidates by suppression-chain depth, exactly as _fixpoint_nms.
-
-    Ties (bit-equal scores — e.g. structurally duplicated proposals whose
-    logits coincide) break by LOWER box index, matching the deterministic
-    index order torchvision's stable candidate layout yields: a second
-    masked reduction finds, among tied-at-the-max overlapping kept
-    candidates, the best (M - j) payload, and j < i then suppresses i.
+    "s[c, j] > s[c, i]" (with bit-equal ties broken by LOWER box index,
+    matching the deterministic index order torchvision's stable candidate
+    layout yields) is a strict total order per class, precomputed as an
+    int32 rank via one stable argsort; the inner exists test is then a
+    single masked rank-min per sweep. Convergence: the order is a DAG per
+    class, so sweeps settle candidates by suppression-chain depth, exactly
+    as _fixpoint_nms.
 
     This is EXACT over all M*K candidates — strictly closer to the
     reference (whose max_nms=30000 cap never binds at SESYD scale) than
@@ -243,26 +238,28 @@ def _class_fixpoint_nms(boxes, conf, cand_valid, iou_thres: float,
     inter = jnp.clip(ix1 - ix0, 0, None) * jnp.clip(iy1 - iy0, 0, None)
     area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     iou = inter / (area[:, None] + area[None, :] - inter + 1e-16)
-    over = (iou > iou_thres).astype(conf.dtype)  # [M, M], j -> i
 
     s = conf.T                                   # [K, M]
     cand = cand_valid.T                          # [K, M]
+    overb = iou > iou_thres                      # [M, M] bool, j -> i
 
-    neg = jnp.array(-jnp.inf, s.dtype)
-    overb = over > 0.5                           # [M, M] bool, j -> i
-    idx_payload = jnp.arange(M, 0, -1, dtype=s.dtype)  # M - j (higher = lower j)
+    # Collapse (score desc, index asc) into ONE strict total order per
+    # class: a stable argsort of -s ranks candidates best-first with ties
+    # broken by lower box index — exactly the deterministic order
+    # torchvision's stable candidate layout yields. One masked int32 min
+    # per sweep replaces a float score-max plus a tie-payload max.
+    order = jnp.argsort(-s, axis=1, stable=True)           # [K, M]
+    rank = jnp.zeros_like(order).at[
+        jnp.arange(K)[:, None], order].set(jnp.arange(M)[None, :])
+
+    big = jnp.array(M, rank.dtype)
 
     def step(kept):
-        # masked select instead of a product so scores may be negative
         kj = kept[:, :, None] & overb[None, :, :]          # [K, Mj, Mi]
-        m = jnp.max(jnp.where(kj, s[:, :, None], neg), axis=1)   # [K, M]
-        # tie-break: among kept overlapping j tied at the max, the lowest
-        # index wins; self (j == i) contributes exactly M - i, so strict >
-        # never self-suppresses
-        tied = kj & (s[:, :, None] == m[:, None, :])
-        b = jnp.max(jnp.where(tied, idx_payload[None, :, None], neg), axis=1)
-        sup = (m > s) | ((m == s) & (b > idx_payload[None, :]))
-        return cand & ~sup
+        # best (lowest-rank) kept overlapping j; self (j == i) contributes
+        # rank_i, never strictly below itself
+        mn = jnp.min(jnp.where(kj, rank[:, :, None], big), axis=1)  # [K, M]
+        return cand & ~(mn < rank)
 
     def cond(state):
         kept, prev = state
