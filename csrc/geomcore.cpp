@@ -491,8 +491,27 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
     const long cy1 = y1 < gy ? y1 : gy - 1;
     const long cx0 = x0 <= 0 ? -1 : (x0 - 1 < gx ? x0 - 1 : gx - 1);
     const long cy0 = y0 <= 0 ? -1 : (y0 - 1 < gy ? y0 - 1 : gy - 1);
-    ids.clear();
+    // dedup pre-pass: hash the masked membership WORDS (set identity —
+    // equal point sets give bit-equal non-zero words at equal k) so the
+    // ~60% duplicate rects never pay member extraction at all
     uint64_t h = 1469598103934665603ull;
+    long popcnt = 0;
+    for (long k = 0; k < W; ++k) {
+      uint64_t m = range_word(pxle, pxle, pyle, pyle, W, cx1, cx0, cy1, cy0, k);
+      if (m) {
+        h ^= (uint64_t)k + 0x9e3779b97f4a7c15ull;
+        h *= 1099511628211ull;
+        h ^= m;
+        h *= 1099511628211ull;
+        popcnt += __builtin_popcountll(m);
+      }
+    }
+    if (popcnt == 0) continue;
+    bool fresh = seen.insert(h).second;
+    if (!fresh) continue;
+    ++n_distinct;
+
+    ids.clear();
     for (long k = 0; k < W; ++k) {
       uint64_t m = range_word(pxle, pxle, pyle, pyle, W, cx1, cx0, cy1, cy0, k);
       while (m) {
@@ -500,16 +519,11 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
         m &= m - 1;
         loc[p] = (int64_t)ids.size();
         ids.push_back(p);
-        h ^= (uint64_t)p + 0x9e3779b97f4a7c15ull;
-        h *= 1099511628211ull;
       }
     }
     const long nw = (long)ids.size();
-    if (nw == 0) continue;
-    bool fresh = seen.insert(h).second;
-    if (fresh) ++n_distinct;
 
-    bool accept = fresh;
+    bool accept = true;
     double mnx = 0, mny = 0, mxx = 0, mxy = 0;
     if (accept) {
       mnx = mxx = pos[2 * ids[0]];

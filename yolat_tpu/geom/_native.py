@@ -372,25 +372,31 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
         if n >= 0:
             t = int(out_id_off[n])
             te, ts = int(out_eid_off[n]), int(out_sid_off[n])
+            # views, not copies: every consumer either re-offsets the rows
+            # (add_cc_bulk's eloc/sloc + offset) or block-copies them into
+            # the accumulator's finish() concatenation — trimming here was
+            # a redundant third pass (~7 ms/image at bench scale). The
+            # cap-sized base buffers stay alive only until the per-file
+            # ProposalFile is assembled.
             return {
                 "n_w": int(n),
                 "n_distinct": int(n_distinct[0]),
-                "ids": out_ids[:t].copy(),
-                "id_off": out_id_off[: n + 1].copy(),
-                "eids": out_eids[:te].copy(),
-                "eid_off": out_eid_off[: n + 1].copy(),
-                "eloc": out_eloc[:te].copy(),
-                "sids": out_sids[:ts].copy(),
-                "sid_off": out_sid_off[: n + 1].copy(),
-                "sloc": out_sloc[:ts].copy(),
-                "feats": out_feats[:n].copy(),
-                "pos": out_pos[:t].copy(),
+                "ids": out_ids[:t],
+                "id_off": out_id_off[: n + 1],
+                "eids": out_eids[:te],
+                "eid_off": out_eid_off[: n + 1],
+                "eloc": out_eloc[:te],
+                "sids": out_sids[:ts],
+                "sid_off": out_sid_off[: n + 1],
+                "sloc": out_sloc[:ts],
+                "feats": out_feats[:n],
+                "pos": out_pos[:t],
                 "issuper": out_issuper[:t].astype(bool),
-                "eattr": out_eattr[:te].copy(),
-                "sattr": out_sattr[:ts].copy(),
-                "labels": out_labels[:n].copy(),
-                "targets": out_targets[:n].copy(),
-                "hasobj": out_hasobj[:n].copy(),
+                "eattr": out_eattr[:te],
+                "sattr": out_sattr[:ts],
+                "labels": out_labels[:n],
+                "targets": out_targets[:n],
+                "hasobj": out_hasobj[:n],
             }
         cap_ids *= 4
         cap_eids *= 4
