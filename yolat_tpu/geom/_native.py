@@ -38,11 +38,14 @@ def load_library():
                 # -ffp-contract=off: no FMA contraction, so float-threshold
                 # decisions (split distances, IoU labels) match numpy's
                 # un-contracted arithmetic bit for bit
-                subprocess.run(
-                    ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
-                     "-o", so, src],
-                    check=True, capture_output=True,
-                )
+                # -march=native is safe: the .so is lazily compiled on the
+                # host that runs it (gitignored, rebuilt on mtime change)
+                cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                       "-shared", "-fPIC", "-o", so, src]
+                r = subprocess.run(cmd, capture_output=True)
+                if r.returncode != 0:  # old toolchains: retry portable
+                    cmd.remove("-march=native")
+                    subprocess.run(cmd, check=True, capture_output=True)
             lib = ctypes.CDLL(so)
             lib.angle_stats.restype = ctypes.c_long
             lib.angle_stats.argtypes = [
