@@ -401,7 +401,14 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
                      int normalize, double* out_pos,
                      double* out_eattr, double* out_sattr,
                      uint8_t* out_issuper, int64_t* out_labels,
-                     double* out_targets, int64_t* out_hasobj) {
+                     double* out_targets, int64_t* out_hasobj,
+                     int64_t* req_out) {
+  // counting mode: on the first capacity overflow, stop writing outputs
+  // but keep enumerating, so the exact required capacities come out of
+  // ONE pass (req_out[3] = ids/eids/sids; return -2). The caller then
+  // re-runs once with exact buffers instead of a blind multiply-and-retry
+  // loop — half the bench images used to pay a full second pass.
+  bool counting = false;
   std::unordered_set<uint64_t> seen;
   seen.reserve(n_rects * 2);
   std::vector<int64_t> ids;
@@ -479,6 +486,10 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
 
   long n_sets = 0, n_distinct = 0;
   long total_ids = 0, total_eids = 0, total_sids = 0;
+  // edge rows are written as SCRATCH during discovery (a window can still
+  // be rejected by the later angle filter without advancing total_eids),
+  // so the required capacity is the peak total+scratch, not the final sum
+  long peak_eids = 0;
   out_id_off[0] = 0;
   out_eid_off[0] = 0;
   out_sid_off[0] = 0;
@@ -545,20 +556,23 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
       // endpoint rows are CC-local (total_ids = this window's member start)
       if ((long)nbr.size() < nw) nbr.resize(nw);
       for (long k = 0; k < nw; ++k) nbr[k].clear();
-      long cap_e = max_total_eids - total_eids;
+      const long cap_e = max_total_eids - total_eids;
       for (long k = 0; k < We; ++k) {
         uint64_t m = range_word(exle, exnle, eyle, eynle, We,
                                 cx1, cx0, cy1, cy0, k);
         while (m) {
           const long e = (k << 6) + __builtin_ctzll(m);
           m &= m - 1;
-          if (n_we >= cap_e) { for (long p : ids) loc[p] = -1; return -1; }
           const int64_t la = loc[eu[e]], lb = loc[ev[e]];
-          const long row = total_eids + n_we;
-          out_eids[row] = e;
-          out_eloc[2 * row] = total_ids + la;
-          out_eloc[2 * row + 1] = total_ids + lb;
-          for (int c = 0; c < 6; ++c) out_eattr[6 * row + c] = attr_e[6 * e + c];
+          if (n_we >= cap_e) counting = true;
+          if (!counting) {
+            const long row = total_eids + n_we;
+            out_eids[row] = e;
+            out_eloc[2 * row] = total_ids + la;
+            out_eloc[2 * row + 1] = total_ids + lb;
+            for (int c = 0; c < 6; ++c)
+              out_eattr[6 * row + c] = attr_e[6 * e + c];
+          }
           nbr[la].push_back(lb);
           nbr[lb].push_back(la);
           const double d = attr_e[6 * e + 5];
@@ -567,6 +581,7 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
           ++n_we;
         }
       }
+      if (total_eids + n_we > peak_eids) peak_eids = total_eids + n_we;
       if (n_we == 0) accept = false;
     }
 
@@ -625,10 +640,8 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
     }
 
     if (accept) {
-      if (n_sets >= max_sets || total_ids + nw > max_total_ids) {
-        for (long p : ids) loc[p] = -1;
-        return -1;
-      }
+      if (n_sets >= max_sets || total_ids + nw > max_total_ids)
+        counting = true;
       long n_ws = 0;
       const long cap_s = max_total_sids - total_sids;
       for (long k = 0; k < Ws; ++k) {
@@ -637,12 +650,15 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
         while (m) {
           const long e = (k << 6) + __builtin_ctzll(m);
           m &= m - 1;
-          if (n_ws >= cap_s) { for (long p : ids) loc[p] = -1; return -1; }
-          const long row = total_sids + n_ws;
-          out_sids[row] = e;
-          out_sloc[2 * row] = total_ids + loc[su[e]];
-          out_sloc[2 * row + 1] = total_ids + loc[sv[e]];
-          for (int c = 0; c < 6; ++c) out_sattr[6 * row + c] = attr_s[6 * e + c];
+          if (n_ws >= cap_s) counting = true;
+          if (!counting) {
+            const long row = total_sids + n_ws;
+            out_sids[row] = e;
+            out_sloc[2 * row] = total_ids + loc[su[e]];
+            out_sloc[2 * row + 1] = total_ids + loc[sv[e]];
+            for (int c = 0; c < 6; ++c)
+              out_sattr[6 * row + c] = attr_s[6 * e + c];
+          }
           ++n_ws;
         }
       }
@@ -651,28 +667,34 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
       // gather + repeat-divide over every (window, member) row
       const double bw = (mxx - mnx) != 0.0 ? (mxx - mnx) : 1.0;
       const double bh = (mxy - mny) != 0.0 ? (mxy - mny) : 1.0;
-      for (int64_t v : ids) {
-        if (normalize) {
-          out_pos[2 * total_ids] = (pos[2 * v] - mnx) / bw;
-          out_pos[2 * total_ids + 1] = (pos[2 * v + 1] - mny) / bh;
-        } else {
-          out_pos[2 * total_ids] = pos[2 * v];
-          out_pos[2 * total_ids + 1] = pos[2 * v + 1];
+      if (!counting) {
+        for (int64_t v : ids) {
+          if (normalize) {
+            out_pos[2 * total_ids] = (pos[2 * v] - mnx) / bw;
+            out_pos[2 * total_ids + 1] = (pos[2 * v + 1] - mny) / bh;
+          } else {
+            out_pos[2 * total_ids] = pos[2 * v];
+            out_pos[2 * total_ids + 1] = pos[2 * v + 1];
+          }
+          out_issuper[total_ids] = issuper[v];
+          out_ids[total_ids++] = v;
         }
-        out_issuper[total_ids] = issuper[v];
-        out_ids[total_ids++] = v;
+      } else {
+        total_ids += nw;
       }
       total_eids += n_we;
       total_sids += n_ws;
-      double* f = out_feats + 17 * n_sets;
-      f[0] = mnx; f[1] = mny; f[2] = mxx; f[3] = mxy;
-      for (int k = 0; k < 13; ++k) f[4 + k] = feats[k];
+      if (!counting) {
+        double* f = out_feats + 17 * n_sets;
+        f[0] = mnx; f[1] = mny; f[2] = mxx; f[3] = mxy;
+        for (int k = 0; k < 13; ++k) f[4 + k] = feats[k];
+      }
 
       // GT labelling (graph_dict3.py:625-641; float order matches the
       // numpy epilogue _iou_ios_many: first IoU argmax wins ties)
       long best = -1;
       double best_iou = -1.0, best_ios = 0.0;
-      for (long g = 0; g < n_gt; ++g) {
+      for (long g = 0; !counting && g < n_gt; ++g) {
         const double gx0 = gtb[4 * g], gy0 = gtb[4 * g + 1];
         const double gx1 = gtb[4 * g + 2], gy1 = gtb[4 * g + 3];
         const double ix0 = mnx > gx0 ? mnx : gx0;
@@ -691,24 +713,34 @@ long window_pipeline(const int32_t* xi, const int32_t* yi, long n_points,
           best = g;
         }
       }
-      if (best >= 0 && best_iou > iou_th) {
-        out_labels[n_sets] = gt_lab[best];
-        for (int c = 0; c < 4; ++c)
-          out_targets[4 * n_sets + c] = gtb[4 * best + c];
-      } else {
-        out_labels[n_sets] = bg_label;
-        for (int c = 0; c < 4; ++c) out_targets[4 * n_sets + c] = 0.0;
+      if (!counting) {
+        if (best >= 0 && best_iou > iou_th) {
+          out_labels[n_sets] = gt_lab[best];
+          for (int c = 0; c < 4; ++c)
+            out_targets[4 * n_sets + c] = gtb[4 * best + c];
+        } else {
+          out_labels[n_sets] = bg_label;
+          for (int c = 0; c < 4; ++c) out_targets[4 * n_sets + c] = 0.0;
+        }
+        out_hasobj[n_sets] = (best >= 0 && best_ios > ios_th) ? 1 : 0;
       }
-      out_hasobj[n_sets] = (best >= 0 && best_ios > ios_th) ? 1 : 0;
       ++n_sets;
-      out_id_off[n_sets] = total_ids;
-      out_eid_off[n_sets] = total_eids;
-      out_sid_off[n_sets] = total_sids;
+      if (!counting) {
+        out_id_off[n_sets] = total_ids;
+        out_eid_off[n_sets] = total_eids;
+        out_sid_off[n_sets] = total_sids;
+      }
     }
 
     for (long p : ids) loc[p] = -1;
   }
   *n_distinct_out = n_distinct;
+  if (counting) {
+    req_out[0] = total_ids;
+    req_out[1] = peak_eids;
+    req_out[2] = total_sids;
+    return -2;
+  }
   return n_sets;
 }
 

@@ -100,6 +100,41 @@ class TestAngleStats:
             assert a.shape == b.shape, k
             np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-8, err_msg=k)
 
+    def test_window_pipeline_capacity_retry_exact(self, lib, synthetic_root,
+                                                  monkeypatch):
+        """Undersized initial buffers trip the C++ counting mode (-2); the
+        reported exact capacities must make the single retry succeed with
+        output identical to a generously-capped run."""
+        from yolat_tpu.data.dataset import SESYDDataset
+
+        import yolat_tpu.geom._native as native_mod
+
+        calls = []
+        orig = native_mod.window_pipeline_native
+
+        def spy(*a, **k):
+            calls.append((a, k))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(native_mod, "window_pipeline_native", spy)
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5,
+                          cache=False)
+        ds.load(0)
+        monkeypatch.undo()
+        assert calls, "native pipeline was never invoked"
+
+        a, k = calls[0]
+        want = native_mod.window_pipeline_native(*a, **k)
+        assert want is not None and want["n_w"] > 0
+        # tiny caps: first attempt must overflow into counting mode, and
+        # the exact-capacity retry must reproduce the full result
+        got = native_mod.window_pipeline_native(
+            *a, **k, initial_caps=(8, 8, 8))
+        assert got is not None
+        for key in want:
+            np.testing.assert_array_equal(np.asarray(want[key]),
+                                          np.asarray(got[key]), err_msg=key)
+
     def test_duplicate_edges_deduped(self, lib):
         # parallel edges must not create duplicate neighbour pairs (the
         # reference uses neighbour *sets*, graph_dict3.py:652-656)

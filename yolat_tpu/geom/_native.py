@@ -95,6 +95,7 @@ def load_library():
                 f64p, ctypes.c_long, i64p,
                 ctypes.c_int, f64p,
                 f64p, f64p, u8p, i64p, f64p, i64p,
+                i64p,
             ]
             lib.merge_cc.restype = ctypes.c_long
             lib.merge_cc.argtypes = [
@@ -288,7 +289,8 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
                            attr_e, attr_s, issuper_cluster,
                            gt_boxes, gt_label_vals, bg_label,
                            iou_th, ios_th, angle_th, min_extent,
-                           normalize_pos: bool = False):
+                           normalize_pos: bool = False,
+                           initial_caps=None):
     """Full per-CC window pipeline (enumeration + dedup + filters + features
     + GT labelling + attribute-row gathers) in C++. Returns a dict of flat
     CSR arrays, or None (library unavailable / capacity retry exhausted):
@@ -324,10 +326,19 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
     u8p = ctypes.POINTER(ctypes.c_uint8)
     max_sets = len(rects)
 
-    cap_ids = max(len(xi) * 64, 1 << 16)
-    cap_eids = max(len(eu) * 64, 1 << 16)
-    cap_sids = max(len(su) * 64, 1 << 16)
-    for _ in range(3):
+    # totals scale with windows x members-per-window (n_rects bounds the
+    # window count), NOT with the input sizes — a 101-point CC routinely
+    # emits ~30k member rows and ~130k super rows. Over-allocation is
+    # virtual-memory only (np.empty pages fault on write, and only the
+    # filled prefix is written); an overflow costs one extra counting pass
+    # (return -2 reports the exact totals for the single retry).
+    if initial_caps is not None:  # test hook: force the counting retry
+        cap_ids, cap_eids, cap_sids = initial_caps
+    else:
+        cap_ids = max(len(rects) * 64, len(xi) * 64, 1 << 16)
+        cap_eids = max(len(rects) * 64, len(eu) * 64, 1 << 16)
+        cap_sids = max(len(rects) * 128, len(su) * 64, 1 << 16)
+    for _ in range(2):
         out_ids = np.empty(cap_ids, np.int64)
         out_id_off = np.empty(max_sets + 1, np.int64)
         out_eids = np.empty(cap_eids, np.int64)
@@ -345,6 +356,7 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
         out_targets = np.empty((max_sets, 4), np.float64)
         out_hasobj = np.empty(max_sets, np.int64)
         n_distinct = np.zeros(1, np.int64)
+        req = np.zeros(3, np.int64)
         n = lib.window_pipeline(
             xi.ctypes.data_as(i32p), yi.ctypes.data_as(i32p), len(xi),
             pos.ctypes.data_as(f64p),
@@ -371,6 +383,7 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
             out_labels.ctypes.data_as(i64p),
             out_targets.ctypes.data_as(f64p),
             out_hasobj.ctypes.data_as(i64p),
+            req.ctypes.data_as(i64p),
         )
         if n >= 0:
             t = int(out_id_off[n])
@@ -401,9 +414,13 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
                 "targets": out_targets[:n],
                 "hasobj": out_hasobj[:n],
             }
-        cap_ids *= 4
-        cap_eids *= 4
-        cap_sids *= 4
+        if n != -2:  # -1 = degenerate grid: use the numpy fallback
+            return None
+        # capacity overflow: the counting pass reported the EXACT totals —
+        # one re-run with right-sized buffers (no blind multiply-retry)
+        cap_ids = max(int(req[0]), 1)
+        cap_eids = max(int(req[1]), 1)
+        cap_sids = max(int(req[2]), 1)
     return None
 
 
