@@ -110,6 +110,9 @@ def measured_workload_stats():
 def compiled_serving_flops(batches) -> dict:
     """XLA cost analysis of the compiled fast-serving program (forward +
     NMS) per image — the cross-check for the analytic count."""
+    from yolat_tpu.cli.common import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS in-process (axon plugin)
     import jax
 
     from yolat_tpu.eval.fast_forward import fold_params

@@ -38,9 +38,15 @@ def main():
                         "YOLaT++ model)")
     args = p.parse_args()
 
+    from yolat_tpu.cli.common import apply_platform_env
     from yolat_tpu.data.synthetic import write_dataset, write_diagram_dataset
     from yolat_tpu.train.config import Config
     from yolat_tpu.train.trainer import run_training
+
+    # honor JAX_PLATFORMS in-process (the axon plugin ignores the env var
+    # and hangs backend init when its tunnel is down) — same mechanism as
+    # the CLIs (cli/common.py) and tests/conftest.py
+    apply_platform_env()
 
     os.makedirs(args.root, exist_ok=True)
     if not os.path.exists(os.path.join(args.root, "train_list.txt")):
