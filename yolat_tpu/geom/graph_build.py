@@ -71,19 +71,23 @@ class UnionFind:
                 self.parent[ra] = rb
 
     def labels(self) -> np.ndarray:
-        """Cluster labels numbered by first occurrence in node order."""
-        n = len(self.parent)
-        roots = np.array([self.find(i) for i in range(n)], dtype=np.int64)
-        label_of_root: dict = {}
-        labels = np.empty(n, dtype=np.int64)
-        next_label = 0
-        for i in range(n):
-            r = roots[i]
-            if r not in label_of_root:
-                label_of_root[r] = next_label
-                next_label += 1
-            labels[i] = label_of_root[r]
-        return labels
+        """Cluster labels numbered by first occurrence in node order.
+
+        union() keeps the smaller id as root, so every root is its
+        cluster's smallest member: root r first occurs at index r itself,
+        and ascending root id == first-occurrence order. Pointer-jump the
+        parent array to its fixpoint (vectorised path compression), then
+        rank the roots.
+        """
+        p = self.parent
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        self.parent = p  # keep the compressed forest
+        _, labels = np.unique(p, return_inverse=True)
+        return labels.astype(np.int64, copy=False)
 
 
 # ---------------------------------------------------------------------------
@@ -158,6 +162,34 @@ def cubics_to_graph(cubics: np.ndarray, width: float, height: float,
 # ---------------------------------------------------------------------------
 
 
+def _closure_labels(n: int, pairs: np.ndarray) -> np.ndarray:
+    """Transitive-closure cluster labels numbered by first occurrence in
+    node order (== UnionFind.labels over the same pairs; the scipy
+    csgraph path is vectorised C, the UnionFind loop is the fallback)."""
+    if len(pairs) == 0:
+        return np.arange(n, dtype=np.int64)
+    try:
+        from scipy.sparse import coo_matrix
+        from scipy.sparse.csgraph import connected_components
+
+        m = coo_matrix(
+            (np.ones(len(pairs), dtype=np.int8), (pairs[:, 0], pairs[:, 1])),
+            shape=(n, n),
+        )
+        _, comp = connected_components(m, directed=False)
+        # relabel by first occurrence: rank components by smallest member
+        first = np.full(int(comp.max()) + 1, n, dtype=np.int64)
+        np.minimum.at(first, comp, np.arange(n, dtype=np.int64))
+        rank = np.empty(len(first), dtype=np.int64)
+        rank[np.argsort(first, kind="stable")] = np.arange(len(first))
+        return rank[comp]
+    except ImportError:  # pragma: no cover
+        uf = UnionFind(n)
+        for x, y in pairs:
+            uf.union(int(x), int(y))
+        return uf.labels()
+
+
 def merge_nodes(graph: dict) -> dict:
     """Merge coincident (<1e-3) non-control nodes with equal attributes.
 
@@ -171,7 +203,12 @@ def merge_nodes(graph: dict) -> dict:
     attrs = graph["attr"]
     is_control = np.asarray(attrs["is_control"]).reshape(-1) > 0.5
 
-    uf = UnionFind(n)
+    # [n, sum_widths] attr matrix, built once and reused for the equality
+    # test and the cluster means
+    attr_mats = {key: np.asarray(attrs[key], dtype=np.float64).reshape(n, -1)
+                 for key in attrs}
+
+    merge_pairs = np.zeros((0, 2), dtype=np.int64)
     non_control = np.where(~is_control)[0]
     if len(non_control) > 1:
         try:
@@ -189,18 +226,15 @@ def merge_nodes(graph: dict) -> dict:
             b = non_control[pairs[:, 1]]
             # attribute equality across every attr key (svg_parser.py:155-160)
             ok = np.ones(len(a), dtype=bool)
-            for key in attrs:
-                mat = np.asarray(attrs[key], dtype=np.float64).reshape(n, -1)
+            for mat in attr_mats.values():
                 ok &= np.linalg.norm(mat[a] - mat[b], axis=1) < MERGE_ATTR_TH
-            for x, y in zip(a[ok], b[ok]):
-                uf.union(int(x), int(y))
+            merge_pairs = np.stack([a[ok], b[ok]], axis=1)
 
-    labels = uf.labels()
+    labels = _closure_labels(n, merge_pairs)
     n_cluster = int(labels.max()) + 1 if n else 0
 
     merged = {"pos": _segment_mean(pos, labels, n_cluster), "attr": {}, "edge": {}, "edge_attr": {}}
-    for key in attrs:
-        mat = np.asarray(attrs[key], dtype=np.float64).reshape(n, -1)
+    for key, mat in attr_mats.items():
         merged["attr"][key] = _segment_mean(mat, labels, n_cluster)
 
     # shape edges: remap, drop self-loops, dedupe, mean-pool attrs
@@ -227,7 +261,8 @@ def merge_nodes(graph: dict) -> dict:
         e = labels[e]
         e = e[e[:, 0] != e[:, 1]]
         e = np.sort(e, axis=1)
-        merged["edge"][key] = np.unique(e, axis=0) if len(e) else np.zeros((0, 2), dtype=np.int64)
+        merged["edge"][key] = (_unique_pairs(e, n_cluster)[0] if len(e)
+                               else np.zeros((0, 2), dtype=np.int64))
 
     return merged
 
