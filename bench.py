@@ -53,13 +53,13 @@ def build_workload(n_images=8, batch_size=4, step=10):
 
 
 def time_predict(cfg, variables, batches, device, iters=8, fast=False,
-                 folded=None, bf16=False):
+                 folded=None, bf16=False, pallas=None):
     import jax
 
     from yolat_tpu.eval.predict import make_predict_fn
 
     predict = make_predict_fn(cfg, max_det=300, fast=fast, folded=folded,
-                              bf16=bf16)
+                              bf16=bf16, pallas=pallas)
     dev_batches = [
         {k: jax.device_put(v[0], device) for k, v in b.items()} for b in batches
     ]

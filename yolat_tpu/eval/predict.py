@@ -33,7 +33,8 @@ from yolat_tpu.train.loop import build_model
 
 
 def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
-                    fast: bool = False, folded=None, bf16: bool = False):
+                    fast: bool = False, folded=None, bf16: bool = False,
+                    pallas: bool | None = None):
     """Returns a jitted (variables, batch) -> per-image detections fn.
 
     With fast=True (requires the dense neighbour layout in the batch and
@@ -50,12 +51,14 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
       the reference's proposal top-1 / confusion metrics (train.py:383-388).
     """
     core = make_predict_core(cfg, n_images=n_images, max_det=max_det,
-                             fast=fast, folded=folded, bf16=bf16)
+                             fast=fast, folded=folded, bf16=bf16,
+                             pallas=pallas)
     return jax.jit(core)
 
 
 def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
-                      fast: bool = False, folded=None, bf16: bool = False):
+                      fast: bool = False, folded=None, bf16: bool = False,
+                      pallas: bool | None = None):
     """The un-jitted predict body: (variables, batch) -> detections dict.
     Wrapped by make_predict_fn (jit) and make_dp_predict_fn (shard_map)."""
     model = build_model(cfg, axis_name=None)
@@ -67,8 +70,10 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
 
         # the Pallas kernel is TPU-only; CPU runs take the jnp reference.
         # At bf16 the XLA path wins (see fast_forward for the measurement),
-        # so the kernel serves the f32 mode.
-        use_pallas = jax.default_backend() == "tpu" and not bf16
+        # so the kernel serves the f32 mode. `pallas` overrides the auto
+        # routing for A/B measurement (scripts/onchip_queue.py).
+        use_pallas = (jax.default_backend() == "tpu" and not bf16
+                      if pallas is None else pallas)
 
     def predict(variables, batch):
         batch = finalize_batch(jax.tree.map(jnp.asarray, batch))
