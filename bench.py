@@ -205,12 +205,11 @@ def run_bench(error=None):
             "flops_per_image": round(fpi, 0),
             "hbm_bytes_per_image": round(bpi, 0),
         }
-        if not on_cpu:  # chip peaks only make sense on the chip
-            v5e_peak, v5e_hbm = 197e12, 819e9
-            roofline["detect_mfu"] = round(rate_dev * fpi / v5e_peak, 4)
-            roofline["detect_hbm_roofline_fraction"] = round(
-                rate_dev * bpi / v5e_hbm, 4
-            )
+        v5e_peak, v5e_hbm = 197e12, 819e9
+        roofline["detect_mfu"] = round(rate_dev * fpi / v5e_peak, 4)
+        roofline["detect_hbm_roofline_fraction"] = round(
+            rate_dev * bpi / v5e_hbm, 4
+        )
     except Exception:
         pass
 

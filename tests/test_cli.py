@@ -217,3 +217,26 @@ class TestCLIPipeline:
             lines = [json.loads(line) for line in f]
         assert len(lines) == 5  # all SVGs under the dir
         assert all("detections" in d and "file" in d for d in lines)
+
+        # 8. infer from a reference .pth checkpoint (export -> serve): the
+        # .pth form must be handled before any CheckpointManager touch
+        from yolat_tpu.cli import export_ckpt as cli_export
+
+        pth_path = str(tmp_path / "exported.pth")
+        cli_export.main(
+            ["--pretrained_model", ckpt_dir, "--out", pth_path,
+             "--n_classes", "17", "--tag", "1"]
+        )
+        out_jsonl2 = str(tmp_path / "dets_pth.jsonl")
+        cli_infer.main(
+            [
+                "--input_dir", os.path.join(synthetic_root, "floorplans-syn"),
+                "--bbox_sampling_step", "5",
+                "--batch_size", "3",
+                "--pretrained_model", pth_path,
+                "--out", out_jsonl2,
+                "--conf_th", "0.0",
+            ]
+        )
+        with open(out_jsonl2) as f:
+            assert "detections" in json.loads(f.readline())

@@ -241,7 +241,9 @@ def test_batch_statistics_vectorized_matches_loop_oracle():
         det_scores = np.sort(rng.random(d))[::-1].copy()
         det_labels = rng.integers(0, 3, d).astype(float)
         gt_labels = rng.integers(0, 3, g).astype(float)
-        th = float(rng.choice([0.3, 0.5, 0.75]))
+        # th <= 0 exercises the class-presence skip, where the masked-zero
+        # IoU fill would otherwise pass the >= test with no candidate
+        th = float(rng.choice([0.0, 0.3, 0.5, 0.75]))
         tp_v, _, _ = batch_statistics(det_boxes, det_scores, det_labels,
                                       gt_boxes, gt_labels, th)
         tp_l, _, _ = batch_statistics_loop(det_boxes, det_scores, det_labels,

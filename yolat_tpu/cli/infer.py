@@ -74,8 +74,12 @@ def main(argv=None):
             id2name[cid] = name
 
     t_start = time.perf_counter()
+    # cache_files=False: single-pass bulk inference must STREAM — the
+    # unshuffled epoch cache would pack the whole manifest into RAM before
+    # the first batch (it only pays off for loaders iterated repeatedly)
     loader = PackedLoader(ds, batch_size=cfg.batch_size,
-                          n_devices=1, shuffle=False, dense=True)
+                          n_devices=1, shuffle=False, dense=True,
+                          cache_files=False)
 
     if not cfg.pretrained_model:
         raise SystemExit("--pretrained_model is required for inference")
@@ -86,7 +90,9 @@ def main(argv=None):
     from yolat_tpu.train.checkpoint import CheckpointManager
 
     path = cfg.pretrained_model.rstrip("/")
-    if os.path.basename(path).startswith("ckpt_"):
+    if path.endswith(".pth"):
+        ckpt_dir, tag = path, "best"  # reference .pth: loaded directly
+    elif os.path.basename(path).startswith("ckpt_"):
         ckpt_dir, tag = os.path.dirname(path), os.path.basename(path)[5:]
     else:
         ckpt_dir = path

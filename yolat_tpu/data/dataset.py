@@ -148,7 +148,12 @@ class SESYDDataset:
             # background; the model's own scores drive detection
             gt_bbox = np.zeros((0, 4))
             gt_labels = np.zeros(0, np.int64)
-        cache_path = path.replace(".svg", f".props{self.step}.v{CACHE_VERSION}.pkl")
+        # the GT-less variant (unannotated inference: every label is
+        # background) must not share a cache file with the GT-labeled one —
+        # annotations added later would silently keep the background labels
+        gt_key = "" if len(gt_bbox) else ".nogt"
+        cache_path = path.replace(
+            ".svg", f".props{self.step}{gt_key}.v{CACHE_VERSION}.pkl")
         if self.cache and not self.do_mixup and os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 pf = ProposalFile.from_dict(pickle.load(f))

@@ -71,7 +71,12 @@ def batch_statistics(det_boxes, det_scores, det_labels, gt_boxes, gt_labels,
         gt_boxes = np.asarray(gt_boxes, dtype=np.float64)
         iou = _iou_matrix_plus1(det_boxes, gt_boxes)
         matched = (np.asarray(det_labels)[:, None] == np.asarray(gt_labels)[None, :])
-        iou = np.where(matched & (iou >= iou_threshold), iou, 0.0)
+        cand = matched & (iou >= iou_threshold)
+        # has_cand keeps the loop's class-presence skip exact at
+        # iou_threshold <= 0, where the 0.0 mask fill would otherwise pass
+        # the >= test for a detection with no same-class GT at all
+        has_cand = cand.any(axis=1)
+        iou = np.where(cand, iou, 0.0)
         best = np.argmax(iou, axis=1)
         best_iou = iou[np.arange(D), best]
         consumed = np.zeros(G, dtype=bool)
@@ -80,7 +85,7 @@ def batch_statistics(det_boxes, det_scores, det_labels, gt_boxes, gt_labels,
             if n_consumed == G:
                 break
             j = best[i]
-            if best_iou[i] >= iou_threshold and not consumed[j]:
+            if has_cand[i] and best_iou[i] >= iou_threshold and not consumed[j]:
                 tp[i] = 1.0
                 consumed[j] = True
                 n_consumed += 1

@@ -391,9 +391,12 @@ def window_pipeline_native(xi, yi, pos_cluster, rects, edges_cl, supers_cl,
             # views, not copies: every consumer either re-offsets the rows
             # (add_cc_bulk's eloc/sloc + offset) or block-copies them into
             # the accumulator's finish() concatenation — trimming here was
-            # a redundant third pass (~7 ms/image at bench scale). The
-            # cap-sized base buffers stay alive only until the per-file
-            # ProposalFile is assembled.
+            # a redundant third pass (~7 ms/image at bench scale). NOTE:
+            # for single-CC files finish()'s single-part cat keeps these
+            # views, so the cap-sized base buffers stay pinned as long as
+            # the ProposalFile is held — acceptable because ProposalFiles
+            # are transient (pickled to the dataset cache / converted to
+            # CompactFiles, both of which materialise compact copies).
             return {
                 "n_w": int(n),
                 "n_distinct": int(n_distinct[0]),

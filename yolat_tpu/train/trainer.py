@@ -104,12 +104,13 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
         buckets=cfg.buckets, host_id=proc_id, n_hosts=n_procs,
     )
     # eval runs on process 0 over the FULL test split with its local
-    # devices (no host sharding)
+    # devices (no host sharding); other hosts never iterate it, so they
+    # skip the loader (its __init__ preprocesses the whole split for pads)
     test_loader = PackedLoader(
         test_ds, batch_size=cfg.batch_size * 2,
         n_devices=local_d if multihost else cfg.n_devices,
         shuffle=False, dense=cfg.dense_layout,
-    )
+    ) if is_main else None
 
     steps_per_epoch = max(len(train_loader), 1)
     schedule = steplr(cfg.lr, cfg.lr_adjust_freq, cfg.lr_decay_rate, steps_per_epoch)
