@@ -27,7 +27,7 @@ from yolat_tpu.geom.svg_io import SVGDocument, read_ground_truth_boxes
 
 
 # bump when the graph/proposal cache formats change semantically
-CACHE_VERSION = 3
+CACHE_VERSION = 4  # v4: GT-presence joined the proposal-cache key
 
 
 def _atomic_pickle(path: str, obj) -> None:
