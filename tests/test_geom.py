@@ -319,3 +319,32 @@ class TestDegenerateSVGs:
         # a lone circle always yields proposals (angles exist)
         if name == "single_circle":
             assert pf.n_proposals > 0
+
+
+class TestGeometryFreeSVGs:
+    """SVGs with no drawable geometry must flow through the whole offline
+    pipeline as EMPTY graphs/proposal files (bulk inference over arbitrary
+    directories must not crash on them)."""
+
+    CASES = {
+        "no_shapes": '<svg width="100" height="100"></svg>',
+        "move_only_path": '<svg width="10" height="10"><path d="M 5 5"/></svg>',
+        "zero_radius_arc":
+            '<svg width="10" height="10"><path d="M 0 0 A 0 0 0 0 1 5 5"/></svg>',
+    }
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_empty_pipeline(self, name, tmp_path):
+        from yolat_tpu.geom.graph_build import build_svg_graph
+        from yolat_tpu.geom.proposals import generate_proposals
+        from yolat_tpu.geom.svg_io import SVGDocument
+
+        p = tmp_path / f"{name}.svg"
+        p.write_text(self.CASES[name])
+        doc = SVGDocument.from_file(str(p))
+        g = build_svg_graph(doc)
+        assert len(g["pos"]) == 0
+        assert len(g["edge"]["shape"]) == 0 and len(g["cc"]) == 0
+        pf = generate_proposals(g, np.zeros((0, 4)), np.zeros(0, np.int64),
+                                17, bbox_sampling_step=5)
+        assert pf.n_proposals == 0

@@ -201,6 +201,14 @@ def merge_nodes(graph: dict) -> dict:
     pos = np.asarray(graph["pos"], dtype=np.float64)
     n = len(pos)
     attrs = graph["attr"]
+    if n == 0:  # geometry-free SVG: pass the empty graph through
+        return {
+            "pos": pos.reshape(0, 2),
+            "attr": {k: np.asarray(v, np.float64).reshape(0, max(np.asarray(v).shape[-1] if np.asarray(v).ndim > 1 else 1, 1))
+                     for k, v in attrs.items()},
+            "edge": {k: np.zeros((0, 2), np.int64) for k in graph["edge"]},
+            "edge_attr": {k: np.zeros((0, 6)) for k in graph["edge_attr"]},
+        }
     is_control = np.asarray(attrs["is_control"]).reshape(-1) > 0.5
 
     # [n, sum_widths] attr matrix, built once and reused for the equality
