@@ -2,6 +2,7 @@
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pytest
@@ -227,16 +228,30 @@ class TestCLIPipeline:
             ["--pretrained_model", ckpt_dir, "--out", pth_path,
              "--n_classes", "17", "--tag", "1"]
         )
+        # mixed dir: one good SVG + one malformed one — --skip_errors
+        # (default) must emit an error record and keep serving
+        mix_dir = tmp_path / "mixed"
+        mix_dir.mkdir()
+        src = [f for f in os.listdir(os.path.join(synthetic_root,
+                                                  "floorplans-syn"))
+               if f.endswith(".svg")][0]
+        shutil.copy(os.path.join(synthetic_root, "floorplans-syn", src),
+                    mix_dir / "good.svg")
+        (mix_dir / "bad.svg").write_text(
+            '<svg width="10" height="10"><path d="XYZ 1 2"/></svg>')
         out_jsonl2 = str(tmp_path / "dets_pth.jsonl")
         cli_infer.main(
             [
-                "--input_dir", os.path.join(synthetic_root, "floorplans-syn"),
+                "--input_dir", str(mix_dir),
                 "--bbox_sampling_step", "5",
-                "--batch_size", "3",
+                "--batch_size", "2",
                 "--pretrained_model", pth_path,
                 "--out", out_jsonl2,
                 "--conf_th", "0.0",
             ]
         )
         with open(out_jsonl2) as f:
-            assert "detections" in json.loads(f.readline())
+            recs = {json.loads(line)["file"]: json.loads(line)
+                    for line in f}
+        assert "error" in recs["bad.svg"]
+        assert "detections" in recs["good.svg"]

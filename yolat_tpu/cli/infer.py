@@ -45,6 +45,13 @@ def main(argv=None):
     p.add_argument("--conf_th", default=0.5, type=float)
     p.add_argument("--serve_mode", default="fast_bf16",
                    choices=("flax", "fast", "fast_bf16"))
+    import argparse
+
+    p.add_argument("--skip_errors", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="unparseable/unsupported SVGs become {'error': ...} "
+                        "records instead of aborting the whole run "
+                        "(--input_dir mode only)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)
 
@@ -54,11 +61,36 @@ def main(argv=None):
     from yolat_tpu.eval.fast_forward import fold_params
     from yolat_tpu.eval.predict import make_predict_fn
 
+    bad: list = []
     if args.input_dir:
         files = sorted(glob.glob(os.path.join(args.input_dir, "**", "*.svg"),
                                  recursive=True))
         if not files:
             raise FileNotFoundError(f"no .svg files under {args.input_dir}")
+        if args.skip_errors:
+            # pre-validate: one preprocessing pass per file (warms the
+            # on-disk graph/proposal caches the loader reuses); failures
+            # become error records instead of aborting the batch job
+            probe = SESYDDataset(args.input_dir, files=files, mode=args.mode,
+                                 bbox_sampling_step=cfg.bbox_sampling_step,
+                                 require_gt=False)
+            good = []
+            for i, path in enumerate(files):
+                try:
+                    probe.load(i)
+                    good.append(path)
+                except Exception as e:
+                    bad.append((path, f"{type(e).__name__}: {e}"))
+            files = good
+            if not files:
+                with open(args.out, "w") as f:
+                    for path, err in bad:
+                        f.write(json.dumps({
+                            "file": os.path.relpath(path, args.input_dir),
+                            "error": err, "detections": [],
+                        }) + "\n")
+                print(f"0 of {len(bad)} SVGs preprocessable -> {args.out}")
+                return
         ds = SESYDDataset(args.input_dir, files=files, mode=args.mode,
                           bbox_sampling_step=cfg.bbox_sampling_step,
                           require_gt=False)
@@ -114,6 +146,11 @@ def main(argv=None):
     device_s = 0.0
     file_pos = 0
     with open(args.out, "w") as f:
+        for path, err in bad:  # error records first (known before streaming)
+            f.write(json.dumps({
+                "file": os.path.relpath(path, args.input_dir),
+                "error": err, "detections": [],
+            }) + "\n")
         for stacked in loader:
             batch = {k: v[0] for k, v in stacked.items()}
             t0 = time.perf_counter()
@@ -142,10 +179,12 @@ def main(argv=None):
                 }) + "\n")
 
     wall = time.perf_counter() - t_start
+    skipped = f", {len(bad)} skipped with errors" if bad else ""
     print(
         f"{n_images} SVGs -> {args.out}: "
         f"{n_images / wall:.2f} SVGs/sec end-to-end "
-        f"(device {n_images / max(device_s, 1e-9):.2f} img/s, ckpt epoch {epoch})"
+        f"(device {n_images / max(device_s, 1e-9):.2f} img/s, "
+        f"ckpt epoch {epoch}{skipped})"
     )
 
 
