@@ -36,6 +36,9 @@ def main():
     p.add_argument("--arch", type=str, default="centernet3cc_rpn_gp_iter2",
                    help="architecture (e.g. yolat_pp for the hierarchical "
                         "YOLaT++ model)")
+    p.add_argument("--mixup", type=float, default=0.0,
+                   help="mixup probability (reference --do_mixup; pairs "
+                        "CCs side-by-side with bipartite super edges)")
     args = p.parse_args()
 
     from yolat_tpu.cli.common import apply_platform_env
@@ -74,6 +77,7 @@ def main():
         dtype=args.dtype,
         scan_steps=args.scan_steps,
         arch=args.arch,
+        do_mixup=args.mixup,
     )
     t0 = time.time()
     state, results = run_training(cfg)

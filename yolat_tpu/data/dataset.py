@@ -216,6 +216,12 @@ class PackedLoader:
         # cost. ~2-3 MB per SESYD-scale image; disable for huge manifests.
         # Mixup regenerates proposals per epoch, so nothing recurs to cache.
         self.cache_files = cache_files and not dataset.do_mixup
+        if dataset.do_mixup and n_hosts > 1:
+            # the mixup pad watermark grows from host-local draws; hosts
+            # would diverge in compiled shapes and deadlock the collectives
+            raise NotImplementedError(
+                "mixup is not supported in multi-host training "
+                "(per-host stochastic pad growth diverges)")
         self._compact: dict = {}
         if pad is not None:
             self.pad = pad
@@ -247,6 +253,45 @@ class PackedLoader:
         if self.cache_files:
             self._compact[i] = item
         return item
+
+    def _pack_loads(self, pad, loads):
+        shard = pack_files(
+            [l[0] for l in loads],
+            [l[1] for l in loads],
+            [l[2] for l in loads],
+            pad,
+        )
+        if self.dense:
+            from yolat_tpu.data.packing import add_dense_neighbors
+
+            shard = add_dense_neighbors(shard, d_max=self.d_max)
+        return shard
+
+    def _grown_pad(self, pad, loads_per_window):
+        """Grow-only pad watermark for stochastic (mixup) batch contents:
+        returns `pad`, elementwise-raised to cover every window's totals
+        (same round_up multiples as compute_pad)."""
+        from yolat_tpu.data.packing import round_up
+
+        need_n = need_e = need_s = need_p = need_g = 0
+        for loads in loads_per_window:
+            need_n = max(need_n, sum(len(l[0].pos) for l in loads))
+            need_e = max(need_e, sum(len(l[0].edge) for l in loads))
+            need_s = max(need_s, sum(len(l[0].edge_super) for l in loads))
+            need_p = max(need_p, sum(l[0].n_proposals for l in loads))
+            need_g = max([need_g] + [len(l[1][0]) for l in loads])
+        if (need_n <= pad.n_nodes and need_e <= pad.n_edges
+                and need_s <= pad.n_super and need_p <= pad.n_proposals
+                and need_g <= pad.n_gt):
+            return pad
+        return PadSizes(
+            max(pad.n_nodes, round_up(need_n, 512)),
+            max(pad.n_edges, round_up(need_e, 512)),
+            max(pad.n_super, round_up(need_s, 2048)),
+            max(pad.n_proposals, round_up(need_p, 64)),
+            max(pad.n_gt, round_up(need_g, 16)),
+            pad.n_images,
+        )
 
     def compute_pad(self) -> PadSizes:
         """Worst-case per-shard pad sizes over all possible batch windows:
@@ -392,17 +437,7 @@ class PackedLoader:
 
         def pack_shard(pad, idxs):
             loads = [self._load_compact(int(i)) for i in idxs]
-            shard = pack_files(
-                [l[0] for l in loads],
-                [l[1] for l in loads],
-                [l[2] for l in loads],
-                pad,
-            )
-            if self.dense:
-                from yolat_tpu.data.packing import add_dense_neighbors
-
-                shard = add_dense_neighbors(shard, d_max=self.d_max)
-            return shard
+            return self._pack_loads(pad, loads)
 
         # per-device shards pack in parallel: the packing body is numpy
         # copies (GIL released), so a thread pool scales with host cores —
@@ -424,7 +459,17 @@ class PackedLoader:
                     window[d * self.batch_size : (d + 1) * self.batch_size]
                     for d in range(self.n_devices)
                 ]
-                if pool is not None:
+                if self.ds.do_mixup:
+                    # mixup redraws proposals every epoch, so batch sizes
+                    # are stochastic: load first, then GROW the bucket pad
+                    # if this step's contents exceed it (grow-only
+                    # watermark — one recompile per bump, and the coarse
+                    # round_up multiples make bumps converge fast)
+                    loads_w = [[self._load_compact(int(i)) for i in w]
+                               for w in windows]
+                    pad = self._bucket_pads[b] = self._grown_pad(pad, loads_w)
+                    shards = [self._pack_loads(pad, ls) for ls in loads_w]
+                elif pool is not None:
                     shards = list(pool.map(lambda w: pack_shard(pad, w),
                                            windows))
                 else:
