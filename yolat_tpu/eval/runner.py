@@ -12,6 +12,29 @@ import numpy as np
 from yolat_tpu.eval.metrics import Evaluator
 from yolat_tpu.eval.predict import make_predict_fn
 
+# Jitted predict programs, reused across evaluate() calls. The trainer
+# evaluates every epoch >= eval_start (reference protocol, train.py:227);
+# a fresh jax.jit closure per epoch means a full retrace + executable
+# reload through the device tunnel each time (~13 s/epoch measured on the
+# TPU gate for a 4-image split). Only folded-free paths are cacheable:
+# `folded` is closed over by the traced fn, so fast-mode programs are
+# rebuilt per call (bench/test CLIs call those once).
+_PREDICT_CACHE: dict = {}
+
+
+def _cached_predict_fn(cfg, mesh, max_det):
+    key = (cfg, mesh, max_det)
+    fn = _PREDICT_CACHE.get(key)
+    if fn is None:
+        if mesh is not None:
+            from yolat_tpu.eval.predict import make_dp_predict_fn
+
+            fn = make_dp_predict_fn(cfg, mesh, max_det=max_det)
+        else:
+            fn = make_predict_fn(cfg, max_det=max_det)
+        _PREDICT_CACHE[key] = fn
+    return fn
+
 
 def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
              serve: str = "flax", mesh=None):
@@ -28,15 +51,21 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
         from yolat_tpu.eval.fast_forward import fold_params
 
         folded = fold_params(variables, n_blocks=cfg.n_blocks)
-    if mesh is not None:
-        from yolat_tpu.eval.predict import make_dp_predict_fn
+    if fast:
+        if mesh is not None:
+            from yolat_tpu.eval.predict import make_dp_predict_fn
 
-        predict_dp = make_dp_predict_fn(cfg, mesh, max_det=max_det, fast=fast,
-                                        folded=folded,
-                                        bf16=serve == "fast_bf16")
+            predict_dp = make_dp_predict_fn(cfg, mesh, max_det=max_det,
+                                            fast=True, folded=folded,
+                                            bf16=serve == "fast_bf16")
+        else:
+            predict = make_predict_fn(cfg, max_det=max_det, fast=True,
+                                      folded=folded,
+                                      bf16=serve == "fast_bf16")
+    elif mesh is not None:
+        predict_dp = _cached_predict_fn(cfg, mesh, max_det)
     else:
-        predict = make_predict_fn(cfg, max_det=max_det, fast=fast,
-                                  folded=folded, bf16=serve == "fast_bf16")
+        predict = _cached_predict_fn(cfg, None, max_det)
     ev = Evaluator(cfg.n_classes)
 
     for stacked in loader:

@@ -209,13 +209,17 @@ def _rmw_segment_tile(p0_ref, rows_ref, out_ref, v, block_n, ms, i):
     dynamic-slice read-modify-max into the resident output."""
     rows = rows_ref[0, 0, :]  # [MS] int32, -1 = no segment q starts here
     iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, ms), 0)
-    sel = (iota == rows[None, :]).astype(v.dtype)  # [Bn rows, MS q]
-    # one-hot COPY: must be bit-exact for the compare-based backward
-    w = jnp.dot(sel.T, v, preferred_element_type=jnp.float32,
+    # one-hot COPY dots: must be bit-exact for the compare-based backward,
+    # and must run on f32 operands — the current Mosaic toolchain rejects
+    # bf16 matmul tiles with sub-128-row operands ("Bad lhs type"), and
+    # f32 represents every bf16 payload exactly
+    sel = (iota == rows[None, :]).astype(jnp.float32)  # [Bn rows, MS q]
+    w = jnp.dot(sel.T, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST).astype(v.dtype)
     # q validity as a [MS, 1] column without any 1-bit reshape (Mosaic
     # rejects i1 minor-dim insertion): sel's column sum is 1 iff q starts
-    valid_col = jnp.dot(sel.T, jnp.ones((block_n, 1), v.dtype),
+    valid_col = jnp.dot(sel.T, jnp.ones((block_n, 1), jnp.float32),
                         preferred_element_type=jnp.float32)
     w = jnp.where(valid_col > 0.5, w, jnp.asarray(_SEG_BIG, v.dtype))
 
@@ -276,10 +280,13 @@ def _segment_max_kernel_2l(p0_ref, x_ref, ids_ref, mask_ref, rows_ref,
     nm = block_n // _MINI
     r2 = jax.lax.broadcasted_iota(jnp.int32, (block_n, nm), 0)
     m2 = jax.lax.broadcasted_iota(jnp.int32, (block_n, nm), 1)
-    psel = (r2 == m2 * _MINI).astype(v.dtype)          # [Bn, NM]
-    pself = psel.astype(jnp.float32)
-    lead = jnp.dot(psel.T, v, preferred_element_type=jnp.float32,
-                   precision=hi).astype(v.dtype)       # [NM, Ct]
+    # all one-hot dots on f32 operands: exact for bf16 payloads, and the
+    # current Mosaic toolchain rejects bf16 matmuls with sub-128-row tiles
+    # ("Bad lhs type" — the [NM=64, Bn] lhs here)
+    pself = (r2 == m2 * _MINI).astype(jnp.float32)     # [Bn, NM]
+    lead = jnp.dot(pself.T, v.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=hi)                       # [NM, Ct] f32
     idsf = ids.astype(jnp.float32)
     lidf = jnp.dot(pself.T, idsf, preferred_element_type=jnp.float32,
                    precision=hi)                       # [NM, 1] f32
@@ -297,10 +304,10 @@ def _segment_max_kernel_2l(p0_ref, x_ref, ids_ref, mask_ref, rows_ref,
 
     # 4. broadcast each next mini's leader suffix back, id-gated
     mnext2 = jax.lax.div(r2, _MINI) + 1                # [Bn, NM] broadcast rows
-    enext = (m2 == mnext2).astype(v.dtype)             # [Bn, NM] one-hot
+    enext = (m2 == mnext2).astype(jnp.float32)         # [Bn, NM] one-hot
     bc = jnp.dot(enext, lead, preferred_element_type=jnp.float32,
                  precision=hi).astype(v.dtype)         # [Bn, Ct]
-    nextid = jnp.dot(enext.astype(jnp.float32), lidf,
+    nextid = jnp.dot(enext, lidf,
                      preferred_element_type=jnp.float32,
                      precision=hi)                     # [Bn, 1] f32
     has_next = row < (block_n - _MINI)
