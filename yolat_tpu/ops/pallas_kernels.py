@@ -210,9 +210,10 @@ def _rmw_segment_tile(p0_ref, rows_ref, out_ref, v, block_n, ms, i):
     rows = rows_ref[0, 0, :]  # [MS] int32, -1 = no segment q starts here
     iota = jax.lax.broadcasted_iota(jnp.int32, (block_n, ms), 0)
     # one-hot COPY dots: must be bit-exact for the compare-based backward,
-    # and must run on f32 operands — the current Mosaic toolchain rejects
-    # bf16 matmul tiles with sub-128-row operands ("Bad lhs type"), and
-    # f32 represents every bf16 payload exactly
+    # and run on f32 operands — the current Mosaic toolchain rejects bf16
+    # matmuls whose internal tiling produces sub-128-row bf16 operand
+    # tiles ("Bad lhs type"), and f32 represents every bf16 payload
+    # exactly
     sel = (iota == rows[None, :]).astype(jnp.float32)  # [Bn rows, MS q]
     w = jnp.dot(sel.T, v.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
@@ -270,26 +271,17 @@ def _segment_max_kernel_2l(p0_ref, x_ref, ids_ref, mask_ref, rows_ref,
         ok = (ids_shift == ids) & (row_in_mini < _MINI - k)
         v = jnp.where(ok, jnp.maximum(v, v_shift), v)
 
-    # 2. leader compaction: rows 0, 8, 16, ... -> [NM, Ct] via one-hot dot.
-    # One-hot dots are COPIES and must be bit-exact: force HIGHEST matmul
-    # precision (default precision may truncate f32 operands to bf16 —
-    # the compare-based backward then matches no row and drops gradients).
-    # Ids are compared in f32, never the data dtype: bf16 cannot represent
-    # integers above 256 exactly and would merge adjacent segments.
-    hi = jax.lax.Precision.HIGHEST
+    # 2. leader compaction: rows 0, 8, 16, ... are exactly
+    # reshape(Bn, Ct) -> (NM, MINI, Ct) [:, 0, :] — a pure sublane
+    # relayout, bit-exact by construction. (This replaced one-hot
+    # compaction MATMULS: the current Mosaic toolchain rejects bf16
+    # matmul tiles with sub-128-row operands — "Bad lhs type" on the
+    # [NM=64, Bn] lhs — and the f32 fallback pushed the ct=384 config
+    # over the 16 MB scoped-VMEM limit.)
     nm = block_n // _MINI
-    r2 = jax.lax.broadcasted_iota(jnp.int32, (block_n, nm), 0)
-    m2 = jax.lax.broadcasted_iota(jnp.int32, (block_n, nm), 1)
-    # all one-hot dots on f32 operands: exact for bf16 payloads, and the
-    # current Mosaic toolchain rejects bf16 matmuls with sub-128-row tiles
-    # ("Bad lhs type" — the [NM=64, Bn] lhs here)
-    pself = (r2 == m2 * _MINI).astype(jnp.float32)     # [Bn, NM]
-    lead = jnp.dot(pself.T, v.astype(jnp.float32),
-                   preferred_element_type=jnp.float32,
-                   precision=hi)                       # [NM, Ct] f32
-    idsf = ids.astype(jnp.float32)
-    lidf = jnp.dot(pself.T, idsf, preferred_element_type=jnp.float32,
-                   precision=hi)                       # [NM, 1] f32
+    ct = v.shape[1]
+    lead = v.reshape(nm, _MINI, ct)[:, 0, :]           # [NM, Ct]
+    lid = ids.reshape(nm, _MINI, 1)[:, 0, :]           # [NM, 1] int32
 
     # 3. segmented suffix max over leaders
     k = 1
@@ -298,20 +290,22 @@ def _segment_max_kernel_2l(p0_ref, x_ref, ids_ref, mask_ref, rows_ref,
             [lead[k:], jnp.full((k, lead.shape[1]), _SEG_BIG, lead.dtype)],
             axis=0)
         lid_shift = jnp.concatenate(
-            [lidf[k:], jnp.full((k, 1), -1.0, lidf.dtype)], axis=0)
-        lead = jnp.where(lid_shift == lidf, jnp.maximum(lead, l_shift), lead)
+            [lid[k:], jnp.full((k, 1), -1, lid.dtype)], axis=0)
+        lead = jnp.where(lid_shift == lid, jnp.maximum(lead, l_shift), lead)
         k *= 2
 
-    # 4. broadcast each next mini's leader suffix back, id-gated
-    mnext2 = jax.lax.div(r2, _MINI) + 1                # [Bn, NM] broadcast rows
-    enext = (m2 == mnext2).astype(jnp.float32)         # [Bn, NM] one-hot
-    bc = jnp.dot(enext, lead, preferred_element_type=jnp.float32,
-                 precision=hi).astype(v.dtype)         # [Bn, Ct]
-    nextid = jnp.dot(enext, lidf,
-                     preferred_element_type=jnp.float32,
-                     precision=hi)                     # [Bn, 1] f32
-    has_next = row < (block_n - _MINI)
-    gate = has_next & (nextid == idsf)
+    # 4. broadcast each NEXT mini's leader suffix back to its rows:
+    # row r needs lead[r // MINI + 1] — shift leaders up by one mini,
+    # then expand each leader row MINI-fold with the inverse reshape
+    lead_next = jnp.concatenate(
+        [lead[1:], jnp.full((1, ct), _SEG_BIG, lead.dtype)], axis=0)
+    lid_next = jnp.concatenate(
+        [lid[1:], jnp.full((1, 1), -1, lid.dtype)], axis=0)
+    bc = jnp.broadcast_to(lead_next[:, None, :],
+                          (nm, _MINI, ct)).reshape(block_n, ct)
+    nextid = jnp.broadcast_to(lid_next[:, None, :],
+                              (nm, _MINI, 1)).reshape(block_n, 1)
+    gate = nextid == ids
     v = jnp.maximum(v, jnp.where(gate, bc, neg))
 
     _rmw_segment_tile(p0_ref, rows_ref, out_ref, v, block_n, ms, i)
@@ -335,13 +329,16 @@ def segment_max_sorted_pallas(x, segment_ids, mask, num_segments: int,
     streaming problem: per node block, a VMEM suffix-max + one one-hot
     gather matmul + one dynamic-slice RMW into the resident output tile.
 
-    MEASURED OUTCOME (v5e, [137728, 1152], mean run 32): f32 5.1ms vs XLA
-    5.3ms; bf16 5.4ms vs XLA 4.9ms — the in-VMEM log-shift sweeps (log2(Bn)
-    shifted compares over the whole block) cost about what the scatter
-    saves, so this kernel is kept as a verified alternative, NOT routed
-    into the hot path. ops/segment.py remains the production
-    implementation; the hot-path win against scatter came from the
-    gather-compare backward there instead.
+    MEASURED OUTCOME (v5e, [131k, 1152], mean run 32, 2026-08-17
+    toolchain): bf16 ct=384 10.6ms (flat) / 11.3ms (two-level) vs XLA
+    scatter 4.6ms; f32 ct=384 exceeds the 16MB scoped-VMEM limit (the
+    one-hot copy dots must run on f32 operands — this Mosaic version
+    rejects bf16 matmuls whose tiling yields sub-128-row bf16 tiles,
+    "Bad lhs type"). An earlier toolchain measured the same kernel at
+    scatter parity (f32 5.1 vs 5.3ms). Kept as an interpreter-verified
+    alternative, NOT routed into the hot path (ops/segment.py
+    USE_SORTED_MAX_KERNEL=False); the hot-path win against scatter came
+    from the gather-compare backward there instead.
 
     Empty segments return 0 (torch_scatter convention). Falls back to the
     XLA path for shapes that don't tile. Sorted-but-GAPPED ids (interior
