@@ -67,10 +67,18 @@ class Config:
                                     # | 'classfix' (per-class, exact over
                                     # ALL candidates) | 'loop' (sequential
                                     # oracle)
-    nms_topk: int = 4096            # fixpoint-NMS candidate cap (the analog
+    nms_topk: int = 1024            # fixpoint-NMS candidate cap (the analog
                                     # of the reference's max_nms=30000 score
                                     # truncation; raise for exactness on
-                                    # dense scenes, memory is O(topk^2))
+                                    # dense scenes, memory is O(topk^2)).
+                                    # On-chip sweep (scripts/nms_topk_sweep
+                                    # .py, v5e 2026-08-17): 512/1024/2048/
+                                    # 4096 ALL detection-exact vs the
+                                    # unbounded greedy loop on the bench
+                                    # workload at untrained (near-flat,
+                                    # worst-case) scores; 1024 keeps a 2x
+                                    # margin over the smallest exact cap
+                                    # and runs ~9% faster than 4096.
 
     # TPU execution
     remat: bool = False             # rematerialise fusion/message MLPs
