@@ -1,0 +1,137 @@
+"""Decompose the bf16 train step on-chip: forward loss vs backward vs
+optimizer update, at the bench workload shapes. Prints one JSON block.
+
+Methodology matches bench.py/onchip_queue.py: each variant runs as ONE
+carry-threaded lax.scan chain (XLA hoists carry-independent bodies) timed
+with a host fetch as the completion barrier.
+
+Usage: python scripts/train_profile.py [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_workload
+    from yolat_tpu.data.packing import finalize_batch
+    from yolat_tpu.train.config import Config
+    from yolat_tpu.train.loop import (
+        build_model, compute_dtype_of, create_state, _COMPUTE_KEYS,
+    )
+    from yolat_tpu.train.optim import make_optimizer
+    from yolat_tpu.nn.model import detection_loss
+
+    ds, batches, _ = build_workload()
+    cfg = Config(n_classes=ds.n_classes, data_aug=True, dtype="bfloat16")
+    tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+    single = {k: v[0] for k, v in batches[0].items()}
+    state = create_state(cfg, tx, single, jax.random.key(0))
+    model = build_model(cfg)
+    cdt = compute_dtype_of(cfg)
+    n_img = int(single["n_images"])
+
+    drop = {"nbr_idx", "nbr_attr", "nbr_mask"}
+    sb = {k: jnp.asarray(v) for k, v in single.items() if k not in drop}
+
+    def prep(batch, key):
+        b = finalize_batch(batch, key=key, data_aug=True)
+        if cdt is not None:
+            for k in _COMPUTE_KEYS:
+                if k in b:
+                    b = {**b, k: b[k].astype(cdt)}
+        return b
+
+    def loss_fn(params, batch_stats, b, key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (logits, boxes), mut = model.apply(
+            variables, b, train=True, mutable=["batch_stats"],
+            rngs={"dropout": key})
+        loss = detection_loss(logits, b["labels"], b["proposal_mask"],
+                              classifier=cfg.classifier)["loss"]
+        return loss, mut
+
+    def chain(fn, n):
+        @jax.jit
+        def run(state, b, key):
+            def body(carry, i):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                out = fn(st, b, sub, i)
+                return (out, k), jnp.float32(0.0)
+
+            (st, _), _ = jax.lax.scan(body, (state, key), jnp.arange(n))
+            return st
+
+        out = run(state, sb, jax.random.key(0))
+        jax.tree.map(np.asarray, jax.tree.map(
+            lambda a: a.reshape(-1)[0] if hasattr(a, "reshape") else a,
+            out.params if hasattr(out, "params") else out))
+        t0 = time.perf_counter()
+        out = run(state, sb, jax.random.key(1))
+        leaf = jax.tree_util.tree_leaves(
+            out.params if hasattr(out, "params") else out)[0]
+        np.asarray(leaf)
+        return (time.perf_counter() - t0) / n
+
+    # (a) aug epilogue + forward loss only
+    def fwd(st, b, key, i):
+        bb = prep({**b, "pos": b["pos"] + 0 * jnp.float32(i)}, key)
+        loss, _ = loss_fn(st.params, st.batch_stats, bb, key)
+        return st.replace(step=st.step + jnp.int32(loss * 0))
+
+    # (b) forward + backward (no optimizer)
+    def fwd_bwd(st, b, key, i):
+        bb = prep({**b, "pos": b["pos"] + 0 * jnp.float32(i)}, key)
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.params, st.batch_stats, bb, key)
+        g0 = jax.tree_util.tree_leaves(grads)[0]
+        return st.replace(step=st.step + jnp.int32(g0.reshape(-1)[0] * 0),
+                          batch_stats=mut["batch_stats"])
+
+    # (c) full step: forward + backward + Adam update
+    def full(st, b, key, i):
+        bb = prep({**b, "pos": b["pos"] + 0 * jnp.float32(i)}, key)
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.params, st.batch_stats, bb, key)
+        updates, opt_state = tx.update(grads, st.opt_state, st.params)
+        import optax
+
+        params = optax.apply_updates(st.params, updates)
+        return st.replace(step=st.step + 1, params=params,
+                          batch_stats=mut["batch_stats"],
+                          opt_state=opt_state)
+
+    res = {}
+    for name, fn in (("fwd", fwd), ("fwd_bwd", fwd_bwd), ("full", full)):
+        s = chain(fn, args.iters)
+        res[name] = {"ms_per_step": round(s * 1e3, 3),
+                     "img_per_s": round(n_img / s, 1)}
+
+    res["bwd_only_ms"] = round(
+        res["fwd_bwd"]["ms_per_step"] - res["fwd"]["ms_per_step"], 3)
+    res["optimizer_ms"] = round(
+        res["full"]["ms_per_step"] - res["fwd_bwd"]["ms_per_step"], 3)
+    res["device"] = str(jax.devices()[0])
+    res["n_images_per_step"] = n_img
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -262,6 +262,20 @@ def _prefix_valid(mask):
     return n
 
 
+def _compact_node_view(fb):
+    """Strip padding node rows (block alignment interleaves them inside the
+    batch, so valid nodes are NOT a prefix) and remap edge endpoints to the
+    compacted numbering — the layout the reference model consumes.
+
+    Returns (node_sel, remapped_valid_edges, valid_edge_mask)."""
+    m = np.asarray(fb["node_mask"]).astype(bool)
+    new_of_old = np.cumsum(m) - 1
+    emask = np.asarray(fb["edge_mask"]).astype(bool)
+    edge = np.asarray(fb["edge"])[emask]
+    assert m[edge].all()  # valid edges only reference valid nodes
+    return m, new_of_old[edge], emask
+
+
 def test_converted_forward_matches_reference(ref_arch, monkeypatch):
     torch = ref_arch.torch
     import jax
@@ -283,18 +297,15 @@ def test_converted_forward_matches_reference(ref_arch, monkeypatch):
                                    n_classes=17, step=4)
     fb = jax.device_get(finalize_batch(jax.tree.map(jnp.asarray, batch)))
 
-    nv = _prefix_valid(fb["node_mask"])
     pv = _prefix_valid(fb["proposal_mask"])
-    emask = np.asarray(fb["edge_mask"]).astype(bool)
-    edge = np.asarray(fb["edge"])[emask]
-    assert edge.max() < nv  # valid edges only reference valid nodes
+    nsel, edge, emask = _compact_node_view(fb)
 
     t = lambda a, dt=torch.float32: torch.tensor(np.asarray(a), dtype=dt)
     data = SimpleNamespace(
-        x=t(fb["x"][:nv]),
+        x=t(np.asarray(fb["x"])[nsel]),
         edge=t(edge, torch.long),
         e_attr=t(np.asarray(fb["e_attr"])[emask]),
-        bbox_idx=t(fb["bbox_idx"][:nv], torch.long),
+        bbox_idx=t(np.asarray(fb["bbox_idx"])[nsel], torch.long),
         bbox=t(fb["bbox"][:pv]),
         stat_feats=torch.zeros(pv, 13),
     )
@@ -407,15 +418,14 @@ def test_exported_weights_drive_reference_model(ref_arch, monkeypatch,
     ref_model.load_state_dict(ckpt["state_dict"], strict=True)
     ref_model.eval()
 
-    nv = _prefix_valid(fb["node_mask"])
     pv = _prefix_valid(fb["proposal_mask"])
-    emask = np.asarray(fb["edge_mask"]).astype(bool)
+    nsel, edge, emask = _compact_node_view(fb)
     t = lambda a, dt=torch.float32: torch.tensor(np.asarray(a), dtype=dt)
     data = SimpleNamespace(
-        x=t(fb["x"][:nv]),
-        edge=t(np.asarray(fb["edge"])[emask], torch.long),
+        x=t(np.asarray(fb["x"])[nsel]),
+        edge=t(edge, torch.long),
         e_attr=t(np.asarray(fb["e_attr"])[emask]),
-        bbox_idx=t(fb["bbox_idx"][:nv], torch.long),
+        bbox_idx=t(np.asarray(fb["bbox_idx"])[nsel], torch.long),
         bbox=t(fb["bbox"][:pv]),
         stat_feats=torch.zeros(pv, 13),
     )

@@ -65,7 +65,7 @@ class PadSizes:
     def for_files(cls, files, gt_counts, n_images, node_mult=512, edge_mult=512,
                   super_mult=2048, prop_mult=64, gt_mult=16):
         return cls(
-            round_up(sum(len(f.pos) for f in files), node_mult),
+            round_up(sum(_aligned_node_count(f) for f in files), node_mult),
             round_up(sum(len(f.edge) for f in files), edge_mult),
             round_up(sum(len(f.edge_super) for f in files), super_mult),
             round_up(sum(f.n_proposals for f in files), prop_mult),
@@ -78,10 +78,26 @@ class PadSizes:
                 self.n_gt, self.n_images)
 
 
+def _aligned_node_count(f) -> int:
+    """Node count of `f` AFTER CompactFile block alignment. CompactFiles
+    are already aligned; for raw ProposalFiles, predict the per-proposal
+    round-up so PadSizes computed from raw files still dominate the packed
+    totals."""
+    if isinstance(f, CompactFile):
+        return len(f.pos)
+    from yolat_tpu.ops.segment import POOL_BLOCK
+
+    n_prop = len(np.asarray(f.labels))
+    counts = np.bincount(np.asarray(f.bbox_idx, np.int64), minlength=n_prop)
+    aligned = ((counts + POOL_BLOCK - 1) // POOL_BLOCK) * POOL_BLOCK
+    aligned[counts == 0] = 0
+    return int(aligned.sum())
+
+
 class CompactFile:
     """A ProposalFile pre-converted to the packed-batch dtypes, with both
-    edge families dst-sorted and the per-proposal root pointer
-    materialised.
+    edge families dst-sorted, per-proposal node runs BLOCK-ALIGNED, and the
+    per-proposal root pointer materialised.
 
     This is the load-once form: converting float64 proposal caches to f32
     on every batch assignment and dst-sorting ~130k edges per batch were
@@ -91,22 +107,53 @@ class CompactFile:
     NO per-batch sort: per-file dst-sorted edge lists concatenate into a
     globally dst-sorted batch because node-id offsets increase with file
     position (padding rows keep dst 0 at the front).
+
+    Block alignment: every proposal's node run is padded (node_mask=False
+    rows carrying the run's bbox_idx) to a multiple of ops.segment
+    POOL_BLOCK. No POOL_BLOCK-row block then straddles a proposal
+    boundary, so the node->proposal pools reduce as one dense
+    reshape-max/sum plus a ~block-count scatter with ZERO boundary rows —
+    the XLA scatter was the largest single op of the serving forward
+    (2.56 ms of 5.8 at [62k, 1152] bf16 on v5e; ~41 ns/row serialisation,
+    PERF.md finding 2). The ~15-25% extra masked node rows ride the
+    bandwidth-cheap MLP path, which is far below the scatter's cost.
     """
 
-    __slots__ = ("pos", "bbox_idx", "edge", "e_attr", "edge_super",
-                 "e_attr_super", "labels", "bbox", "stat_feats", "has_obj",
-                 "is_root_mask", "root_slot_local", "n_proposals")
+    __slots__ = ("pos", "node_mask", "bbox_idx", "edge", "e_attr",
+                 "edge_super", "e_attr_super", "labels", "bbox",
+                 "stat_feats", "has_obj", "is_root_mask", "root_slot_local",
+                 "n_proposals")
 
     def __init__(self, f):
-        self.pos = np.ascontiguousarray(f.pos, np.float32)
-        self.bbox_idx = np.ascontiguousarray(f.bbox_idx, np.int32)
+        from yolat_tpu.ops.segment import POOL_BLOCK
+
+        bbox_idx = np.asarray(f.bbox_idx, np.int64)
+        pos = np.asarray(f.pos, np.float32)
+        n_prop = len(np.asarray(f.labels))
+        counts = np.bincount(bbox_idx, minlength=n_prop)
+        new_counts = ((counts + POOL_BLOCK - 1) // POOL_BLOCK) * POOL_BLOCK
+        new_counts[counts == 0] = 0
+        old_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        new_starts = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
+        old2new = (new_starts[bbox_idx]
+                   + (np.arange(len(bbox_idx)) - old_starts[bbox_idx]))
+        n2 = int(new_counts.sum())
+        self.pos = np.zeros((n2, 2), np.float32)
+        self.pos[old2new] = pos
+        self.node_mask = np.zeros(n2, bool)
+        self.node_mask[old2new] = True
+        self.bbox_idx = np.repeat(
+            np.arange(n_prop, dtype=np.int32), new_counts)
+        # old2new is strictly increasing, so dst-sorted edge lists stay
+        # dst-sorted after the endpoint remap
         eo = np.argsort(np.asarray(f.edge)[:, 1], kind="stable")
-        self.edge = np.ascontiguousarray(np.asarray(f.edge)[eo], np.int32)
+        self.edge = np.ascontiguousarray(
+            old2new[np.asarray(f.edge, np.int64)[eo]], np.int32)
         self.e_attr = np.ascontiguousarray(
             np.asarray(f.e_attr)[eo, 0:4], np.float32)
         so = np.argsort(np.asarray(f.edge_super)[:, 1], kind="stable")
         self.edge_super = np.ascontiguousarray(
-            np.asarray(f.edge_super)[so], np.int32)
+            old2new[np.asarray(f.edge_super, np.int64)[so]], np.int32)
         self.e_attr_super = np.ascontiguousarray(
             np.asarray(f.e_attr_super)[so, 0:4], np.float32)
         self.labels = np.ascontiguousarray(f.labels, np.int32)
@@ -189,7 +236,7 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         n, e, s, p = len(f.pos), len(f.edge), len(f.edge_super), f.n_proposals
 
         batch["pos"][n_off : n_off + n] = f.pos
-        batch["node_mask"][n_off : n_off + n] = True
+        batch["node_mask"][n_off : n_off + n] = f.node_mask
         np.add(f.bbox_idx, np.int32(p_off),
                out=batch["bbox_idx"][n_off : n_off + n])
         np.add(f.edge, np.int32(n_off), out=batch["edge"][e_off : e_off + e])
@@ -222,10 +269,15 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         p_off += p
 
     # two-level pooling plan for the node -> proposal reductions (bbox_idx
-    # runs are contiguous by construction); see ops/segment.pool_plan
-    from yolat_tpu.ops.segment import pool_plan
+    # runs are contiguous by construction). CompactFile block-aligns every
+    # proposal run, so NO block straddles a segment boundary and the plan's
+    # boundary arrays are empty — cap at one block instead of the generic
+    # min(NB, P) * BLOCK worst case (the boundary scatter otherwise
+    # processes ~25k padded no-op rows per batch at ~41 ns/row).
+    from yolat_tpu.ops.segment import POOL_BLOCK, pool_plan
 
-    batch.update(pool_plan(batch["bbox_idx"], pad.n_proposals))
+    batch.update(pool_plan(batch["bbox_idx"], pad.n_proposals,
+                           cap=POOL_BLOCK))
 
     return batch
 

@@ -164,7 +164,7 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     out_super = jnp.concatenate([fusion_super, pooled], axis=1)
 
     pmax = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
-                       indices_are_sorted=True)
+                       indices_are_sorted=True, plan=plan_of(batch))
     h = jnp.concatenate([pmax, out_super], axis=1)
     h = _folded(h, folded["pred_0"])
     h = _folded(h, folded["pred_1"])

@@ -164,7 +164,8 @@ class SparseCADGCN(nn.Module):
             nbr_mask=batch.get("nbr_mask"), pool_plan=plan_of(batch),
         )
         pooled = segment_max(out_feat, batch["bbox_idx"], n_proposals,
-                             mask=batch["node_mask"], indices_are_sorted=True)
+                             mask=batch["node_mask"], indices_are_sorted=True,
+                             plan=plan_of(batch))
         h = jnp.concatenate([pooled, out_feat_super], axis=1)
 
         fusion_out = cls_net.fusion_dims + 1024

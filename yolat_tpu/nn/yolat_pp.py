@@ -195,7 +195,7 @@ class YOLaTPlusPlus(nn.Module):
 
         # ---- canonical head, super tokens as a 512-d gated residual ------
         pooled = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
-                             indices_are_sorted=True)
+                             indices_are_sorted=True, plan=pool)
         h = jnp.concatenate([pooled, out_super], axis=1)
         h = MLP([(fusion_dims + 1024) * 2, 512], act=self.act, norm=self.norm,
                 axis_name=self.axis_name, name="pred_0")(

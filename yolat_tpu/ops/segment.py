@@ -40,7 +40,7 @@ POOL_BLOCK = 8
 
 
 def pool_plan(segment_ids: np.ndarray, num_segments: int,
-              block: int = POOL_BLOCK) -> dict:
+              block: int = POOL_BLOCK, cap: int | None = None) -> dict:
     """Host-side plan for two-level segment reductions over sorted,
     contiguous ids. Returns arrays (prefix `pool_`):
 
@@ -50,9 +50,11 @@ def pool_plan(segment_ids: np.ndarray, num_segments: int,
       bnd_seg   [CAP] i32  their segment ids, padded with num_segments - 1
       bnd_mask  [CAP] bool
 
-    CAP = min(NB, num_segments) * block is a static worst case: every
-    non-full block contains at least one segment boundary, and there are at
-    most num_segments - 1 of those.
+    CAP defaults to min(NB, num_segments) * block — a static worst case:
+    every non-full block contains at least one segment boundary, and there
+    are at most num_segments - 1 of those. Callers that guarantee block-
+    aligned segment runs (CompactFile packing) pass a tiny explicit cap;
+    an AssertionError here means that guarantee was broken.
     """
     seg = np.asarray(segment_ids, np.int32)
     n = seg.shape[0]
@@ -61,7 +63,8 @@ def pool_plan(segment_ids: np.ndarray, num_segments: int,
     s2 = seg.reshape(nb, block)
     blk_first = s2[:, 0].copy()
     blk_full = s2[:, 0] == s2[:, -1]
-    cap = min(nb, num_segments) * block
+    if cap is None:
+        cap = min(nb, num_segments) * block
     rows = np.nonzero(np.repeat(~blk_full, block))[0].astype(np.int32)
     assert len(rows) <= cap, (len(rows), cap)
     bnd_rows = np.zeros(cap, np.int32)
