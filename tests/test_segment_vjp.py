@@ -113,3 +113,58 @@ class TestPoolPlan:
                         mask=jnp.asarray(batch["node_mask"]),
                         plan=tuple(jnp.asarray(v) for v in pt))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def _aligned_case(self, seed, S=23, C=5, block=8):
+        """Block-ALIGNED layout (every segment run padded to `block`) with a
+        cap=0 plan — the CompactFile packing contract."""
+        rng = np.random.default_rng(seed)
+        lens = rng.integers(1, 25, S)
+        alens = ((lens + block - 1) // block) * block
+        seg = np.repeat(np.arange(S), alens).astype(np.int32)
+        mask = np.zeros(len(seg), bool)
+        starts = np.concatenate([[0], np.cumsum(alens)[:-1]])
+        for s in range(S):
+            mask[starts[s] : starts[s] + lens[s]] = True
+        x = rng.normal(size=(len(seg), C)).astype(np.float32)
+        from yolat_tpu.ops.segment import pool_plan
+
+        plan = pool_plan(seg, S, cap=0)
+        assert plan["pool_bnd_rows"].shape == (0,)
+        pt = tuple(jnp.asarray(plan[k]) for k in
+                   ("pool_blk_first", "pool_blk_full", "pool_bnd_rows",
+                    "pool_bnd_seg", "pool_bnd_mask"))
+        return jnp.asarray(x), jnp.asarray(seg), jnp.asarray(mask), S, pt
+
+    def test_aligned_plan_matches_scatter_path(self):
+        from yolat_tpu.ops.segment import segment_max, segment_mean, segment_sum
+
+        for seed in range(4):
+            x, seg, mask, S, pt = self._aligned_case(seed)
+            for fn in (segment_max, segment_mean, segment_sum):
+                a = fn(x, seg, S, mask=mask, indices_are_sorted=True)
+                b = fn(x, seg, S, mask=mask, plan=pt)
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-5)
+
+    def test_aligned_plan_grads_match(self):
+        """The boundary-free backward (block gather + broadcast) must equal
+        the generic per-row gather backward for max, sum AND mean."""
+        from yolat_tpu.ops.segment import segment_max, segment_mean, segment_sum
+
+        for seed in (3, 9):
+            x, seg, mask, S, pt = self._aligned_case(seed)
+            for fn in (segment_max, segment_mean, segment_sum):
+                g1 = jax.grad(lambda d: (fn(d, seg, S, mask=mask,
+                                            indices_are_sorted=True)
+                                         ** 2).sum())(x)
+                g2 = jax.grad(lambda d: (fn(d, seg, S, mask=mask,
+                                            plan=pt) ** 2).sum())(x)
+                np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                           rtol=1e-5, atol=1e-5)
+
+    def test_cap_zero_rejects_unaligned(self):
+        from yolat_tpu.ops.segment import pool_plan
+
+        seg = np.array([0, 0, 0, 0, 0, 1, 1, 1], np.int32)  # straddles
+        with np.testing.assert_raises(AssertionError):
+            pool_plan(seg, 2, cap=0)

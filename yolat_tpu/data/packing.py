@@ -270,14 +270,13 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
 
     # two-level pooling plan for the node -> proposal reductions (bbox_idx
     # runs are contiguous by construction). CompactFile block-aligns every
-    # proposal run, so NO block straddles a segment boundary and the plan's
-    # boundary arrays are empty — cap at one block instead of the generic
-    # min(NB, P) * BLOCK worst case (the boundary scatter otherwise
-    # processes ~25k padded no-op rows per batch at ~41 ns/row).
-    from yolat_tpu.ops.segment import POOL_BLOCK, pool_plan
+    # proposal run, so NO block straddles a segment boundary: cap=0 emits
+    # 0-length boundary arrays, a static shape that routes the pools (and
+    # their custom VJPs) through the boundary-free fast path — no boundary
+    # scatter, and 8x smaller backward gathers (ops/segment.pool_plan).
+    from yolat_tpu.ops.segment import pool_plan
 
-    batch.update(pool_plan(batch["bbox_idx"], pad.n_proposals,
-                           cap=POOL_BLOCK))
+    batch.update(pool_plan(batch["bbox_idx"], pad.n_proposals, cap=0))
 
     return batch
 

@@ -21,7 +21,8 @@ from yolat_tpu.ops.pallas_kernels import (
     fused_dense_message,
     fused_dense_message_reference,
 )
-from yolat_tpu.ops.segment import plan_of, segment_max, segment_mean
+from yolat_tpu.ops.segment import (plan_of, segment_max,
+                                    segment_max_concat, segment_mean)
 
 BN_EPS = 1e-5
 
@@ -155,7 +156,6 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     lo = n_blocks - n_blocks_out
     cat = jnp.concatenate(feats[lo:], axis=1)
     fusion = _folded(cat, folded["fusion_block"])
-    out_feat = jnp.concatenate([fusion, cat], axis=1)
 
     cat_super = jnp.concatenate(feats_super[lo:], axis=1)
     pooled = segment_mean(cat_super, bbox_idx, n_prop, mask=node_mask,
@@ -163,8 +163,9 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     fusion_super = _folded(pooled, folded["fusion_block_super"])
     out_super = jnp.concatenate([fusion_super, pooled], axis=1)
 
-    pmax = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
-                       indices_are_sorted=True, plan=plan_of(batch))
+    pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
+                              mask=node_mask, indices_are_sorted=True,
+                              plan=plan_of(batch))
     h = jnp.concatenate([pmax, out_super], axis=1)
     h = _folded(h, folded["pred_0"])
     h = _folded(h, folded["pred_1"])

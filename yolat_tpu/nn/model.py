@@ -31,7 +31,8 @@ from flax import linen as nn
 
 from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import MLP, maybe_remat_mlp
-from yolat_tpu.ops.segment import plan_of, segment_max, segment_mean
+from yolat_tpu.ops.segment import (plan_of, segment_max,
+                                    segment_max_concat, segment_mean)
 
 
 class Backbone(nn.Module):
@@ -115,8 +116,10 @@ class Backbone(nn.Module):
                          axis_name=self.axis_name, name="fusion_block")(
             cat, node_mask, train
         )
-        out_feat = jnp.concatenate([fusion, cat], axis=1)
-
+        # out_feat = [fusion | cat] is returned as PARTS: its only consumer
+        # is a segment max, and per-column max commutes with column concat
+        # (ops/segment.segment_max_concat) — the [N, 1152] node-level concat
+        # never needs to materialise
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask,
                               indices_are_sorted=True, plan=pool_plan)
@@ -126,7 +129,7 @@ class Backbone(nn.Module):
             pooled, proposal_mask, train
         )
         out_feat_super = jnp.concatenate([fusion_super, pooled], axis=1)
-        return out_feat, out_feat_super
+        return (fusion, cat), out_feat_super
 
 
 class SparseCADGCN(nn.Module):
@@ -156,16 +159,17 @@ class SparseCADGCN(nn.Module):
             remat=self.remat, axis_name=self.axis_name,
             sorted_edges=self.sorted_edges, name="cls_net",
         )
-        out_feat, out_feat_super = cls_net(
+        out_feat_parts, out_feat_super = cls_net(
             batch["x"], batch["edge"], batch["e_attr"], batch["edge_mask"],
             batch["node_mask"], batch["bbox_idx"], batch["proposal_mask"],
             n_proposals, train=train, pos=batch.get("pos"),
             nbr_idx=batch.get("nbr_idx"), nbr_attr=batch.get("nbr_attr"),
             nbr_mask=batch.get("nbr_mask"), pool_plan=plan_of(batch),
         )
-        pooled = segment_max(out_feat, batch["bbox_idx"], n_proposals,
-                             mask=batch["node_mask"], indices_are_sorted=True,
-                             plan=plan_of(batch))
+        pooled = segment_max_concat(out_feat_parts, batch["bbox_idx"],
+                                    n_proposals, mask=batch["node_mask"],
+                                    indices_are_sorted=True,
+                                    plan=plan_of(batch))
         h = jnp.concatenate([pooled, out_feat_super], axis=1)
 
         fusion_out = cls_net.fusion_dims + 1024

@@ -55,7 +55,8 @@ from flax import linen as nn
 
 from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import MLP
-from yolat_tpu.ops.segment import plan_of, segment_max, segment_mean
+from yolat_tpu.ops.segment import (plan_of, segment_max,
+                                    segment_max_concat, segment_mean)
 
 
 def fourier_features(pos, n_freqs: int = 4):
@@ -160,8 +161,8 @@ class YOLaTPlusPlus(nn.Module):
                      axis_name=self.axis_name, name="fusion_block")(
             cat, mask=node_mask, train=train
         )
-        out_feat = jnp.concatenate([fusion, cat], axis=1)
-
+        # [fusion | cat] is pooled as PARTS (segment_max_concat): the
+        # node-level [N, 1152] concat never materialises
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled_super = segment_mean(cat_super, bbox_idx, n_prop,
                                     mask=node_mask, indices_are_sorted=True,
@@ -194,8 +195,9 @@ class YOLaTPlusPlus(nn.Module):
         )
 
         # ---- canonical head, super tokens as a 512-d gated residual ------
-        pooled = segment_max(out_feat, bbox_idx, n_prop, mask=node_mask,
-                             indices_are_sorted=True, plan=pool)
+        pooled = segment_max_concat((fusion, cat), bbox_idx, n_prop,
+                                    mask=node_mask, indices_are_sorted=True,
+                                    plan=pool)
         h = jnp.concatenate([pooled, out_super], axis=1)
         h = MLP([(fusion_dims + 1024) * 2, 512], act=self.act, norm=self.norm,
                 axis_name=self.axis_name, name="pred_0")(

@@ -55,6 +55,13 @@ def pool_plan(segment_ids: np.ndarray, num_segments: int,
     are at most num_segments - 1 of those. Callers that guarantee block-
     aligned segment runs (CompactFile packing) pass a tiny explicit cap;
     an AssertionError here means that guarantee was broken.
+
+    Pass cap=0 to assert FULL block alignment (zero straddling blocks):
+    the boundary arrays come out 0-length, a static shape property that
+    routes both the forward (_two_level) and the custom VJPs through the
+    boundary-free fast path (block gather + broadcast instead of per-row
+    [N, C] gathers — the segment-max backward's two [N, 1152] gathers and
+    their layout copies were ~20% of the bf16 train step on v5e).
     """
     seg = np.asarray(segment_ids, np.int32)
     n = seg.shape[0]
@@ -99,6 +106,26 @@ def plan_of(batch: dict):
             batch["pool_bnd_mask"])
 
 
+def _plan_aligned(plan) -> bool:
+    """True for plans built with cap=0 (every block lies in one segment) —
+    a STATIC shape property, so jit can branch on it."""
+    return plan[2].shape[0] == 0
+
+
+def _block_rows(a, plan, n):
+    """Per-segment array [S, ...] -> per-row [n, ...] via block gather +
+    in-register broadcast. Valid ONLY for aligned plans (uniform segment id
+    within each block): replaces an [n, C] row gather with an 8x smaller
+    [NB, C] gather whose broadcast fuses into the consumer."""
+    blk_first = plan[0]
+    nb = blk_first.shape[0]
+    b = n // nb
+    blk = a[blk_first]
+    return jnp.broadcast_to(
+        blk[:, None], (nb, b) + a.shape[1:]
+    ).reshape((n,) + a.shape[1:])
+
+
 def _two_level(data, mask, plan, num_segments: int, op, neutral):
     """Reduce `data` (rows where ~mask treated as `neutral`) per segment via
     the block plan. op in {'max', 'sum'}.
@@ -114,20 +141,33 @@ def _two_level(data, mask, plan, num_segments: int, op, neutral):
     tail = (1,) * (data.ndim - 1)
     blocks = data.reshape((nb, b) + data.shape[1:])
     bmask = _expand(mask, data).reshape((nb, b) + tail)
-    fullm = blk_full.reshape((nb,) + tail)
-    bnd = data[bnd_rows]
-    bndm = (bnd_mask & mask[bnd_rows]).reshape((-1,) + tail)
-    bnd = jnp.where(bndm, bnd, neutral)
+    aligned = _plan_aligned(plan)
     if op == "max":
         bred = jnp.where(bmask, blocks, neutral).max(axis=1)
+        if aligned:  # no straddling blocks: one sorted scatter, no patch-up
+            return jax.ops.segment_max(bred, blk_first,
+                                       num_segments=num_segments,
+                                       indices_are_sorted=True)
+        fullm = blk_full.reshape((nb,) + tail)
         bred = jnp.where(fullm, bred, neutral)
+        bnd = data[bnd_rows]
+        bndm = (bnd_mask & mask[bnd_rows]).reshape((-1,) + tail)
+        bnd = jnp.where(bndm, bnd, neutral)
         out = jax.ops.segment_max(bred, blk_first, num_segments=num_segments,
                                   indices_are_sorted=True)
         out2 = jax.ops.segment_max(bnd, bnd_seg, num_segments=num_segments,
                                    indices_are_sorted=True)
         return jnp.maximum(out, out2)
     bred = jnp.where(bmask, blocks, 0.0).sum(axis=1)
+    if aligned:
+        return jax.ops.segment_sum(bred, blk_first,
+                                   num_segments=num_segments,
+                                   indices_are_sorted=True)
+    fullm = blk_full.reshape((nb,) + tail)
     bred = jnp.where(fullm, bred, 0.0)
+    bnd = data[bnd_rows]
+    bndm = (bnd_mask & mask[bnd_rows]).reshape((-1,) + tail)
+    bnd = jnp.where(bndm, bnd, 0.0)
     out = jax.ops.segment_sum(bred, blk_first, num_segments=num_segments,
                               indices_are_sorted=True)
     out2 = jax.ops.segment_sum(bnd, bnd_seg, num_segments=num_segments,
@@ -173,12 +213,16 @@ def _plan_sum_vjp(data, mask, segment_ids, plan, num_segments):
 
 def _plan_sum_vjp_fwd(data, mask, segment_ids, plan, num_segments):
     out = _plan_sum_vjp(data, mask, segment_ids, plan, num_segments)
-    return out, (mask, segment_ids)
+    return out, (mask, segment_ids, plan)
 
 
 def _plan_sum_vjp_bwd(num_segments, res, g):
-    mask, segment_ids = res
-    rows = g[segment_ids]
+    mask, segment_ids, plan = res
+    n = segment_ids.shape[0]
+    if _plan_aligned(plan):
+        rows = _block_rows(g, plan, n)  # 8x smaller gather, fused broadcast
+    else:
+        rows = g[segment_ids]
     dx = jnp.where(_expand(mask, rows), rows, 0)
     return dx, None, None, None
 
@@ -294,19 +338,44 @@ def _segment_max_fwd(data, mask, segment_ids, plan, num_segments,
     _, raw = _masked_max(data, mask, segment_ids, plan, num_segments,
                          indices_are_sorted)
     out = jnp.where(raw <= _NEG_INF / 2, 0.0, raw)
-    return out, (data, mask, raw, segment_ids)
+    return out, (data, mask, raw, segment_ids, plan)
 
 
 def _segment_max_bwd(num_segments, indices_are_sorted, res, g):
-    data, mask, raw, segment_ids = res
+    data, mask, raw, segment_ids, plan = res
+    n = data.shape[0]
+    if plan is not None and _plan_aligned(plan):
+        # segment ids are uniform within each block: gather the per-block
+        # owner rows ([NB, C], 8x smaller) and broadcast in-fusion instead
+        # of materialising two [N, C] row gathers (+ their layout copies —
+        # ~20% of the bf16 train step at [72k, 1152] on v5e)
+        raw_rows = _block_rows(raw, plan, n)
+        g_rows = _block_rows(g, plan, n)
+    else:
+        raw_rows = raw[segment_ids]
+        g_rows = g[segment_ids]
     # empty segments have raw = -inf, which no valid (masked) row equals,
     # so their cotangent is dropped without an explicit `empty` select
-    hit = (data == raw[segment_ids]) & _expand(mask, data)
-    dx = jnp.where(hit, g[segment_ids], 0).astype(data.dtype)
+    hit = (data == raw_rows) & _expand(mask, data)
+    dx = jnp.where(hit, g_rows, 0).astype(data.dtype)
     return dx, None, None, None
 
 
 _segment_max_core.defvjp(_segment_max_fwd, _segment_max_bwd)
+
+
+def segment_max_concat(parts, segment_ids, num_segments: int, mask=None,
+                       indices_are_sorted: bool = False, plan=None):
+    """segment_max(concat(parts, axis=1)) WITHOUT the node-level concat:
+    per-column max commutes with column concatenation, so pooling each part
+    where it was produced and concatenating at segment granularity is
+    exact — and skips materialising (and layout-copying) the [N, sum(C)]
+    concat, which was ~1 ms/step of the bf16 train forward+backward at
+    [72k, 1152] on v5e."""
+    return jnp.concatenate(
+        [segment_max(p, segment_ids, num_segments, mask=mask,
+                     indices_are_sorted=indices_are_sorted, plan=plan)
+         for p in parts], axis=1)
 
 
 def segment_softmax(data, segment_ids, num_segments: int, mask=None,
