@@ -83,12 +83,15 @@ def main():
         jax.tree.map(np.asarray, jax.tree.map(
             lambda a: a.reshape(-1)[0] if hasattr(a, "reshape") else a,
             out.params if hasattr(out, "params") else out))
-        t0 = time.perf_counter()
-        out = run(state, sb, jax.random.key(1))
-        leaf = jax.tree_util.tree_leaves(
-            out.params if hasattr(out, "params") else out)[0]
-        np.asarray(leaf)
-        return (time.perf_counter() - t0) / n
+        best = float("inf")
+        for rep in range(1, 4):  # best-of-3: tunnel dispatch variance is
+            t0 = time.perf_counter()  # +-15-30% between fetches
+            out = run(state, sb, jax.random.key(rep))
+            leaf = jax.tree_util.tree_leaves(
+                out.params if hasattr(out, "params") else out)[0]
+            np.asarray(leaf)
+            best = min(best, time.perf_counter() - t0)
+        return best / n
 
     # (a) aug epilogue + forward loss only
     def fwd(st, b, key, i):
@@ -96,13 +99,17 @@ def main():
         loss, _ = loss_fn(st.params, st.batch_stats, bb, key)
         return st.replace(step=st.step + jnp.int32(loss * 0))
 
-    # (b) forward + backward (no optimizer)
+    # (b) forward + backward (no optimizer). EVERY grad leaf must be
+    # consumed: keeping only one leaf lets XLA dead-code-eliminate the
+    # other leaves' grad materialisation, which then shows up as phantom
+    # "optimizer" cost in the (c)-(b) delta.
     def fwd_bwd(st, b, key, i):
         bb = prep({**b, "pos": b["pos"] + 0 * jnp.float32(i)}, key)
         (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             st.params, st.batch_stats, bb, key)
-        g0 = jax.tree_util.tree_leaves(grads)[0]
-        return st.replace(step=st.step + jnp.int32(g0.reshape(-1)[0] * 0),
+        gsum = sum(g.reshape(-1)[0].astype(jnp.float32)
+                   for g in jax.tree_util.tree_leaves(grads))
+        return st.replace(step=st.step + jnp.int32(gsum * 0),
                           batch_stats=mut["batch_stats"])
 
     # (c) full step: forward + backward + Adam update
@@ -118,8 +125,22 @@ def main():
                           batch_stats=mut["batch_stats"],
                           opt_state=opt_state)
 
+    # (d) forward + backward + trivial SGD: params change every iteration
+    # (so per-step param cast/relayout work cannot be hoisted out of the
+    # scan, same as (c)) but there is no Adam state/math — the (c)-(d)
+    # delta isolates the optimizer itself, (d)-(b) the un-hoistable
+    # param-dependent work the fwd/fwd_bwd variants amortise away.
+    def full_sgd(st, b, key, i):
+        bb = prep({**b, "pos": b["pos"] + 0 * jnp.float32(i)}, key)
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.params, st.batch_stats, bb, key)
+        params = jax.tree.map(lambda p, g: p - 1e-9 * g, st.params, grads)
+        return st.replace(step=st.step + 1, params=params,
+                          batch_stats=mut["batch_stats"])
+
     res = {}
-    for name, fn in (("fwd", fwd), ("fwd_bwd", fwd_bwd), ("full", full)):
+    for name, fn in (("fwd", fwd), ("fwd_bwd", fwd_bwd), ("full", full),
+                     ("full_sgd", full_sgd)):
         s = chain(fn, args.iters)
         res[name] = {"ms_per_step": round(s * 1e3, 3),
                      "img_per_s": round(n_img / s, 1)}
@@ -128,6 +149,10 @@ def main():
         res["fwd_bwd"]["ms_per_step"] - res["fwd"]["ms_per_step"], 3)
     res["optimizer_ms"] = round(
         res["full"]["ms_per_step"] - res["fwd_bwd"]["ms_per_step"], 3)
+    res["adam_vs_sgd_ms"] = round(
+        res["full"]["ms_per_step"] - res["full_sgd"]["ms_per_step"], 3)
+    res["unhoistable_param_work_ms"] = round(
+        res["full_sgd"]["ms_per_step"] - res["fwd_bwd"]["ms_per_step"], 3)
     res["device"] = str(jax.devices()[0])
     res["n_images_per_step"] = n_img
     print(json.dumps(res))
