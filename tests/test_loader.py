@@ -150,3 +150,28 @@ class TestAugBoxRecompute:
                 want[p] = [pos[rows, 0].min(), pos[rows, 1].min(),
                            pos[rows, 0].max(), pos[rows, 1].max()]
         np.testing.assert_allclose(bbox[pm], want[pm], rtol=1e-5, atol=1e-6)
+
+
+class TestAugBroadcastPath:
+    def test_block_broadcast_matches_gather(self):
+        """finalize_batch aug routes per-image params to nodes via the
+        aligned-plan block broadcast; stripping the plan arrays forces the
+        per-node gather path — both must produce identical pos/bbox."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolat_tpu.data.packing import finalize_batch
+        from yolat_tpu.data.toy import random_packed_batch
+
+        batch, _ = random_packed_batch(seed=5, n_images=3)
+        jb = jax.tree.map(jnp.asarray, batch)
+        plan_keys = [k for k in jb if k.startswith("pool_")]
+        assert plan_keys, "packed batch should carry a pool plan"
+        nb = {k: v for k, v in jb.items() if k not in plan_keys}
+        key = jax.random.key(11)
+        a = jax.jit(lambda b, k: finalize_batch(b, key=k, data_aug=True))(jb, key)
+        b = jax.jit(lambda b, k: finalize_batch(b, key=k, data_aug=True))(nb, key)
+        np.testing.assert_allclose(np.asarray(a["pos"]), np.asarray(b["pos"]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a["bbox"]), np.asarray(b["bbox"]),
+                                   rtol=1e-5, atol=1e-6)

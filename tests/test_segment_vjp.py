@@ -168,3 +168,47 @@ class TestPoolPlan:
         seg = np.array([0, 0, 0, 0, 0, 1, 1, 1], np.int32)  # straddles
         with np.testing.assert_raises(AssertionError):
             pool_plan(seg, 2, cap=0)
+
+
+class TestPrecomputedCounts:
+    def test_segment_mean_counts_match_mask_counts(self):
+        from yolat_tpu.ops.segment import segment_mean
+
+        rng = np.random.default_rng(0)
+        N, S, C = 200, 17, 5
+        seg = np.sort(rng.integers(0, S, N)).astype(np.int32)
+        mask = rng.random(N) < 0.7
+        x = rng.normal(size=(N, C)).astype(np.float32)
+        counts = np.bincount(seg[mask], minlength=S).astype(np.float32)
+        a = segment_mean(jnp.asarray(x), jnp.asarray(seg), S,
+                         mask=jnp.asarray(mask), indices_are_sorted=True)
+        b = segment_mean(jnp.asarray(x), jnp.asarray(seg), S,
+                         mask=jnp.asarray(mask), indices_are_sorted=True,
+                         counts=jnp.asarray(counts))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_model_logits_identical_with_and_without_counts(self):
+        """Pack-time dst/src/super/prop counts are a pure optimisation: the
+        canonical model's outputs must be bitwise-equal with the count keys
+        stripped from the batch."""
+        import jax
+
+        from yolat_tpu.data.packing import finalize_batch
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.nn.model import SparseCADGCN
+
+        n_classes = 17
+        batch, _ = random_packed_batch(seed=7, n_images=2,
+                                       n_classes=n_classes)
+        jb = finalize_batch(jax.tree.map(jnp.asarray, batch))
+        count_keys = ("dst_count", "src_count", "super_dst_count",
+                      "prop_count")
+        assert all(k in jb for k in count_keys)
+        nb = {k: v for k, v in jb.items() if k not in count_keys}
+        model = SparseCADGCN(n_classes=n_classes, sorted_edges=True)
+        var = model.init(jax.random.key(0), nb, train=False)
+        (la, _), = [model.apply(var, jb, train=False)]
+        (lb, _), = [model.apply(var, nb, train=False)]
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-6, atol=1e-6)

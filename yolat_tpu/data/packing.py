@@ -278,6 +278,23 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
 
     batch.update(pool_plan(batch["bbox_idx"], pad.n_proposals, cap=0))
 
+    # pack-time segment populations: the edge sets are static per batch, so
+    # the per-node in/out-degrees that segment_mean otherwise computes with
+    # a full-width on-device scatter (~0.5 ms/step at [56k -> 72k] on v5e,
+    # the largest forward scatter in the bf16 train step) are free here.
+    # Consumers must drop these whenever the masks change on-device
+    # (train/loop strips them when drop_edge > 0).
+    em, sm = batch["edge_mask"], batch["super_mask"]
+    batch["dst_count"] = np.bincount(
+        batch["edge"][em, 1], minlength=pad.n_nodes).astype(np.float32)
+    batch["src_count"] = np.bincount(
+        batch["edge"][em, 0], minlength=pad.n_nodes).astype(np.float32)
+    batch["super_dst_count"] = np.bincount(
+        batch["edge_super"][sm, 1], minlength=pad.n_nodes).astype(np.float32)
+    batch["prop_count"] = np.bincount(
+        batch["bbox_idx"][batch["node_mask"]],
+        minlength=pad.n_proposals).astype(np.float32)
+
     return batch
 
 
@@ -329,11 +346,21 @@ def finalize_batch(batch: dict, key=None, data_aug: bool = False,
         translate = jax.random.uniform(k_trans, (B, 2), minval=-1.0, maxval=1.0) * 0.1
         flips = jax.random.bernoulli(k_flip, 0.5, (B, 2))
 
-        img_of_node = batch["image_id"][batch["bbox_idx"]]
-        s = scale[img_of_node][:, None]
-        a = angle[img_of_node]
-        t = translate[img_of_node]
-        fl = flips[img_of_node]
+        from yolat_tpu.ops.segment import plan_of, segment_broadcast
+
+        pp = plan_of(batch)
+        N = pos.shape[0]
+        bidx = batch["bbox_idx"]
+        # per-image aug params reach the nodes via proposal granularity:
+        # [B] -> [P] tiny gathers, then one blockwise proposal -> node
+        # broadcast (segment_broadcast) — the per-NODE s32/f32 gathers this
+        # replaces were ~0.75 ms/step on v5e (~7 ns/row regardless of row
+        # bytes)
+        img = batch["image_id"]
+        s = segment_broadcast(scale[img], bidx, N, pp)[:, None]
+        a = segment_broadcast(angle[img], bidx, N, pp)
+        t = segment_broadcast(translate[img], bidx, N, pp)
+        fl = segment_broadcast(flips[img], bidx, N, pp)
 
         p = pos - 0.5
         p = jnp.where(fl, -p, p)
@@ -347,9 +374,6 @@ def finalize_batch(batch: dict, key=None, data_aug: bool = False,
 
         n_prop = batch["labels"].shape[0]
         big = 1e30
-        from yolat_tpu.ops.segment import plan_of
-
-        pp = plan_of(batch)
         # one 4-column reduction instead of four 1-column scatters (XLA
         # scatter carries a per-call fixed cost, PERF.md finding 2)
         vals = jnp.stack([pos[:, 0], pos[:, 1], -pos[:, 0], -pos[:, 1]],

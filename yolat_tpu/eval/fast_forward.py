@@ -78,7 +78,7 @@ def _folded(x, w_sc):
     return jnp.maximum((x @ w) * sc[0] + sc[1], 0.0)
 
 
-def _sparse_message(x, edge, e_attr, edge_mask, c):
+def _sparse_message(x, edge, e_attr, edge_mask, c, dst_count=None):
     """Folded-BN canonical conv over the sparse dst-sorted edge list —
     the dense-table-free serving path (same math as AttrEdgeGP2's sparse
     branch with eval-mode BN folded into scale/shift)."""
@@ -89,7 +89,7 @@ def _sparse_message(x, edge, e_attr, edge_mask, c):
     h = jnp.maximum((h.astype(x.dtype) @ c["w2"]) * c["sc2"][0]
                     + c["sc2"][1], 0.0)
     agg = segment_mean(h, edge[:, 1], x.shape[0], mask=edge_mask,
-                       indices_are_sorted=True)
+                       indices_are_sorted=True, counts=dst_count)
     return agg.astype(x.dtype) + x @ c["wr"] + c["br"].reshape(1, -1)
 
 
@@ -147,7 +147,8 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
                 f = f.astype(jnp.bfloat16)
         else:
             f = _sparse_message(f, batch["edge"], batch["e_attr"],
-                                batch["edge_mask"], folded["convs"][i])
+                                batch["edge_mask"], folded["convs"][i],
+                                dst_count=batch.get("dst_count"))
         s = _folded(s, (folded["convs"][i]["wn"], folded["convs"][i]["scn"]))
         feats.append(f)
         feats_super.append(s)
@@ -159,7 +160,8 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
 
     cat_super = jnp.concatenate(feats_super[lo:], axis=1)
     pooled = segment_mean(cat_super, bbox_idx, n_prop, mask=node_mask,
-                          indices_are_sorted=True, plan=plan_of(batch))
+                          indices_are_sorted=True, plan=plan_of(batch),
+                          counts=batch.get("prop_count"))
     fusion_super = _folded(pooled, folded["fusion_block_super"])
     out_super = jnp.concatenate([fusion_super, pooled], axis=1)
 

@@ -94,7 +94,8 @@ class AttrEdgeGP2(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask,
-                 train: bool = True, nbr_idx=None, nbr_attr=None, nbr_mask=None):
+                 train: bool = True, nbr_idx=None, nbr_attr=None,
+                 nbr_mask=None, dst_count=None):
         msg_mlp = maybe_remat_mlp(self.remat)(
             [self.in_channels * 2 + 4, self.out_channels, self.out_channels],
             act="relu",
@@ -114,7 +115,8 @@ class AttrEdgeGP2(nn.Module):
             f = jnp.concatenate([x_i, x_j - x_i, e_attr], axis=1)
             msg = msg_mlp(f, edge_mask, train)
             agg = segment_mean(msg, edge[:, 1], x.shape[0], mask=edge_mask,
-                               indices_are_sorted=self.sorted_edges)
+                               indices_are_sorted=self.sorted_edges,
+                               counts=dst_count)
 
         out = agg + lin_r(x)
         x_node = MLP(

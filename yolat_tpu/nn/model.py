@@ -54,7 +54,8 @@ class Backbone(nn.Module):
     @nn.compact
     def __call__(self, x, edge, e_attr, edge_mask, node_mask, bbox_idx,
                  proposal_mask, n_proposals: int, train: bool = True, pos=None,
-                 nbr_idx=None, nbr_attr=None, nbr_mask=None, pool_plan=None):
+                 nbr_idx=None, nbr_attr=None, nbr_mask=None, pool_plan=None,
+                 dst_count=None, prop_count=None):
         dual = self.conv == "attr_edge_gp2"
 
         # convs with a dense neighbour-table branch (reverse-propagation
@@ -72,7 +73,7 @@ class Backbone(nn.Module):
             if dual:
                 return layer(f, f_super, edge, e_attr, edge_mask, node_mask,
                              train=train, nbr_idx=nbr_idx, nbr_attr=nbr_attr,
-                             nbr_mask=nbr_mask)
+                             nbr_mask=nbr_mask, dst_count=dst_count)
             if self.conv == "attr_edge_cf":
                 out = layer(f, pos, edge, e_attr, edge_mask, node_mask,
                             train=train, **nbr_kw)
@@ -81,8 +82,8 @@ class Backbone(nn.Module):
                 # (EdgConvGlobalPool, torch_vertex.py:343-425): the root half
                 # is the proposal-pooled feature gathered back to its nodes
                 root = segment_mean(f, bbox_idx, n_proposals, mask=node_mask,
-                                    indices_are_sorted=True,
-                                    plan=pool_plan)[bbox_idx]
+                                    indices_are_sorted=True, plan=pool_plan,
+                                    counts=prop_count)[bbox_idx]
                 out = layer(jnp.concatenate([f, root], axis=1), edge, e_attr,
                             edge_mask, node_mask, train=train, **nbr_kw)
             else:
@@ -122,7 +123,8 @@ class Backbone(nn.Module):
         # never needs to materialise
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask,
-                              indices_are_sorted=True, plan=pool_plan)
+                              indices_are_sorted=True, plan=pool_plan,
+                              counts=prop_count)
         fusion_super = mlp_cls([self.fusion_dims, 1024], act=self.act,
                                norm=self.norm, axis_name=self.axis_name,
                                name="fusion_block_super")(
@@ -165,6 +167,8 @@ class SparseCADGCN(nn.Module):
             n_proposals, train=train, pos=batch.get("pos"),
             nbr_idx=batch.get("nbr_idx"), nbr_attr=batch.get("nbr_attr"),
             nbr_mask=batch.get("nbr_mask"), pool_plan=plan_of(batch),
+            dst_count=batch.get("dst_count"),
+            prop_count=batch.get("prop_count"),
         )
         pooled = segment_max_concat(out_feat_parts, batch["bbox_idx"],
                                     n_proposals, mask=batch["node_mask"],

@@ -114,7 +114,8 @@ class YOLaTPlusPlus(nn.Module):
             f, s = conv(f, s, edge, batch["e_attr"], edge_mask, node_mask,
                         train=train, nbr_idx=batch.get("nbr_idx"),
                         nbr_attr=batch.get("nbr_attr"),
-                        nbr_mask=batch.get("nbr_mask"))
+                        nbr_mask=batch.get("nbr_mask"),
+                        dst_count=batch.get("dst_count"))
             if i == 0:
                 f = f + gate("gate_point") * pe_tok
             feats.append(f)
@@ -130,7 +131,9 @@ class YOLaTPlusPlus(nn.Module):
         curve_at_node = segment_mean(
             curve_tok, edge[:, 1], x.shape[0], mask=edge_mask,
             indices_are_sorted=self.sorted_edges,
-        ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask)
+            counts=batch.get("dst_count"),
+        ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask,
+                         counts=batch.get("src_count"))
 
         # ---- primitive level (a): super-edge clique propagation ----------
         es = batch["edge_super"]
@@ -144,7 +147,8 @@ class YOLaTPlusPlus(nn.Module):
             prim_in, mask=es_mask, train=train)
         prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
                                     mask=es_mask,
-                                    indices_are_sorted=self.sorted_edges)
+                                    indices_are_sorted=self.sorted_edges,
+                                    counts=batch.get("super_dst_count"))
 
         # curve + clique evidence enter the LAST block's features as
         # residuals, so the canonical fusion keeps its exact dimensions
@@ -166,7 +170,8 @@ class YOLaTPlusPlus(nn.Module):
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled_super = segment_mean(cat_super, bbox_idx, n_prop,
                                     mask=node_mask, indices_are_sorted=True,
-                                    plan=pool)
+                                    plan=pool,
+                                    counts=batch.get("prop_count"))
         fusion_super = MLP([fusion_dims, 1024], act=self.act, norm=self.norm,
                            axis_name=self.axis_name, name="fusion_block_super")(
             pooled_super, mask=batch["proposal_mask"], train=train
@@ -181,10 +186,11 @@ class YOLaTPlusPlus(nn.Module):
         #   parent link     = root_slot gather                 [super_super]
         centroid = segment_mean(batch["pos"], bbox_idx, n_prop,
                                 mask=node_mask, indices_are_sorted=True,
-                                plan=pool)
+                                plan=pool, counts=batch.get("prop_count"))
         member_mean = segment_mean(feats[-1], bbox_idx, n_prop,
                                    mask=node_mask, indices_are_sorted=True,
-                                   plan=pool)
+                                   plan=pool,
+                                   counts=batch.get("prop_count"))
         sup_in = jnp.concatenate(
             [fourier_features(centroid, self.n_freqs), member_mean,
              member_mean[batch["root_slot"]]], axis=1)
