@@ -54,31 +54,51 @@ def build_workload(n_images=8, batch_size=4, step=10):
 
 def time_predict(cfg, variables, batches, device, iters=8, fast=False,
                  folded=None, bf16=False, pallas=None):
+    """Detect throughput (images/sec), measured as ONE on-device lax.scan
+    chain of iters*len(batches) predict steps — the same methodology as
+    time_train. Per-call dispatch through the axon tunnel costs ~1.5 ms of
+    non-overlapped latency even with fully async dispatch (xprof shows the
+    serving program itself at 3.9 ms/batch while the dispatched pipeline
+    measured 5.5-6.6 ms/batch), so per-batch dispatch measures the tunnel,
+    not the chip. Every step's detections ARE materialised (scan stacks
+    its outputs in HBM) and the fetch pulls all of them."""
     import jax
+    import jax.numpy as jnp
 
-    from yolat_tpu.eval.predict import make_predict_fn
+    from yolat_tpu.eval.predict import make_predict_core
 
-    predict = make_predict_fn(cfg, max_det=300, fast=fast, folded=folded,
-                              bf16=bf16, pallas=pallas)
-    dev_batches = [
-        {k: jax.device_put(v[0], device) for k, v in b.items()} for b in batches
-    ]
+    core = make_predict_core(cfg, max_det=300, fast=fast, folded=folded,
+                             bf16=bf16, pallas=pallas)
+    stack = {k: jax.device_put(np.stack([b[k][0] for b in batches]), device)
+             for k in batches[0]}
     dev_vars = jax.device_put(variables, device)
+    S = len(batches)
+    n_steps = iters * S
 
-    # warmup/compile (fetch: block_until_ready under the axon tunnel can
+    @jax.jit
+    def run(variables, stack):
+        def body(carry, i):
+            b = jax.tree.map(lambda a: a[i % S], stack)
+            # thread the carry into the inputs so XLA cannot hoist or
+            # dedupe repeated iterations over the same batch (PERF.md
+            # measurement hygiene); the perturbation underflows to zero
+            b["pos"] = b["pos"] + (carry * 1e-30).astype(b["pos"].dtype)
+            out = core(variables, b)
+            c = out["scores"].astype(jnp.float32).sum()
+            return c, out
+
+        _, outs = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n_steps))
+        return outs
+
+    # compile + warm (fetch: block_until_ready under the axon tunnel can
     # return before remote execution finishes — a host fetch cannot)
-    np.asarray(predict(dev_vars, dev_batches[0])["scores"])
+    outs = run(dev_vars, stack)
+    np.asarray(outs["scores"])
 
-    n_images = sum(int(b["n_images"]) for b in dev_batches)
-    # dispatch the whole run asynchronously and fetch the LAST result once:
-    # the device stream executes in order, so the last completing implies
-    # all completed, and the full pipeline hides dispatch latency
+    n_images = sum(int(b["n_images"][0]) for b in batches)
     t0 = time.perf_counter()
-    outs = []
-    for _ in range(iters):
-        for b in dev_batches:
-            outs.append(predict(dev_vars, b))
-    np.asarray(outs[-1]["scores"])
+    outs = run(dev_vars, stack)
+    np.asarray(outs["scores"])
     dt = time.perf_counter() - t0
     return n_images * iters / dt
 
