@@ -295,6 +295,17 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         batch["bbox_idx"][batch["node_mask"]],
         minlength=pad.n_proposals).astype(np.float32)
 
+    # edge-window plan for the VMEM-resident message kernel (serving).
+    # None (batch too small / a window over capacity / locality violated)
+    # simply omits the keys — consumers fall back to the XLA path. Stale
+    # under on-device edge_mask edits: train/loop strips ew_* alongside
+    # the counts when drop_edge > 0.
+    from yolat_tpu.ops.edge_window import edge_window_plan
+
+    ewp = edge_window_plan(batch["edge"], em, batch["e_attr"], pad.n_nodes)
+    if ewp is not None:
+        batch.update(ewp)
+
     return batch
 
 

@@ -94,10 +94,11 @@ def _sparse_message(x, edge, e_attr, edge_mask, c, dst_count=None):
 
 
 @partial(jax.jit,
-         static_argnames=("n_blocks_out", "use_pallas", "interpret", "bf16"))
+         static_argnames=("n_blocks_out", "use_pallas", "interpret", "bf16",
+                          "edge_kernel"))
 def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
                  use_pallas: bool = True, interpret: bool = False,
-                 bf16: bool = False):
+                 bf16: bool = False, edge_kernel: bool | None = None):
     """Eval forward on a finalized dense-layout batch -> (logits, boxes).
 
     bf16=True runs the jnp path with bfloat16 activations/weights (f32
@@ -135,10 +136,33 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
         else fused_dense_message_reference
     )
 
+    # edge-window Pallas route (ops/edge_window.py): the message gathers
+    # become in-VMEM one-hot MXU contractions over a banded x window —
+    # replaces the row-serialized HBM gathers that dominate the serving
+    # step. Needs the pack-time window plan + in-degree counts; auto on
+    # TPU (or in interpreter tests), overridable for A/B measurement.
+    from yolat_tpu.ops.edge_window import edge_window_message_sum, ew_of
+
+    ew = ew_of(batch)
+    if ew is not None and batch.get("dst_count") is None:
+        ew = None
+    if edge_kernel is False or (
+            edge_kernel is None and not interpret
+            and jax.default_backend() != "tpu"):
+        ew = None
+
     f, s = x, x
     feats, feats_super = [], []
     for i, conv in enumerate(conv_params):
-        if dense_layout:
+        if ew is not None:
+            c = folded["convs"][i]
+            agg = edge_window_message_sum(f, ew, c["w1"], c["sc1"],
+                                          c["w2"], c["sc2"],
+                                          interpret=interpret)
+            cnt = jnp.maximum(batch["dst_count"].astype(jnp.float32), 1.0)
+            f = ((agg / cnt[:, None]).astype(f.dtype)
+                 + f @ c["wr"] + c["br"].reshape(1, -1))
+        elif dense_layout:
             c = conv if use_pallas else folded["convs"][i]
             f = message(f, batch["nbr_idx"], batch["nbr_attr"],
                         batch["nbr_mask"], c["w1"], c["sc1"], c["w2"],

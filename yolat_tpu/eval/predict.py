@@ -34,7 +34,8 @@ from yolat_tpu.train.loop import build_model
 
 def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
                     fast: bool = False, folded=None, bf16: bool = False,
-                    pallas: bool | None = None):
+                    pallas: bool | None = None,
+                    edge_kernel: bool | None = None):
     """Returns a jitted (variables, batch) -> per-image detections fn.
 
     With fast=True (requires the dense neighbour layout in the batch and
@@ -52,13 +53,14 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
     """
     core = make_predict_core(cfg, n_images=n_images, max_det=max_det,
                              fast=fast, folded=folded, bf16=bf16,
-                             pallas=pallas)
+                             pallas=pallas, edge_kernel=edge_kernel)
     return jax.jit(core)
 
 
 def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
                       fast: bool = False, folded=None, bf16: bool = False,
-                      pallas: bool | None = None):
+                      pallas: bool | None = None,
+                      edge_kernel: bool | None = None):
     """The un-jitted predict body: (variables, batch) -> detections dict.
     Wrapped by make_predict_fn (jit) and make_dp_predict_fn (shard_map)."""
     model = build_model(cfg, axis_name=None)
@@ -80,7 +82,7 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
         if fast:
             logits, prop_boxes = fast_forward(
                 folded, batch, n_blocks_out=cfg.n_blocks_out,
-                use_pallas=use_pallas, bf16=bf16,
+                use_pallas=use_pallas, bf16=bf16, edge_kernel=edge_kernel,
             )
         else:
             logits, prop_boxes = model.apply(variables, batch, train=False)

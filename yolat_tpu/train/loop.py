@@ -127,10 +127,13 @@ def _step_body(model, tx, state: TrainState, batch: dict, key,
         batch = {k: v for k, v in batch.items() if k not in _DENSE_KEYS}
     if drop_edge > 0.0:
         # edge masks are re-sampled on-device, so the pack-time edge
-        # populations are stale — drop them and let segment_mean count on
-        # device (prop_count stays: node_mask is untouched by drop_edge)
-        batch = {k: v for k, v in batch.items()
-                 if k not in ("dst_count", "src_count", "super_dst_count")}
+        # populations AND the edge-window plan are stale — drop them and
+        # let segment_mean count on device (prop_count stays: node_mask
+        # is untouched by drop_edge)
+        from yolat_tpu.ops.edge_window import EW_BATCH_KEYS
+
+        stale = ("dst_count", "src_count", "super_dst_count") + EW_BATCH_KEYS
+        batch = {k: v for k, v in batch.items() if k not in stale}
     batch = finalize_batch(batch, key=key, data_aug=data_aug,
                            drop_edge=drop_edge)
     if compute_dtype is not None:
