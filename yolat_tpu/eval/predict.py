@@ -132,7 +132,8 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
             partial(single_image_nms, iou_thres=cfg.nms_iou,
                     algorithm=getattr(cfg, "nms_algorithm", "fixpoint"),
                     conf_thres=cfg.nms_conf, max_det=max_det,
-                    topk=getattr(cfg, "nms_topk", 4096))
+                    topk=getattr(cfg, "nms_topk", 4096),
+                    approx_topk=getattr(cfg, "nms_approx_topk", False))
         )(img_boxes, img_cls, img_obj, img_valid)
         nms["pred_label"] = pred_label
         nms["kept"] = kept

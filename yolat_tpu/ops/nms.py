@@ -26,11 +26,13 @@ MAX_NMS = 30000  # candidate cap before suppression (train.py:47)
 
 
 @partial(jax.jit, static_argnames=("max_det", "iou_thres", "conf_thres",
-                                   "max_nms", "algorithm", "topk"))
+                                   "max_nms", "algorithm", "topk",
+                                   "approx_topk"))
 def single_image_nms(boxes, cls_scores, obj_scores, valid,
                      iou_thres: float = 0.5, conf_thres: float = 0.0,
                      max_det: int = 300, max_nms: int = MAX_NMS,
-                     algorithm: str = "fixpoint", topk: int = 4096):
+                     algorithm: str = "fixpoint", topk: int = 4096,
+                     approx_topk: bool = False):
     """NMS over one image's proposals.
 
     Args:
@@ -83,7 +85,8 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
     if algorithm == "fixpoint":
         return _fixpoint_nms(flat_conf, cand_valid, classes, box_rep,
                              offset_boxes, iou_thres, max_det,
-                             min(topk, max_nms, M * K))
+                             min(topk, max_nms, M * K),
+                             approx_topk=approx_topk)
 
     order = jnp.argsort(-jnp.where(cand_valid, flat_conf, -jnp.inf))
     flat_conf = flat_conf[order]
@@ -140,7 +143,8 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
 
 
 def _fixpoint_nms(flat_conf, cand_valid, classes, box_rep, offset_boxes,
-                  iou_thres: float, max_det: int, C: int):
+                  iou_thres: float, max_det: int, C: int,
+                  approx_topk: bool = False):
     """Exact greedy NMS over the top-C candidates via fixed-point iteration.
 
     Greedy NMS is the recurrence kept_i = valid_i AND no j<i (score order)
@@ -154,7 +158,20 @@ def _fixpoint_nms(flat_conf, cand_valid, classes, box_rep, offset_boxes,
     instead of a sequential pick per detection.
     """
     scores = jnp.where(cand_valid, flat_conf, -jnp.inf)
-    top_scores, top_idx = jax.lax.top_k(scores, C)  # descending
+    if approx_topk:
+        # lax.approx_max_k: the TPU-native partial reduction is ~an order
+        # of magnitude cheaper than the full sort over M*K candidates
+        # (the top_k was the largest single NMS op in the xprof profile).
+        # Results are UNSORTED-approximate: recall ~0.95 per bucket at
+        # the tail of the C window; re-sorting the C winners restores
+        # exact greedy order among them, so any deviation is confined to
+        # candidates near rank C — the same truncation class as C itself.
+        top_scores, top_idx = jax.lax.approx_max_k(scores, C)
+        order = jnp.argsort(-top_scores)
+        top_scores = top_scores[order]
+        top_idx = top_idx[order]
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, C)  # descending
     tvalid = cand_valid[top_idx]
     ob = offset_boxes[top_idx]
     bx = box_rep[top_idx]

@@ -79,6 +79,13 @@ class Config:
                                     # worst-case) scores; 1024 keeps a 2x
                                     # margin over the smallest exact cap
                                     # and runs ~9% faster than 4096.
+    nms_approx_topk: bool = False   # lax.approx_max_k candidate selection
+                                    # (TPU partial reduction instead of the
+                                    # full M*K sort); winners re-sorted so
+                                    # greedy order is exact among them —
+                                    # deviations confined to ranks near
+                                    # nms_topk. Off until the on-chip A/B
+                                    # shows it detection-exact AND faster.
 
     # TPU execution
     remat: bool = False             # rematerialise fusion/message MLPs
