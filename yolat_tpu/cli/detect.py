@@ -84,9 +84,9 @@ def main(argv=None):
     fast = args.serve_mode in ("fast", "fast_bf16")
     folded = None
     if fast:
-        from yolat_tpu.eval.fast_forward import fold_params
+        from yolat_tpu.eval.fast_forward import fold_params_for
 
-        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+        folded = fold_params_for(cfg, variables)
     predict = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
                               folded=folded, bf16=args.serve_mode == "fast_bf16")
 

@@ -58,7 +58,7 @@ def main(argv=None):
     import jax
 
     from yolat_tpu.cli.test import load_checkpoint
-    from yolat_tpu.eval.fast_forward import fold_params
+    from yolat_tpu.eval.fast_forward import fold_params_for
     from yolat_tpu.eval.predict import make_predict_fn
 
     bad: list = []
@@ -137,7 +137,7 @@ def main(argv=None):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     fast = args.serve_mode in ("fast", "fast_bf16")
-    folded = fold_params(variables, n_blocks=cfg.n_blocks) if fast else None
+    folded = fold_params_for(cfg, variables) if fast else None
     predict = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
                               folded=folded,
                               bf16=args.serve_mode == "fast_bf16")

@@ -198,3 +198,195 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     w2, b2 = folded["pred_2"]
     logits = (h @ w2 + b2).astype(jnp.float32)
     return logits, batch["bbox"]
+
+
+# ---------------------------------------------------------------------------
+# YOLaT++ folded serving engine (nn/yolat_pp.YOLaTPlusPlus eval math)
+# ---------------------------------------------------------------------------
+
+PP_ARCHS = ("yolat_pp", "yolat++", "hierarchical")
+PP_GATES = ("gate_point", "gate_curve", "gate_prim", "gate_super")
+
+
+def fold_params_pp(variables, n_blocks: int = 2, n_freqs: int = 4) -> dict:
+    """Fold a trained YOLaTPlusPlus's variables into the inference layout.
+
+    Same per-stage folding as fold_params; the hierarchy MLPs
+    (point_pe_mlp / curve_mlp / super_edge_mlp / super_node_mlp) are all
+    single Dense->BN->relu stages and the four ReZero gates come through
+    as raw scalars."""
+    del n_freqs  # static wiring: pass n_freqs to fast_forward_pp instead
+    p = variables["params"]
+    st = variables["batch_stats"]
+    out = {"convs": []}
+
+    for i in range(n_blocks):
+        cp = p[f"AttrEdgeGP2_{i}"]
+        cs = st[f"AttrEdgeGP2_{i}"]
+        w1, sc1 = _fold_stage(cp["nn"]["dense_0"], cp["nn"]["bn_0"],
+                              cs["nn"]["bn_0"])
+        w2, sc2 = _fold_stage(cp["nn"]["dense_1"], cp["nn"]["bn_1"],
+                              cs["nn"]["bn_1"])
+        wr = np.asarray(cp["lin_r"]["kernel"])
+        br = np.asarray(cp["lin_r"]["bias"])
+        wn, scn = _fold_stage(cp["mlp_node"]["dense_0"],
+                              cp["mlp_node"]["bn_0"],
+                              cs["mlp_node"]["bn_0"])
+        out["convs"].append(
+            dict(w1=w1, sc1=sc1, w2=w2, sc2=sc2, wr=wr, br=br, wn=wn,
+                 scn=scn)
+        )
+
+    for name in ("fusion_block", "fusion_block_super", "pred_0", "pred_1",
+                 "point_pe_mlp", "curve_mlp", "super_edge_mlp",
+                 "super_node_mlp"):
+        w, sc = _fold_stage(p[name]["dense_0"], p[name]["bn_0"],
+                            st[name]["bn_0"])
+        out[name] = (w, sc)
+    out["pred_2"] = (
+        np.asarray(p["pred_2"]["dense_0"]["kernel"]),
+        np.asarray(p["pred_2"]["dense_0"]["bias"]),
+    )
+    out["gates"] = {g: np.asarray(p[g]) for g in PP_GATES}
+    return jax.tree.map(jnp.asarray, out)
+
+
+def fold_params_for(cfg, variables):
+    """Arch-aware fold dispatch (canonical vs YOLaT++)."""
+    if getattr(cfg, "arch", "") in PP_ARCHS:
+        return fold_params_pp(variables, n_blocks=cfg.n_blocks)
+    return fold_params(variables, n_blocks=cfg.n_blocks)
+
+
+def _fourier(pos, n_freqs: int):
+    freqs = 2.0 ** jnp.arange(n_freqs, dtype=pos.dtype) * jnp.pi
+    ang = pos[:, :, None] * freqs[None, None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)],
+                           axis=-1).reshape(pos.shape[0], -1)
+
+
+@partial(jax.jit,
+         static_argnames=("n_blocks_out", "interpret", "bf16",
+                          "edge_kernel", "n_freqs"))
+def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
+                    interpret: bool = False, bf16: bool = False,
+                    edge_kernel: bool | None = None, n_freqs: int = 4):
+    """Folded-BN eval forward of YOLaTPlusPlus -> (logits, boxes).
+
+    Mirrors nn/yolat_pp.py's eval math: canonical dual-stream convs
+    (sparse dst-sorted route or the edge-window Pallas kernel) plus the
+    point / curve / primitive hierarchy residuals behind their ReZero
+    gates. Logits match model.apply(variables, batch, train=False) to
+    float tolerance (tests/test_fast_pp.py)."""
+    from yolat_tpu.ops.edge_window import edge_window_message_sum, ew_of
+
+    node_mask = batch["node_mask"]
+    bbox_idx = batch["bbox_idx"]
+    n_prop = batch["labels"].shape[0]
+    edge = batch["edge"]
+    edge_mask = batch["edge_mask"]
+    pool = plan_of(batch)
+    prop_count = batch.get("prop_count")
+
+    x = jnp.where(node_mask[:, None], batch["x"], 0.0)
+    if bf16:
+        folded = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+            folded,
+        )
+        x = x.astype(jnp.bfloat16)
+
+    ew = ew_of(batch)
+    if ew is not None and batch.get("dst_count") is None:
+        ew = None
+    if edge_kernel is False or (
+            edge_kernel is None and not interpret
+            and jax.default_backend() != "tpu"):
+        ew = None
+
+    g = folded["gates"]
+    pe_tok = _folded(_fourier(batch["pos"].astype(x.dtype), n_freqs),
+                     folded["point_pe_mlp"])
+
+    f, s = x, x
+    feats, feats_super = [], []
+    for i, c in enumerate(folded["convs"]):
+        if ew is not None:
+            agg = edge_window_message_sum(f, ew, c["w1"], c["sc1"],
+                                          c["w2"], c["sc2"],
+                                          interpret=interpret)
+            cnt = jnp.maximum(batch["dst_count"].astype(jnp.float32), 1.0)
+            f = ((agg / cnt[:, None]).astype(f.dtype)
+                 + f @ c["wr"] + c["br"].reshape(1, -1))
+        else:
+            f = _sparse_message(f, edge, batch["e_attr"], edge_mask, c,
+                                dst_count=batch.get("dst_count"))
+        if i == 0:
+            f = f + g["gate_point"] * pe_tok
+        s = _folded(s, (c["wn"], c["scn"]))
+        feats.append(f)
+        feats_super.append(s)
+
+    # curve level: per-edge tokens mean-scattered to both endpoints
+    x_src = feats[-1][edge[:, 0]]
+    x_dst = feats[-1].at[edge[:, 1]].get(indices_are_sorted=True)
+    curve_in = jnp.concatenate(
+        [batch["e_attr"].astype(x.dtype), x_src, x_dst], axis=1)
+    curve_tok = _folded(curve_in, folded["curve_mlp"])
+    curve_at_node = segment_mean(
+        curve_tok, edge[:, 1], x.shape[0], mask=edge_mask,
+        indices_are_sorted=True, counts=batch.get("dst_count"),
+    ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask,
+                     counts=batch.get("src_count"))
+
+    # primitive level (a): super-edge clique propagation
+    es = batch["edge_super"]
+    es_mask = batch["super_mask"]
+    s_i = feats[-1].at[es[:, 1]].get(indices_are_sorted=True)
+    s_j = feats[-1][es[:, 0]]
+    prim_in = jnp.concatenate(
+        [s_i, s_j - s_i, batch["e_attr_super"].astype(x.dtype)], axis=1)
+    prim_tok = _folded(prim_in, folded["super_edge_mlp"])
+    prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
+                                mask=es_mask, indices_are_sorted=True,
+                                counts=batch.get("super_dst_count"))
+
+    feats[-1] = (feats[-1]
+                 + g["gate_curve"] * curve_at_node.astype(x.dtype)
+                 + g["gate_prim"] * prim_at_node.astype(x.dtype))
+
+    n_blocks = len(folded["convs"])
+    lo = n_blocks - n_blocks_out
+    cat = jnp.concatenate(feats[lo:], axis=1)
+    fusion = _folded(cat, folded["fusion_block"])
+
+    cat_super = jnp.concatenate(feats_super[lo:], axis=1)
+    pooled_super = segment_mean(cat_super, bbox_idx, n_prop,
+                                mask=node_mask, indices_are_sorted=True,
+                                plan=pool, counts=prop_count)
+    fusion_super = _folded(pooled_super, folded["fusion_block_super"])
+    out_super = jnp.concatenate([fusion_super, pooled_super], axis=1)
+
+    # primitive level (b): real super-node tokens
+    centroid = segment_mean(batch["pos"].astype(x.dtype), bbox_idx, n_prop,
+                            mask=node_mask, indices_are_sorted=True,
+                            plan=pool, counts=prop_count)
+    member_mean = segment_mean(feats[-1], bbox_idx, n_prop,
+                               mask=node_mask, indices_are_sorted=True,
+                               plan=pool, counts=prop_count)
+    sup_in = jnp.concatenate(
+        [_fourier(centroid, n_freqs), member_mean,
+         member_mean[batch["root_slot"]]], axis=1)
+    super_tok = _folded(sup_in, folded["super_node_mlp"])
+
+    pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
+                              mask=node_mask, indices_are_sorted=True,
+                              plan=pool)
+    h = jnp.concatenate([pmax, out_super], axis=1)
+    h = _folded(h, folded["pred_0"])
+    h = h + g["gate_super"] * super_tok
+    h = _folded(h, folded["pred_1"])
+    w2, b2 = folded["pred_2"]
+    logits = (h @ w2 + b2).astype(jnp.float32)
+    return logits, batch["bbox"]

@@ -68,8 +68,10 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
     background = n_classes - 1
 
     if fast:
-        from yolat_tpu.eval.fast_forward import fast_forward
+        from yolat_tpu.eval.fast_forward import (PP_ARCHS, fast_forward,
+                                                 fast_forward_pp)
 
+        is_pp = getattr(cfg, "arch", "") in PP_ARCHS
         # the Pallas kernel is TPU-only; CPU runs take the jnp reference.
         # At bf16 the XLA path wins (see fast_forward for the measurement),
         # so the kernel serves the f32 mode. `pallas` overrides the auto
@@ -79,7 +81,12 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
 
     def predict(variables, batch):
         batch = finalize_batch(jax.tree.map(jnp.asarray, batch))
-        if fast:
+        if fast and is_pp:
+            logits, prop_boxes = fast_forward_pp(
+                folded, batch, n_blocks_out=cfg.n_blocks_out,
+                bf16=bf16, edge_kernel=edge_kernel,
+            )
+        elif fast:
             logits, prop_boxes = fast_forward(
                 folded, batch, n_blocks_out=cfg.n_blocks_out,
                 use_pallas=use_pallas, bf16=bf16, edge_kernel=edge_kernel,

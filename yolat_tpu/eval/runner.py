@@ -48,9 +48,9 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
     fast = serve in ("fast", "fast_bf16")
     folded = None
     if fast:
-        from yolat_tpu.eval.fast_forward import fold_params
+        from yolat_tpu.eval.fast_forward import fold_params_for
 
-        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+        folded = fold_params_for(cfg, variables)
     if fast:
         if mesh is not None:
             from yolat_tpu.eval.predict import make_dp_predict_fn
