@@ -62,6 +62,7 @@ def _hlo_table(outdir, top):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="train", choices=["train", "detect"])
+    ap.add_argument("--arch", default="centernet3cc_rpn_gp_iter2")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--keep", action="store_true",
@@ -81,7 +82,8 @@ def main():
     from yolat_tpu.train.optim import make_optimizer
 
     if args.mode == "train":
-        cfg = Config(n_classes=ds.n_classes, data_aug=True, dtype="bfloat16")
+        cfg = Config(n_classes=ds.n_classes, data_aug=True, dtype="bfloat16",
+                     arch=args.arch)
         tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
         single = {k: v[0] for k, v in batches[0].items()}
         state = create_state(cfg, tx, single, jax.random.key(0))
@@ -94,15 +96,15 @@ def main():
             state, metrics = step(state, sb, key)
             np.asarray(metrics["loss"])
     else:
-        from yolat_tpu.eval.fast_forward import fold_params
+        from yolat_tpu.eval.fast_forward import fold_params_for
         from yolat_tpu.eval.predict import make_predict_fn
 
-        cfg = Config(n_classes=ds.n_classes)
+        cfg = Config(n_classes=ds.n_classes, arch=args.arch)
         tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
         single = {k: v[0] for k, v in batches[0].items()}
         state = create_state(cfg, tx, single, jax.random.key(0))
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+        folded = fold_params_for(cfg, variables)
         predict = make_predict_fn(cfg, max_det=300, fast=True, folded=folded,
                                   bf16=True)
         sb = {k: jnp.asarray(v[0]) for k, v in batches[0].items()}

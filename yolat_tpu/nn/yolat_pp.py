@@ -56,7 +56,8 @@ from flax import linen as nn
 from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import MLP
 from yolat_tpu.ops.segment import (plan_of, segment_max,
-                                    segment_max_concat, segment_mean)
+                                    segment_max_concat, segment_mean,
+                                    sup_plan_of)
 
 
 def fourier_features(pos, n_freqs: int = 4):
@@ -148,6 +149,7 @@ class YOLaTPlusPlus(nn.Module):
         prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
                                     mask=es_mask,
                                     indices_are_sorted=self.sorted_edges,
+                                    plan=sup_plan_of(batch),
                                     counts=batch.get("super_dst_count"))
 
         # curve + clique evidence enter the LAST block's features as

@@ -25,6 +25,11 @@ import numpy as np
 
 _NEG_INF = -1e30
 POOL_BLOCK = 8
+# super-edge clique runs align to a smaller block: runs average ~4.5 rows,
+# so block-8 alignment inflated the buffer 2.45x (280k -> 510k at bench
+# scale) and the extra MLP/gather rows ate the scatter savings; block 4
+# keeps inflation ~1.5x while the aggregation scatter still shrinks 4x
+SUPER_BLOCK = 4
 
 
 # ---------------------------------------------------------------------------
@@ -104,6 +109,20 @@ def plan_of(batch: dict):
     return (batch["pool_blk_first"], batch["pool_blk_full"],
             batch["pool_bnd_rows"], batch["pool_bnd_seg"],
             batch["pool_bnd_mask"])
+
+
+def sup_plan_of(batch: dict):
+    """Extract the SUPER-edge pool plan (sup_pool_* keys — the 8-aligned
+    clique-run plan built by data/packing) from a batch, or None when
+    absent or stale, same contract as plan_of."""
+    if "sup_pool_blk_first" not in batch:
+        return None
+    s = batch["edge_super"].shape[0]
+    if batch["sup_pool_blk_first"].shape[0] * SUPER_BLOCK != s:
+        return None
+    return (batch["sup_pool_blk_first"], batch["sup_pool_blk_full"],
+            batch["sup_pool_bnd_rows"], batch["sup_pool_bnd_seg"],
+            batch["sup_pool_bnd_mask"])
 
 
 def _plan_aligned(plan) -> bool:
