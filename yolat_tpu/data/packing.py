@@ -190,12 +190,17 @@ def _align_runs(edge: np.ndarray, attr: np.ndarray, block: int):
     if s == 0:
         return edge, attr, np.zeros(0, bool)
     dst = edge[:, 1].astype(np.int64)
-    uniq, starts, cnts = np.unique(dst, return_index=True,
-                                   return_counts=True)
+    # dst is sorted: run boundaries come from diff, no O(S log S) unique
+    first = np.empty(s, bool)
+    first[0] = True
+    np.not_equal(dst[1:], dst[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    uniq = dst[starts]
+    cnts = np.diff(np.append(starts, s))
     acnt = ((cnts + block - 1) // block) * block
     s2 = int(acnt.sum())
     new_starts = np.concatenate([[0], np.cumsum(acnt)[:-1]])
-    run = np.searchsorted(uniq, dst)
+    run = np.cumsum(first) - 1
     new_row = new_starts[run] + (np.arange(s) - starts[run])
     edge2 = np.empty((s2, 2), np.int32)
     edge2[:, 1] = np.repeat(uniq, acnt).astype(np.int32)
