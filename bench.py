@@ -169,9 +169,14 @@ def run_bench(error=None):
     folded = fold_params(variables, n_blocks=cfg.n_blocks)
 
     # on the CPU fallback, shrink iteration counts so the bench stays fast;
-    # the point there is a structured line, not a competitive number
-    p_iters = 2 if on_cpu else 8
-    t_iters = 2 if on_cpu else 16
+    # the point there is a structured line, not a competitive number.
+    # On device, one run() dispatch carries ~23 ms of FIXED tunnel cost
+    # (arg upload + fetch RTT + scan prologue — measured by scan-length
+    # differencing, /tmp-scripts 2026-08-18: marginal step 3.51 ms vs
+    # n8 total 51 ms); 64-step chains amortize it to <6% so the number
+    # measures the chip, not the tunnel.
+    p_iters = 2 if on_cpu else 32
+    t_iters = 2 if on_cpu else 32
 
     default_dev = jax.devices()[0]
     rate_flax = time_predict(cfg, variables, batches, default_dev,
