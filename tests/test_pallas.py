@@ -211,3 +211,47 @@ class TestTwoLevelKernelEdgeCases:
             jnp.zeros(n, jnp.int32), jnp.zeros(n, bool), 3,
             block_n=512, col_tile=384, interpret=True, two_level=True)
         assert (np.asarray(got) == 0).all()
+
+
+class TestFoldedMlpBlockMax:
+    def test_matches_jnp(self):
+        from yolat_tpu.ops.pallas_kernels import folded_mlp_block_max
+
+        rng = np.random.default_rng(0)
+        n, ci, h, block = 1024, 24, 48, 8
+        x = rng.normal(size=(n, ci)).astype(np.float32)
+        w = (rng.normal(size=(ci, h)) * 0.3).astype(np.float32)
+        sc = np.stack([rng.uniform(0.5, 1.5, h),
+                       rng.normal(size=h) * 0.1]).astype(np.float32)
+        mask = rng.random(n) < 0.8
+        mask[:16] = False  # one fully-masked block
+        got = folded_mlp_block_max(jnp.asarray(x),
+                                   jnp.asarray(mask, np.float32)[:, None],
+                                   jnp.asarray(w), jnp.asarray(sc),
+                                   block=block, interpret=True)
+        full = np.maximum((x @ w) * sc[0] + sc[1], 0.0)
+        full = np.where(mask[:, None], full, -1e30)
+        want = full.reshape(n // block, block, h).max(axis=1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_fast_forward_fused_pool_parity(self):
+        """fused_pool=True (interpret) matches the two-stage path."""
+        batch_np, _ = random_packed_batch(seed=9, n_images=2)
+        batch = finalize_batch(jax.tree.map(jnp.asarray, batch_np))
+        model = SparseCADGCN(n_classes=17, sorted_edges=True)
+        variables = model.init({"params": jax.random.key(0)}, batch,
+                               train=True)
+        _, mutated = model.apply(variables, batch, train=True,
+                                 mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.key(1)})
+        variables = {"params": variables["params"],
+                     "batch_stats": mutated["batch_stats"]}
+        folded = fold_params(variables, n_blocks=2)
+        m = batch_np["proposal_mask"]
+        base, _ = fast_forward(folded, batch, use_pallas=False,
+                               fused_pool=False)
+        got, _ = fast_forward(folded, batch, use_pallas=False,
+                              interpret=True, fused_pool=True)
+        np.testing.assert_allclose(np.asarray(got)[m], np.asarray(base)[m],
+                                   rtol=3e-5, atol=3e-5)

@@ -21,11 +21,38 @@ from yolat_tpu.ops.pallas_kernels import (
     fused_dense_message,
     fused_dense_message_reference,
 )
-from yolat_tpu.ops.segment import (plan_of, segment_max,
-                                    segment_max_concat, segment_mean,
-                                    sup_plan_of)
+from yolat_tpu.ops.segment import (POOL_BLOCK, _plan_aligned, plan_of,
+                                    segment_max, segment_max_concat,
+                                    segment_mean, sup_plan_of)
 
 BN_EPS = 1e-5
+
+
+def _pmax_fused(cat, fusion_wsc, batch, pool, n_prop: int, interpret: bool,
+                enabled: bool | None):
+    """Fusion-MLP + proposal max-pool WITHOUT materialising the [N, 1024]
+    MLP output (ops/pallas_kernels.folded_mlp_block_max): the serving
+    head's largest HBM round-trip (~750 us of the 3.4 ms bf16 step on
+    v5e — xprof fusion.113 write + fusion.22 read). Returns the pooled
+    fusion features [P, 1024], or None when the fused route doesn't apply
+    (no aligned pool plan / rows untiled / non-TPU backend)."""
+    if enabled is False:
+        return None
+    if pool is None or not _plan_aligned(pool):
+        return None
+    if cat.shape[0] % 512 != 0:
+        return None
+    if enabled is None and not interpret and jax.default_backend() != "tpu":
+        return None
+    from yolat_tpu.ops.pallas_kernels import folded_mlp_block_max
+
+    w, sc = fusion_wsc
+    maskf = batch["node_mask"].astype(jnp.float32)[:, None]
+    bred = folded_mlp_block_max(cat, maskf, w, sc, block=POOL_BLOCK,
+                                interpret=interpret)
+    out = jax.ops.segment_max(bred, pool[0], num_segments=n_prop,
+                              indices_are_sorted=True)
+    return jnp.where(out <= -1e30 / 2, 0.0, out)
 
 
 def _fold_stage(dense, bn, bn_stats):
@@ -96,10 +123,11 @@ def _sparse_message(x, edge, e_attr, edge_mask, c, dst_count=None):
 
 @partial(jax.jit,
          static_argnames=("n_blocks_out", "use_pallas", "interpret", "bf16",
-                          "edge_kernel"))
+                          "edge_kernel", "fused_pool"))
 def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
                  use_pallas: bool = True, interpret: bool = False,
-                 bf16: bool = False, edge_kernel: bool | None = None):
+                 bf16: bool = False, edge_kernel: bool | None = None,
+                 fused_pool: bool | None = None):
     """Eval forward on a finalized dense-layout batch -> (logits, boxes).
 
     bf16=True runs the jnp path with bfloat16 activations/weights (f32
@@ -181,18 +209,26 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     n_blocks = len(folded["convs"])
     lo = n_blocks - n_blocks_out
     cat = jnp.concatenate(feats[lo:], axis=1)
-    fusion = _folded(cat, folded["fusion_block"])
+    pool = plan_of(batch)
 
     cat_super = jnp.concatenate(feats_super[lo:], axis=1)
     pooled = segment_mean(cat_super, bbox_idx, n_prop, mask=node_mask,
-                          indices_are_sorted=True, plan=plan_of(batch),
+                          indices_are_sorted=True, plan=pool,
                           counts=batch.get("prop_count"))
     fusion_super = _folded(pooled, folded["fusion_block_super"])
     out_super = jnp.concatenate([fusion_super, pooled], axis=1)
 
-    pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
-                              mask=node_mask, indices_are_sorted=True,
-                              plan=plan_of(batch))
+    fused = _pmax_fused(cat, folded["fusion_block"], batch, pool, n_prop,
+                        interpret, fused_pool)
+    if fused is not None:
+        pmax_cat = segment_max(cat, bbox_idx, n_prop, mask=node_mask,
+                               indices_are_sorted=True, plan=pool)
+        pmax = jnp.concatenate([fused, pmax_cat], axis=1)
+    else:
+        fusion = _folded(cat, folded["fusion_block"])
+        pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
+                                  mask=node_mask, indices_are_sorted=True,
+                                  plan=pool)
     h = jnp.concatenate([pmax, out_super], axis=1)
     h = _folded(h, folded["pred_0"])
     h = _folded(h, folded["pred_1"])
@@ -268,10 +304,11 @@ def _fourier(pos, n_freqs: int):
 
 @partial(jax.jit,
          static_argnames=("n_blocks_out", "interpret", "bf16",
-                          "edge_kernel", "n_freqs"))
+                          "edge_kernel", "n_freqs", "fused_pool"))
 def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
                     interpret: bool = False, bf16: bool = False,
-                    edge_kernel: bool | None = None, n_freqs: int = 4):
+                    edge_kernel: bool | None = None, n_freqs: int = 4,
+                    fused_pool: bool | None = None):
     """Folded-BN eval forward of YOLaTPlusPlus -> (logits, boxes).
 
     Mirrors nn/yolat_pp.py's eval math: canonical dual-stream convs
@@ -361,7 +398,6 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
     n_blocks = len(folded["convs"])
     lo = n_blocks - n_blocks_out
     cat = jnp.concatenate(feats[lo:], axis=1)
-    fusion = _folded(cat, folded["fusion_block"])
 
     cat_super = jnp.concatenate(feats_super[lo:], axis=1)
     pooled_super = segment_mean(cat_super, bbox_idx, n_prop,
@@ -382,9 +418,17 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
          member_mean[batch["root_slot"]]], axis=1)
     super_tok = _folded(sup_in, folded["super_node_mlp"])
 
-    pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
-                              mask=node_mask, indices_are_sorted=True,
-                              plan=pool)
+    fused = _pmax_fused(cat, folded["fusion_block"], batch, pool, n_prop,
+                        interpret, fused_pool)
+    if fused is not None:
+        pmax_cat = segment_max(cat, bbox_idx, n_prop, mask=node_mask,
+                               indices_are_sorted=True, plan=pool)
+        pmax = jnp.concatenate([fused, pmax_cat], axis=1)
+    else:
+        fusion = _folded(cat, folded["fusion_block"])
+        pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
+                                  mask=node_mask, indices_are_sorted=True,
+                                  plan=pool)
     h = jnp.concatenate([pmax, out_super], axis=1)
     h = _folded(h, folded["pred_0"])
     h = h + g["gate_super"] * super_tok

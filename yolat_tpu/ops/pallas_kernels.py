@@ -448,3 +448,66 @@ def fused_dense_message_reference(x, nbr_idx, nbr_attr, nbr_mask,
     m = nbr_mask[..., None].astype(h.dtype)
     agg = (h * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
     return agg + x @ wr + br.reshape(1, -1)
+
+
+# ---------------------------------------------------------------------------
+# fused folded-MLP + block-max pool (serving head)
+# ---------------------------------------------------------------------------
+
+
+def _folded_mlp_block_max_kernel(x_ref, maskf_ref, w_ref, sc_ref, out_ref, *,
+                                 block: int):
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)
+    sc = sc_ref[:].astype(jnp.float32)
+    m = maskf_ref[:]  # [R, 1] f32
+    h = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = jnp.maximum(h * sc[0] + sc[1], 0.0)
+    h = jnp.where(m > 0.0, h, -1e30)
+    r = h.shape[0]
+    out_ref[:] = h.reshape(r // block, block, -1).max(axis=1).astype(
+        out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def folded_mlp_block_max(x, node_maskf, w, sc, block: int = 8,
+                         interpret: bool = False):
+    """relu((x @ w) * sc[0] + sc[1]) -> masked max over consecutive
+    `block`-row groups, WITHOUT materialising the [N, H] MLP output.
+
+    The serving head's fusion MLP (128 -> 1024 at ~73k rows) wrote a
+    [N, 1024] bf16 array to HBM only for the aligned pool plan's block
+    reduce to read it straight back (~750 us of the 3.4 ms serving step on
+    v5e, xprof). This kernel keeps the MLP output in VMEM and writes the
+    per-block maxima [N/block, H] — 1/block of the bytes. Fully-masked
+    blocks come out at -1e30; the caller's segment_max + neutral fixup
+    turns them into the torch_scatter empty convention (0), exactly like
+    ops/segment._two_level.
+
+    x [N, Cin] (f32/bf16), node_maskf [N, 1] f32, w [Cin, H],
+    sc [2, H] (fold layout). Returns [N/block, H] in x.dtype.
+    Reference counterpart: architecture3cc_rpn_gp_iter2.py:60-69,122.
+    """
+    n, ci = x.shape
+    h = w.shape[1]
+    r = 512
+    assert n % r == 0 and r % block == 0, (n, r, block)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n // r,),
+        in_specs=[
+            pl.BlockSpec((r, ci), lambda g: (g, 0)),
+            pl.BlockSpec((r, 1), lambda g: (g, 0)),
+            pl.BlockSpec(w.shape, lambda g: (0, 0)),
+            pl.BlockSpec(sc.shape, lambda g: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((r // block, h), lambda g: (g, 0)),
+    )
+    kern = functools.partial(_folded_mlp_block_max_kernel, block=block)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n // block, h), x.dtype),
+        interpret=interpret,
+    )(x, node_maskf, w, sc)
