@@ -31,11 +31,15 @@ BN_EPS = 1e-5
 def _pmax_fused(cat, fusion_wsc, batch, pool, n_prop: int, interpret: bool,
                 enabled: bool | None):
     """Fusion-MLP + proposal max-pool WITHOUT materialising the [N, 1024]
-    MLP output (ops/pallas_kernels.folded_mlp_block_max): the serving
+    MLP output (ops/pallas_kernels.folded_mlp_block_max2): the serving
     head's largest HBM round-trip (~750 us of the 3.4 ms bf16 step on
-    v5e — xprof fusion.113 write + fusion.22 read). Returns the pooled
-    fusion features [P, 1024], or None when the fused route doesn't apply
-    (no aligned pool plan / rows untiled / non-TPU backend)."""
+    v5e — xprof fusion.113 write + fusion.22 read). The kernel also emits
+    the per-block max of `cat` itself, so the raw-cat pool no longer
+    re-reads [N, 1152] through the plan block reduce. Returns the full
+    pooled head input [P, H + Cin] ([fusion-pool | cat-pool], the order
+    architecture3cc_rpn_gp_iter2.py:122 concatenates), or None when the
+    fused route doesn't apply (no aligned pool plan / rows untiled /
+    non-TPU backend)."""
     if enabled is False:
         return None
     if pool is None or not _plan_aligned(pool):
@@ -44,12 +48,13 @@ def _pmax_fused(cat, fusion_wsc, batch, pool, n_prop: int, interpret: bool,
         return None
     if enabled is None and not interpret and jax.default_backend() != "tpu":
         return None
-    from yolat_tpu.ops.pallas_kernels import folded_mlp_block_max
+    from yolat_tpu.ops.pallas_kernels import folded_mlp_block_max2
 
     w, sc = fusion_wsc
     maskf = batch["node_mask"].astype(jnp.float32)[:, None]
-    bred = folded_mlp_block_max(cat, maskf, w, sc, block=POOL_BLOCK,
-                                interpret=interpret)
+    bh, bx = folded_mlp_block_max2(cat, maskf, w, sc, block=POOL_BLOCK,
+                                   interpret=interpret)
+    bred = jnp.concatenate([bh, bx], axis=1)
     out = jax.ops.segment_max(bred, pool[0], num_segments=n_prop,
                               indices_are_sorted=True)
     return jnp.where(out <= -1e30 / 2, 0.0, out)
@@ -218,13 +223,9 @@ def fast_forward(folded: dict, batch: dict, n_blocks_out: int = 2,
     fusion_super = _folded(pooled, folded["fusion_block_super"])
     out_super = jnp.concatenate([fusion_super, pooled], axis=1)
 
-    fused = _pmax_fused(cat, folded["fusion_block"], batch, pool, n_prop,
-                        interpret, fused_pool)
-    if fused is not None:
-        pmax_cat = segment_max(cat, bbox_idx, n_prop, mask=node_mask,
-                               indices_are_sorted=True, plan=pool)
-        pmax = jnp.concatenate([fused, pmax_cat], axis=1)
-    else:
+    pmax = _pmax_fused(cat, folded["fusion_block"], batch, pool, n_prop,
+                       interpret, fused_pool)
+    if pmax is None:
         fusion = _folded(cat, folded["fusion_block"])
         pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
                                   mask=node_mask, indices_are_sorted=True,
@@ -418,13 +419,9 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
          member_mean[batch["root_slot"]]], axis=1)
     super_tok = _folded(sup_in, folded["super_node_mlp"])
 
-    fused = _pmax_fused(cat, folded["fusion_block"], batch, pool, n_prop,
-                        interpret, fused_pool)
-    if fused is not None:
-        pmax_cat = segment_max(cat, bbox_idx, n_prop, mask=node_mask,
-                               indices_are_sorted=True, plan=pool)
-        pmax = jnp.concatenate([fused, pmax_cat], axis=1)
-    else:
+    pmax = _pmax_fused(cat, folded["fusion_block"], batch, pool, n_prop,
+                       interpret, fused_pool)
+    if pmax is None:
         fusion = _folded(cat, folded["fusion_block"])
         pmax = segment_max_concat((fusion, cat), bbox_idx, n_prop,
                                   mask=node_mask, indices_are_sorted=True,

@@ -511,3 +511,63 @@ def folded_mlp_block_max(x, node_maskf, w, sc, block: int = 8,
         out_shape=jax.ShapeDtypeStruct((n // block, h), x.dtype),
         interpret=interpret,
     )(x, node_maskf, w, sc)
+
+
+def _folded_mlp_block_max2_kernel(x_ref, maskf_ref, w_ref, sc_ref,
+                                  outh_ref, outx_ref, *, block: int):
+    x = x_ref[:]
+    w = w_ref[:].astype(x.dtype)
+    sc = sc_ref[:].astype(jnp.float32)
+    m = maskf_ref[:]  # [R, 1] f32
+    h = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = jnp.maximum(h * sc[0] + sc[1], 0.0)
+    h = jnp.where(m > 0.0, h, -1e30)
+    r = h.shape[0]
+    outh_ref[:] = h.reshape(r // block, block, -1).max(axis=1).astype(
+        outh_ref.dtype)
+    xm = jnp.where(m > 0.0, x, jnp.asarray(-1e30, x.dtype))
+    outx_ref[:] = xm.reshape(r // block, block, -1).max(axis=1).astype(
+        outx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def folded_mlp_block_max2(x, node_maskf, w, sc, block: int = 8,
+                          interpret: bool = False):
+    """folded_mlp_block_max PLUS the per-block masked max of `x` itself.
+
+    The serving head needs both pools of the same `cat` features: the
+    fusion-MLP max (handled by folded_mlp_block_max) AND the raw-cat max
+    (architecture3cc_rpn_gp_iter2.py:122 concatenates fusion(cat)-pool
+    with cat-pool). The single-output kernel left the raw-cat pool as a
+    second full [N, Cin] HBM read through the plan block reduce; this
+    variant emits both per-block maxima from ONE read of `cat` —
+    [N/block, H] and [N/block, Cin]. Same -1e30 masked-block convention;
+    the caller's segment_max + neutral fixup applies to both halves.
+    """
+    n, ci = x.shape
+    h = w.shape[1]
+    r = 512
+    assert n % r == 0 and r % block == 0, (n, r, block)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n // r,),
+        in_specs=[
+            pl.BlockSpec((r, ci), lambda g: (g, 0)),
+            pl.BlockSpec((r, 1), lambda g: (g, 0)),
+            pl.BlockSpec(w.shape, lambda g: (0, 0)),
+            pl.BlockSpec(sc.shape, lambda g: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((r // block, h), lambda g: (g, 0)),
+            pl.BlockSpec((r // block, ci), lambda g: (g, 0)),
+        ],
+    )
+    kern = functools.partial(_folded_mlp_block_max2_kernel, block=block)
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n // block, h), x.dtype),
+                   jax.ShapeDtypeStruct((n // block, ci), x.dtype)),
+        interpret=interpret,
+    )(x, node_maskf, w, sc)
