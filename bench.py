@@ -25,6 +25,44 @@ import time
 import numpy as np
 
 
+# --- cold-preprocessing worker sweep (module-level: spawn-picklable) -------
+_COLD_DS = None
+
+
+def _cold_init(root, step):
+    global _COLD_DS
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from yolat_tpu.data.dataset import SESYDDataset
+
+    _COLD_DS = SESYDDataset(root, "train", bbox_sampling_step=step,
+                            cache=False)
+
+
+def _cold_load(i):
+    _COLD_DS.load(i)
+    return i
+
+
+def measure_preproc_rate(root, n_files, step, workers, loads_per_worker=48):
+    """Cold host preprocessing rate (SVGs/sec) through a `workers`-process
+    pool: parse -> split -> graph -> proposals per image, no disk cache.
+    The pool is warmed (module imports + one load per worker) before the
+    timed map, so the number is the steady-state rate — the quantity that
+    decides how many chips one host can feed (VERDICT r2 item 1; the
+    reference's counterpart is DataLoader(num_workers=8), train.py:181)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    idxs = [i % n_files for i in range(loads_per_worker * workers)]
+    with ctx.Pool(workers, initializer=_cold_init,
+                  initargs=(root, step)) as pool:
+        pool.map(_cold_load, range(min(n_files, workers * 2)))  # warmup
+        t0 = time.perf_counter()
+        pool.map(_cold_load, idxs, chunksize=1)
+        dt = time.perf_counter() - t0
+    return len(idxs) / dt
+
+
 def build_workload(n_images=8, batch_size=4, step=10):
     from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
     from yolat_tpu.data.synthetic import write_dataset
@@ -157,6 +195,17 @@ def run_bench(error=None):
     from yolat_tpu.train.optim import make_optimizer
 
     ds, batches, preproc_s = build_workload()
+
+    # multi-core cold preprocessing rate at 1/4/8 workers (spawn pools:
+    # children never inherit the parent's device state)
+    root = os.path.join(tempfile.gettempdir(), "yolat_bench_v1")
+    preproc_rates = {}
+    for w in (1, 4, 8):
+        try:
+            preproc_rates[w] = measure_preproc_rate(
+                root, 8, 10, w, loads_per_worker=4 if on_cpu else 48)
+        except Exception:
+            break
     cfg = Config(n_classes=ds.n_classes, data_aug=False)
 
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
@@ -257,10 +306,26 @@ def run_bench(error=None):
             "e2e_svgs_per_sec_cold": round(
                 1.0 / (preproc_s + 1.0 / rate_dev), 3
             ),
+            # cold e2e with the host side on a W-process pool (the loader's
+            # preproc_workers path; host and device stages overlap, so the
+            # pipeline rate is min(host, device), and the host budget per
+            # chip is the ratio)
+            **{
+                f"e2e_svgs_per_sec_cold_w{w}": round(min(r, rate_dev), 3)
+                for w, r in preproc_rates.items()
+            },
+            **{
+                f"host_preprocess_svgs_per_sec_w{w}": round(r, 3)
+                for w, r in preproc_rates.items()
+            },
             "cpu_images_per_sec": round(rate_cpu, 3)
             if rate_cpu == rate_cpu
             else None,
             "host_preprocess_sec_per_image": round(preproc_s, 3),
+            # worker sweep context: on a 1-core host the w4/w8 rows measure
+            # pool overhead, not scaling — the per-chip host budget math in
+            # README/PERF.md uses host_cores to interpret them
+            "host_cores": os.cpu_count(),
             **roofline,
         },
     }

@@ -217,3 +217,25 @@ class TestAlignedSuperRuns:
                          indices_are_sorted=True)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestPreprocWorkers:
+    def test_pooled_loading_matches_inprocess(self, synthetic_root):
+        """preproc_workers streams identical batches: pooled cold loading
+        (spawn process pool, VERDICT r2 item 1 — the multi-core counterpart
+        of the reference's DataLoader(num_workers=8), train.py:181) must be
+        a pure parallelisation, not a different pipeline."""
+        ds_a = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        ds_b = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        base = PackedLoader(ds_a, batch_size=2, shuffle=False)
+        pooled = PackedLoader(ds_b, batch_size=2, shuffle=False,
+                              cache_files=False, preproc_workers=2)
+        try:
+            for a, b in zip(base, pooled, strict=True):
+                assert set(a) == set(b)
+                for k in a:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            # pad computation (full-manifest scan) agreed too
+            assert base.pad.key() == pooled.pad.key()
+        finally:
+            pooled.close()

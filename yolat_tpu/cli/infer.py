@@ -32,19 +32,64 @@ import numpy as np
 from yolat_tpu.cli.common import build_parser, config_from_args
 from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
 
+_PROBE_DS = None
+
+
+def _probe_init(ctor_kwargs):
+    global _PROBE_DS
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _PROBE_DS = SESYDDataset(**ctor_kwargs)
+
+
+def _probe_load(i):
+    try:
+        _PROBE_DS.load(i)
+        return i, None
+    except Exception as e:
+        return i, f"{type(e).__name__}: {e}"
+
+
+def _validate_files(probe: SESYDDataset, workers: int):
+    """One preprocessing pass per file (warms the on-disk graph/proposal
+    caches the loader reuses); failures become error records instead of
+    aborting the batch job. With workers > 1 the pass runs in a spawn
+    process pool — the cold parse->graph->proposal work is the host bound
+    of the whole job (PERF.md: ~7 ms/image single core)."""
+    good, bad = [], []
+    if workers > 1:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(workers, initializer=_probe_init,
+                      initargs=(probe.ctor_kwargs(),)) as pool:
+            results = pool.map(_probe_load, range(len(probe.files)))
+    else:
+        _probe_init(probe.ctor_kwargs())
+        results = [_probe_load(i) for i in range(len(probe.files))]
+    for i, err in results:
+        if err is None:
+            good.append(probe.files[i])
+        else:
+            bad.append((probe.files[i], err))
+    return good, bad
+
 
 def main(argv=None):
     p = build_parser("yolat_tpu bulk inference")
     p.add_argument("--input_dir", default="", type=str,
                    help="directory of *.svg (recursive); overrides "
                         "--data_dir manifests; GT sidecars not required")
-    p.add_argument("--mode", default=None, choices=(None, "floorplan", "diagram"),
+    p.add_argument("--mode", default=None, choices=(None, "floorplan", "diagram", "chart"),
                    help="class vocabulary when --input_dir is used "
                         "(default: floorplan unless the path says diagram)")
     p.add_argument("--out", default="detections.jsonl", type=str)
     p.add_argument("--conf_th", default=0.5, type=float)
     p.add_argument("--serve_mode", default="fast_bf16",
                    choices=("flax", "fast", "fast_bf16"))
+    p.add_argument("--preproc_workers", default=0, type=int,
+                   help="host preprocessing processes (0 = in-process); "
+                        "the multi-core counterpart of the reference's "
+                        "DataLoader(num_workers=8), train.py:181")
     import argparse
 
     p.add_argument("--skip_errors", default=True,
@@ -68,20 +113,10 @@ def main(argv=None):
         if not files:
             raise FileNotFoundError(f"no .svg files under {args.input_dir}")
         if args.skip_errors:
-            # pre-validate: one preprocessing pass per file (warms the
-            # on-disk graph/proposal caches the loader reuses); failures
-            # become error records instead of aborting the batch job
             probe = SESYDDataset(args.input_dir, files=files, mode=args.mode,
                                  bbox_sampling_step=cfg.bbox_sampling_step,
                                  require_gt=False)
-            good = []
-            for i, path in enumerate(files):
-                try:
-                    probe.load(i)
-                    good.append(path)
-                except Exception as e:
-                    bad.append((path, f"{type(e).__name__}: {e}"))
-            files = good
+            files, bad = _validate_files(probe, args.preproc_workers)
             if not files:
                 with open(args.out, "w") as f:
                     for path, err in bad:
@@ -111,7 +146,8 @@ def main(argv=None):
     # the first batch (it only pays off for loaders iterated repeatedly)
     loader = PackedLoader(ds, batch_size=cfg.batch_size,
                           n_devices=1, shuffle=False, dense=True,
-                          cache_files=False)
+                          cache_files=False,
+                          preproc_workers=args.preproc_workers)
 
     if not cfg.pretrained_model:
         raise SystemExit("--pretrained_model is required for inference")

@@ -25,6 +25,27 @@ from yolat_tpu.geom.graph_build import build_svg_graph
 from yolat_tpu.geom.proposals import ProposalFile, generate_proposals
 from yolat_tpu.geom.svg_io import SVGDocument, read_ground_truth_boxes
 
+# --- worker-process entry points for PackedLoader(preproc_workers=N) ------
+# Module-level (picklable by reference under the spawn start method); each
+# worker holds one SESYDDataset and returns finished CompactFile loads. The
+# geometry kernel is pure numpy/C++, so workers never touch a device — the
+# JAX platform is pinned to CPU defensively in case a transitive import
+# reaches backend init.
+_LOADER_WORKER_DS = None
+
+
+def _loader_worker_init(ctor_kwargs: dict):
+    global _LOADER_WORKER_DS
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _LOADER_WORKER_DS = SESYDDataset(**ctor_kwargs)
+
+
+def _loader_worker_load(idx: int):
+    from yolat_tpu.data.packing import CompactFile
+
+    f, gt, wh = _LOADER_WORKER_DS.load(idx)
+    return idx, (CompactFile(f), gt, wh)
+
 
 # bump when the graph/proposal cache formats change semantically
 CACHE_VERSION = 4  # v4: GT-presence joined the proposal-cache key
@@ -66,11 +87,18 @@ class SESYDDataset:
                 self.files = [os.path.join(root, line.strip()) for line in f if line.strip()]
         if mode is None:
             # the reference keys the class dictionary off the path
-            # (graph_dict3.py:57)
-            mode = "diagram" if "diagram" in os.path.dirname(self.files[0]) else "floorplan"
+            # (graph_dict3.py:57); 'chart' extends the same convention for
+            # the chart-VG config (BASELINE.json configs[5])
+            d = os.path.dirname(self.files[0])
+            mode = ("diagram" if "diagram" in d
+                    else "chart" if "chart" in d else "floorplan")
         self.mode = mode
         if class_dict is None:
-            class_dict = DIAGRAM_CLASSES if mode == "diagram" else FLOORPLAN_CLASSES
+            from yolat_tpu.data.synthetic import CHART_CLASSES
+
+            class_dict = {"diagram": DIAGRAM_CLASSES,
+                          "chart": CHART_CLASSES}.get(mode,
+                                                      FLOORPLAN_CLASSES)
         self.class_dict = class_dict
         self.n_classes = len(set(class_dict.values()))
         self.cache = cache
@@ -79,6 +107,16 @@ class SESYDDataset:
 
     def __len__(self):
         return len(self.files)
+
+    def ctor_kwargs(self) -> dict:
+        """Constructor kwargs that rebuild an equivalent dataset in a
+        worker process (everything resolved: mode, class vocabulary, file
+        list). mixup is excluded by the callers that use this (stochastic
+        proposal draws would diverge across processes)."""
+        return dict(root=self.root, partition=self.partition,
+                    bbox_sampling_step=self.step, mode=self.mode,
+                    class_dict=self.class_dict, cache=self.cache,
+                    files=self.files, require_gt=self.require_gt)
 
     def get_anchor(self):
         """Per-class GT box width/height statistics (median/mean/max/min) —
@@ -196,7 +234,8 @@ class PackedLoader:
                  pad: PadSizes | None = None, drop_last: bool = False,
                  dense: bool = False, d_max: int | None = None,
                  prefetch: int = 2, buckets: int = 1, host_id: int = 0,
-                 n_hosts: int = 1, cache_files: bool = True):
+                 n_hosts: int = 1, cache_files: bool = True,
+                 preproc_workers: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_devices = n_devices
@@ -216,6 +255,14 @@ class PackedLoader:
         # cost. ~2-3 MB per SESYD-scale image; disable for huge manifests.
         # Mixup regenerates proposals per epoch, so nothing recurs to cache.
         self.cache_files = cache_files and not dataset.do_mixup
+        # preproc_workers > 0: cold per-file preprocessing (SVG parse ->
+        # graph -> proposals, the single-core ~7 ms/image host bound that
+        # caps the parse->detect rate) runs in a process pool, streamed in
+        # step order. The multi-core counterpart of the reference's
+        # DataLoader(num_workers=8) (cad_recognition/train.py:181,188).
+        # mixup draws from the dataset rng — processes would diverge.
+        self.preproc_workers = 0 if dataset.do_mixup else max(0, preproc_workers)
+        self._pool = None
         if dataset.do_mixup and n_hosts > 1:
             # the mixup pad watermark grows from host-local draws; hosts
             # would diverge in compiled shapes and deadlock the collectives
@@ -253,6 +300,52 @@ class PackedLoader:
         if self.cache_files:
             self._compact[i] = item
         return item
+
+    def _ensure_pool(self):
+        if self.preproc_workers <= 0:
+            return None
+        if self._pool is None:
+            import multiprocessing as mp
+
+            # spawn: never fork a parent that may hold live JAX/TPU state
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(self.preproc_workers,
+                                  initializer=_loader_worker_init,
+                                  initargs=(self.ds.ctor_kwargs(),))
+        return self._pool
+
+    def close(self):
+        """Shut down the preprocessing pool (workers are daemonic, so this
+        is optional hygiene — interpreter exit reaps them)."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def _load_many(self, idxs):
+        """Yield (CompactFile, gt, wh) per manifest index, in order.
+
+        With preproc_workers, cache misses stream through the process pool
+        (imap preserves submission order, which is exactly the consumption
+        order, so results marry up positionally). Workers run ahead of the
+        consumer; results buffer in the imap iterator (~2-3 MB per
+        SESYD-scale image) — acceptable because the device side drains
+        faster than the pool produces at any worker count that matters."""
+        idxs = [int(i) for i in idxs]
+        pool = self._ensure_pool()
+        if pool is None:
+            for i in idxs:
+                yield self._load_compact(i)
+            return
+        miss = [i for i in idxs if i not in self._compact]
+        it = pool.imap(_loader_worker_load, miss, chunksize=1)
+        for i in idxs:
+            item = self._compact.get(i)
+            if item is None:
+                j, item = next(it)
+                assert j == i, (j, i)
+                if self.cache_files:
+                    self._compact[i] = item
+            yield item
 
     def _pack_loads(self, pad, loads):
         shard = pack_files(
@@ -305,10 +398,10 @@ class PackedLoader:
 
         nodes, edges, supers, props, gts = [], [], [], [], []
         max_indeg = 1
-        for i in range(len(self.ds)):
+        for f, (gt, _), _ in self._load_many(range(len(self.ds))):
             # with cache_files this pass doubles as the CompactFile warmup,
-            # so the first epoch doesn't re-read the whole manifest
-            f, (gt, _), _ = self._load_compact(i)
+            # so the first epoch doesn't re-read the whole manifest; with
+            # preproc_workers the cold manifest scan runs multi-core
             nodes.append(len(f.pos))
             edges.append(len(f.edge))
             supers.append(len(f.edge_super))
@@ -452,6 +545,13 @@ class PackedLoader:
             pool = ThreadPoolExecutor(
                 max_workers=min(self.n_devices, os.cpu_count() or 1)
             )
+        # preproc_workers: one ordered stream of pooled loads for the whole
+        # epoch (imap works ahead of consumption, so cold preprocessing
+        # overlaps both packing and the device)
+        loads_iter = None
+        if self.preproc_workers > 0:
+            loads_iter = self._load_many(
+                [int(i) for _, w in steps for i in w])
         try:
             for b, window in steps:
                 pad = self._bucket_pads[b]
@@ -459,7 +559,14 @@ class PackedLoader:
                     window[d * self.batch_size : (d + 1) * self.batch_size]
                     for d in range(self.n_devices)
                 ]
-                if self.ds.do_mixup:
+                if loads_iter is not None:
+                    loads_w = [[next(loads_iter) for _ in w] for w in windows]
+                    if pool is not None:
+                        shards = list(pool.map(
+                            lambda ls: self._pack_loads(pad, ls), loads_w))
+                    else:
+                        shards = [self._pack_loads(pad, ls) for ls in loads_w]
+                elif self.ds.do_mixup:
                     # mixup redraws proposals every epoch, so batch sizes
                     # are stochastic: load first, then GROW the bucket pad
                     # if this step's contents exceed it (grow-only
