@@ -26,11 +26,15 @@ def main():
     p.add_argument("--step", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--dataset", type=str, default="floorplans",
-                   choices=("floorplans", "diagrams"))
+                   choices=("floorplans", "diagrams", "charts"))
     p.add_argument("--width", type=float, default=2000.0)
     p.add_argument("--height", type=float, default=1500.0)
     p.add_argument("--n_rooms", type=int, default=6)
     p.add_argument("--dtype", type=str, default="float32")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help="data-parallel devices (the chart-VG config's "
+                        "large-batch ICI-DP gate runs 8 on the virtual "
+                        "CPU mesh)")
     p.add_argument("--scan_steps", type=int, default=1,
                    help="train steps per device dispatch (remote-link lever)")
     p.add_argument("--arch", type=str, default="centernet3cc_rpn_gp_iter2",
@@ -42,7 +46,9 @@ def main():
     args = p.parse_args()
 
     from yolat_tpu.cli.common import apply_platform_env
-    from yolat_tpu.data.synthetic import write_dataset, write_diagram_dataset
+    from yolat_tpu.data.synthetic import (write_chart_dataset,
+                                          write_dataset,
+                                          write_diagram_dataset)
     from yolat_tpu.train.config import Config
     from yolat_tpu.train.trainer import run_training
 
@@ -56,6 +62,9 @@ def main():
         if args.dataset == "diagrams":
             write_diagram_dataset(args.root, n_train=args.n_train,
                                   n_test=args.n_test, seed=11)
+        elif args.dataset == "charts":
+            write_chart_dataset(args.root, n_train=args.n_train,
+                                n_test=args.n_test, seed=11)
         else:
             write_dataset(args.root, n_train=args.n_train, n_test=args.n_test,
                           seed=11, width=args.width, height=args.height,
@@ -78,6 +87,7 @@ def main():
         scan_steps=args.scan_steps,
         arch=args.arch,
         do_mixup=args.mixup,
+        n_devices=args.n_devices,
     )
     t0 = time.time()
     state, results = run_training(cfg)

@@ -78,6 +78,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="rematerialise fusion/message MLPs (memory lever)")
     p.add_argument("--dense_layout", default=d.dense_layout, type=_bool,
                    help="dense neighbour-table layout (TPU-preferred)")
+    p.add_argument("--train_layout", default=d.train_layout, type=str,
+                   choices=("sparse", "window", "dense"),
+                   help="conv edge layout for training: sparse dst-sorted "
+                        "list, banded Pallas window kernels (custom VJPs), "
+                        "or the dense D-slot table")
     p.add_argument("--buckets", default=d.buckets, type=int,
                    help="size-bucketed padding: compiled programs per loader")
     p.add_argument("--scan_steps", default=d.scan_steps, type=int,

@@ -59,7 +59,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="yolat_tpu preprocessing")
     p.add_argument("--data_dir", required=True)
     p.add_argument("--bbox_sampling_step", default=10, type=int)
-    p.add_argument("--mode", default=None, choices=[None, "floorplan", "diagram"])
+    p.add_argument("--mode", default=None, choices=[None, "floorplan", "diagram", "chart"])
     p.add_argument("--partitions", default="train,test", type=str)
     p.add_argument("--workers", default=0, type=int,
                    help="parallel preprocessing processes (0 = in-process)")

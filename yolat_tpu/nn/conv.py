@@ -95,7 +95,7 @@ class AttrEdgeGP2(nn.Module):
     @nn.compact
     def __call__(self, x, x_node, edge, e_attr, edge_mask, node_mask,
                  train: bool = True, nbr_idx=None, nbr_attr=None,
-                 nbr_mask=None, dst_count=None):
+                 nbr_mask=None, dst_count=None, ew=None):
         msg_mlp = maybe_remat_mlp(self.remat)(
             [self.in_channels * 2 + 4, self.out_channels, self.out_channels],
             act="relu",
@@ -105,7 +105,28 @@ class AttrEdgeGP2(nn.Module):
         )
         lin_r = nn.Dense(self.out_channels, kernel_init=KAIMING, name="lin_r")
 
-        if nbr_idx is not None:
+        if ew is not None:
+            # window layout (train_layout='window'): the pack-time banded
+            # plan turns the gathers AND their backward scatter-adds into
+            # in-VMEM one-hot MXU contractions (ops/edge_window_train.py,
+            # custom VJPs). Same parameters, same masked edge population
+            # through the MLP/BN, same masked mean — a checkpoint moves
+            # freely between layouts (tests/test_edge_window_train.py).
+            from yolat_tpu.ops.edge_window_train import (
+                ew_pair_features, ew_window_segment_sum_n)
+
+            maskw = ew[3].reshape(-1) > 0
+            g = ew_pair_features(x, ew)
+            f = jnp.concatenate([g, ew[2].reshape(-1, 4).astype(x.dtype)],
+                                axis=1)
+            msg = msg_mlp(f, maskw, train)
+            msgm = msg * maskw[:, None].astype(msg.dtype)
+            s = ew_window_segment_sum_n(msgm, ew, x.shape[0])
+            if dst_count is None:
+                dst_count = ew_window_segment_sum_n(
+                    ew[3].reshape(-1, 1), ew, x.shape[0])[:, 0]
+            agg = (s / jnp.maximum(dst_count, 1.0)[:, None]).astype(x.dtype)
+        elif nbr_idx is not None:
             x_nbr = x[nbr_idx]                        # [N, D, C]
             x_i = jnp.broadcast_to(x[:, None, :], x_nbr.shape)
             f = jnp.concatenate([x_i, x_nbr - x_i, nbr_attr], axis=-1)

@@ -55,7 +55,7 @@ class Backbone(nn.Module):
     def __call__(self, x, edge, e_attr, edge_mask, node_mask, bbox_idx,
                  proposal_mask, n_proposals: int, train: bool = True, pos=None,
                  nbr_idx=None, nbr_attr=None, nbr_mask=None, pool_plan=None,
-                 dst_count=None, prop_count=None):
+                 dst_count=None, prop_count=None, ew=None):
         dual = self.conv == "attr_edge_gp2"
 
         # convs with a dense neighbour-table branch (reverse-propagation
@@ -73,7 +73,7 @@ class Backbone(nn.Module):
             if dual:
                 return layer(f, f_super, edge, e_attr, edge_mask, node_mask,
                              train=train, nbr_idx=nbr_idx, nbr_attr=nbr_attr,
-                             nbr_mask=nbr_mask, dst_count=dst_count)
+                             nbr_mask=nbr_mask, dst_count=dst_count, ew=ew)
             if self.conv == "attr_edge_cf":
                 out = layer(f, pos, edge, e_attr, edge_mask, node_mask,
                             train=train, **nbr_kw)
@@ -148,12 +148,22 @@ class SparseCADGCN(nn.Module):
     remat: bool = False
     axis_name: Optional[str] = None
     sorted_edges: bool = False
+    # 'window': conv message gathers/scatters run as banded one-hot MXU
+    # contractions over the pack-time edge-window plan (custom VJPs,
+    # ops/edge_window_train.py) — falls back to the sparse branch when a
+    # batch carries no plan (e.g. drop_edge stripped it)
+    window_edges: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
         """batch: packed-batch dict (data/packing.py). Returns
         (pred_cls [P, n_classes], pred_bbox [P, 4])."""
         n_proposals = batch["labels"].shape[0]
+        ew = None
+        if self.window_edges and self.conv == "attr_edge_gp2":
+            from yolat_tpu.ops.edge_window import ew_of
+
+            ew = ew_of(batch)
         cls_net = Backbone(
             in_channels=self.in_channels, channels=self.channels,
             n_blocks=self.n_blocks, n_blocks_out=self.n_blocks_out,
@@ -168,7 +178,7 @@ class SparseCADGCN(nn.Module):
             nbr_idx=batch.get("nbr_idx"), nbr_attr=batch.get("nbr_attr"),
             nbr_mask=batch.get("nbr_mask"), pool_plan=plan_of(batch),
             dst_count=batch.get("dst_count"),
-            prop_count=batch.get("prop_count"),
+            prop_count=batch.get("prop_count"), ew=ew,
         )
         pooled = segment_max_concat(out_feat_parts, batch["bbox_idx"],
                                     n_proposals, mask=batch["node_mask"],

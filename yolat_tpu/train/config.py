@@ -98,7 +98,9 @@ class Config:
     train_layout: str = "sparse"    # 'sparse' (dst-sorted edge list — the
                                     # fast train path: 4x fewer message rows
                                     # than the D-slot table at SESYD degree
-                                    # skew) or 'dense'
+                                    # skew), 'window' (banded one-hot Pallas
+                                    # gathers/scatters with custom VJPs,
+                                    # ops/edge_window_train.py), or 'dense'
     sorted_edges: bool = True       # pack_files emits dst-sorted edges; set
                                     # False only for ad-hoc batch sources
     buckets: int = 1                # size-bucketed padding (programs per loader)

@@ -60,6 +60,7 @@ def build_model(cfg, axis_name: Optional[str] = None):
         sorted_edges=getattr(cfg, "sorted_edges", True),
     )
     arch = getattr(cfg, "arch", "centernet3cc_rpn_gp_iter2")
+    window = getattr(cfg, "train_layout", "sparse") == "window"
     if arch in ("yolat_pp", "yolat++", "hierarchical"):
         from yolat_tpu.nn.yolat_pp import YOLaTPlusPlus
 
@@ -74,7 +75,7 @@ def build_model(cfg, axis_name: Optional[str] = None):
             f"module for it either); available: "
             f"{sorted(CANONICAL_ARCHS)} + ['yolat_pp']"
         )
-    return SparseCADGCN(conv=cfg.conv, **kw)
+    return SparseCADGCN(conv=cfg.conv, window_edges=window, **kw)
 
 
 def create_state(cfg, tx, example_batch: dict, key,
@@ -118,12 +119,13 @@ def _step_body(model, tx, state: TrainState, batch: dict, key,
                data_aug: bool, classifier: str, axis_name: Optional[str],
                drop_edge: float = 0.0, compute_dtype=None,
                train_layout: str = "sparse"):
-    if train_layout == "sparse":
-        # training runs the sparse dst-sorted edge branch: the dense [N, D]
-        # slot table is mostly padding at SESYD degree skew (~25% occupancy)
-        # — 4x fewer message-MLP rows and a sorted-scatter aggregation
-        # (13.8 -> 4.9 ms fwd+bwd per conv layer on v5e). The dense table
-        # stays the serving layout (folded-BN fast path).
+    if train_layout in ("sparse", "window"):
+        # training runs the sparse dst-sorted edge branch (or the banded
+        # window branch): the dense [N, D] slot table is mostly padding at
+        # SESYD degree skew (~25% occupancy) — 4x fewer message-MLP rows
+        # and a sorted-scatter aggregation (13.8 -> 4.9 ms fwd+bwd per conv
+        # layer on v5e). The dense table stays the serving layout
+        # (folded-BN fast path).
         batch = {k: v for k, v in batch.items() if k not in _DENSE_KEYS}
     if drop_edge > 0.0:
         # edge masks are re-sampled on-device, so the pack-time edge
