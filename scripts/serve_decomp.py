@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arch", default="", type=str)
+    ap.add_argument("--arch", default="centernet3cc_rpn_gp_iter2", type=str)
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--no_bf16", action="store_true")
     args = ap.parse_args()
@@ -93,8 +93,17 @@ def main():
             fn(st)
             if name == upto:
                 break
+        # consume EVERY tensor later groups would read, not just the last
+        # group's outputs — else XLA DCEs earlier groups out of the prefix
+        # (observed: the node_stream prefix measured BELOW the conv2 prefix
+        # because consuming only out_super dropped the conv layers)
+        live = list(st["feats"]) + list(st["feats_super"]) + list(st["live"])
+        for key in ("out_super", "curve_at_node", "prim_at_node",
+                    "super_tok", "pmax", "logits"):
+            if key in st:
+                live.append(st[key])
         acc = jnp.float32(0.0)
-        for t in st["live"]:
+        for t in live:
             acc = acc + t.astype(jnp.float32).sum()
         return acc
 
