@@ -2,10 +2,10 @@
 measurements"): run the moment a TPU is reachable, prints one JSON
 decision block.
 
-  1. sorted segment-max routing — two-level Pallas kernel
-     (ops/pallas_kernels.segment_max_sorted_pallas) vs the XLA scatter
-     route at the serving pool shape; decides ops/segment.
-     USE_SORTED_MAX_KERNEL.
+  1. sorted segment-max cost at the serving pool shape (the Pallas
+     kernel this once decided between was removed in round 3 after
+     losing 10.6 vs 4.6 ms — PERF.md graveyard note; the XLA scatter
+     route is now the only one).
   2. NMS default — 'classfix' (exact per-class) vs 'fixpoint' serving
      throughput on the bench workload; decides Config.nms_algorithm.
   3. fused message kernel at D=4 bf16 — Pallas vs XLA fusion on the
@@ -78,29 +78,12 @@ def measure_segment_max(n_rows=131072, n_cols=1152, avg_seg=32, seed=0,
 
     t_xla = chain_time(xla_route, (data, ids_j, mask), n_iters)
 
-    try:
-        from yolat_tpu.ops.pallas_kernels import segment_max_sorted_pallas
-
-        ct = 384 if n_cols % 384 == 0 else 128
-
-        def kernel_route(acc, data, ids_j, mask):
-            d = data + acc.astype(data.dtype) * 1e-30
-            return segment_max_sorted_pallas(d, ids_j, mask, num_segments,
-                                             col_tile=ct, keep_neg_inf=True)
-
-        t_kernel = chain_time(kernel_route, (data, ids_j, mask), n_iters)
-    except Exception as e:  # Mosaic compile failure etc. — keep XLA route
-        return {"xla_ms": round(t_xla * 1e3, 3), "kernel_ms": None,
-                "kernel_error": f"{type(e).__name__}: {e}",
-                "decision": "keep USE_SORTED_MAX_KERNEL = False"}
-
-    flip = t_kernel < t_xla * 0.95  # flip only for a clear (>5%) win
-    return {
-        "xla_ms": round(t_xla * 1e3, 3),
-        "kernel_ms": round(t_kernel * 1e3, 3),
-        "decision": ("set ops/segment.USE_SORTED_MAX_KERNEL = True"
-                     if flip else "keep USE_SORTED_MAX_KERNEL = False"),
-    }
+    # The sorted-max Pallas kernel this once A/B'd against was removed in
+    # round 3 after measuring 10.6 ms (flat) / 11.3 ms (two-level) vs the
+    # XLA scatter's 4.6 ms on the current toolchain (PERF.md graveyard
+    # note). This measurement now just tracks the XLA route's cost.
+    return {"xla_ms": round(t_xla * 1e3, 3), "kernel_ms": None,
+            "decision": "XLA scatter route (sorted-max kernel removed r3)"}
 
 
 def measure_serving(quick=False):

@@ -13,61 +13,7 @@ from yolat_tpu.nn.model import SparseCADGCN
 from yolat_tpu.ops.pallas_kernels import (
     fused_dense_message,
     fused_dense_message_reference,
-    segment_max_sorted_pallas,
 )
-from yolat_tpu.ops.segment import segment_max
-
-
-class TestSegmentMaxSortedKernel:
-    @pytest.mark.parametrize("gapped", [False, True])
-    @pytest.mark.parametrize("two_level", [False, True])
-    def test_matches_xla_segment_max(self, gapped, two_level):
-        """Scatter-free sorted segmented max (interpret mode) == the
-        production masked segment_max, incl. masked rows, segments spanning
-        node blocks, empty trailing segments, and (gapped=True) interior
-        empty segments — sorted-but-gapped ids exercise the rank-densify
-        remap."""
-        rng = np.random.default_rng(3)
-        N, C, P = 1024, 384, 29
-        cuts = np.sort(rng.choice(np.arange(1, N), P - 2, replace=False))
-        ids = np.cumsum(np.bincount(cuts, minlength=N)).astype(np.int32)
-        if gapped:
-            # open interior gaps: every other id doubled -> odd ids empty
-            ids = ids * 2
-            P = int(ids.max()) + 2
-        x = rng.normal(size=(N, C)).astype(np.float32)
-        mask = rng.random(N) > 0.2
-
-        got = segment_max_sorted_pallas(
-            jnp.asarray(x), jnp.asarray(ids), jnp.asarray(mask), P,
-            block_n=256, col_tile=384, interpret=True, two_level=two_level,
-        )
-        want = segment_max(jnp.asarray(x), jnp.asarray(ids), P,
-                           mask=jnp.asarray(mask), indices_are_sorted=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-6, atol=1e-6)
-        # empty segment yields 0
-        assert (np.asarray(got)[P - 1] == 0).all()
-
-    def test_bf16_many_segments_two_level(self):
-        """Regression: bf16 data with thousands of dense segment ids — ids
-        must be compared in f32 inside the kernel (bf16 cannot represent
-        integers above 256 and would merge adjacent segments)."""
-        rng = np.random.default_rng(9)
-        N = 1024
-        P = 700  # avg run < 2 rows -> many distinct ids > 256 per block
-        ids = np.sort(rng.integers(0, P, N)).astype(np.int32)
-        x = rng.normal(size=(N, 384)).astype(np.float32)
-        mask = rng.random(N) > 0.1
-        got = segment_max_sorted_pallas(
-            jnp.asarray(x, jnp.bfloat16), jnp.asarray(ids),
-            jnp.asarray(mask), P, block_n=512, col_tile=384,
-            interpret=True, two_level=True,
-        )
-        want = segment_max(jnp.asarray(x, jnp.bfloat16), jnp.asarray(ids), P,
-                           mask=jnp.asarray(mask), indices_are_sorted=True)
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(want, np.float32))
 
 
 def _random_kernel_inputs(seed=0, n=256, d=4, ci=64, co=64, a=4):
@@ -173,44 +119,6 @@ class TestSparseFastForward:
         got16, _ = fast_forward(folded, b, use_pallas=False, bf16=True)
         np.testing.assert_allclose(np.asarray(got16), np.asarray(want),
                                    rtol=0.1, atol=0.15)
-
-
-class TestTwoLevelKernelEdgeCases:
-    """Adversarial segment layouts for the two-level sweep: giant segments
-    spanning blocks, fully-masked input, boundaries exactly at mini-8 and
-    block edges, block-crossing segments under masks."""
-
-    @pytest.mark.parametrize("name,segfn", [
-        ("giant", lambda n: np.zeros(n, np.int32)),
-        ("mini8_aligned", lambda n: np.repeat(np.arange(n // 8), 8
-                                              ).astype(np.int32)),
-        ("block_aligned", lambda n: np.repeat(np.arange(2), n // 2
-                                              ).astype(np.int32)),
-        ("block_crossing", lambda n: np.sort(np.clip(
-            (np.arange(n) + 3) // 509, 0, 5).astype(np.int32))),
-    ])
-    @pytest.mark.parametrize("masked", [False, True])
-    def test_parity(self, name, segfn, masked):
-        n = 1024
-        seg = segfn(n)
-        S = int(seg.max()) + 1
-        rng = np.random.default_rng(1)
-        mask = (rng.random(n) > 0.3) if masked else np.ones(n, bool)
-        x = rng.normal(size=(n, 384)).astype(np.float32)
-        ref = segment_max(jnp.asarray(x), jnp.asarray(seg), S,
-                          mask=jnp.asarray(mask), indices_are_sorted=True)
-        got = segment_max_sorted_pallas(
-            jnp.asarray(x), jnp.asarray(seg), jnp.asarray(mask), S,
-            block_n=512, col_tile=384, interpret=True, two_level=True)
-        np.testing.assert_allclose(np.asarray(ref), np.asarray(got))
-
-    def test_fully_masked(self):
-        n = 1024
-        got = segment_max_sorted_pallas(
-            jnp.asarray(np.ones((n, 384), np.float32)),
-            jnp.zeros(n, jnp.int32), jnp.zeros(n, bool), 3,
-            block_n=512, col_tile=384, interpret=True, two_level=True)
-        assert (np.asarray(got) == 0).all()
 
 
 class TestFoldedMlpBlockMax:

@@ -333,21 +333,13 @@ def segment_max(data, segment_ids, num_segments: int, mask=None,
                              indices_are_sorted)
 
 
-# Route sorted 2-D segment maxes through the two-level Pallas kernel
-# (ops/pallas_kernels.segment_max_sorted_pallas) when shapes tile. Flipped
-# by measurement on the target backend; interpreter parity is in
-# tests/test_pallas.py.
-USE_SORTED_MAX_KERNEL = False
-
-
-def _kernel_eligible(data, indices_are_sorted):
-    if not USE_SORTED_MAX_KERNEL or not indices_are_sorted:
-        return False
-    if jax.default_backend() != "tpu":  # Mosaic kernel; CPU/GPU fall back
-        return False
-    if data.ndim != 2 or data.shape[0] % 512 != 0:
-        return False
-    return data.shape[1] % 384 == 0 or data.shape[1] % 128 == 0
+# A scatter-free sorted segmented-max Pallas kernel lived here through
+# round 2 (quarantined behind USE_SORTED_MAX_KERNEL=False). Re-measured
+# decisively slower than the XLA scatter on the current toolchain
+# (10.6 vs 4.6 ms at [131k, 1152] bf16 on v5e) and removed in round 3;
+# the measurement record is in PERF.md ("On-chip measurement queue",
+# graveyard note). The hot-path win against scatter remains the
+# compare-based backward below, which works with any forward.
 
 
 def _masked_max(data, mask, segment_ids, plan, num_segments,
@@ -355,14 +347,6 @@ def _masked_max(data, mask, segment_ids, plan, num_segments,
     if plan is not None:
         return None, _two_level(data, mask, plan, num_segments, "max",
                                 _NEG_INF)
-    if _kernel_eligible(data, indices_are_sorted):
-        from yolat_tpu.ops.pallas_kernels import segment_max_sorted_pallas
-
-        ct = 384 if data.shape[1] % 384 == 0 else 128
-        raw = segment_max_sorted_pallas(data, segment_ids, mask,
-                                        num_segments, col_tile=ct,
-                                        keep_neg_inf=True)
-        return None, raw
     masked = jnp.where(_expand(mask, data), data, _NEG_INF)
     raw = jax.ops.segment_max(masked, segment_ids,
                               num_segments=num_segments,
