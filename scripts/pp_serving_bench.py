@@ -13,7 +13,10 @@ def main():
     from yolat_tpu.eval.fast_forward import fold_params_for
     from yolat_tpu.eval.predict import make_predict_core
 
-    ds, batches, _ = build_workload()
+    from yolat_tpu.eval.fast_forward import extra_plans_for
+
+    cfg0 = Config(n_classes=17, arch="yolat_pp")
+    ds, batches, _ = build_workload(extra_plans=extra_plans_for(cfg0))
     cfg = Config(n_classes=ds.n_classes, arch="yolat_pp")
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
     single = {k: v[0] for k, v in batches[0].items()}

@@ -42,7 +42,9 @@ def main():
     from bench import build_workload
     from yolat_tpu.data.packing import finalize_batch
     from yolat_tpu.eval.fast_forward import (
-        _folded, _pmax_fused, _sparse_message, _fourier, fold_params_for)
+        _folded, _pmax_fused, _sparse_message, _fourier, extra_plans_for,
+        fold_params_for)
+    from yolat_tpu.ops.banded_message import banded_message_sum, bm_of
     from yolat_tpu.eval.predict import make_predict_core
     from yolat_tpu.ops.edge_window import edge_window_message_sum, ew_of
     from yolat_tpu.ops.iou import inflate_boxes
@@ -52,7 +54,8 @@ def main():
     from yolat_tpu.train.loop import create_state
     from yolat_tpu.train.optim import make_optimizer
 
-    ds, batches, _ = build_workload()
+    cfg0 = Config(n_classes=17, arch=args.arch)
+    ds, batches, _ = build_workload(extra_plans=extra_plans_for(cfg0))
     cfg = Config(n_classes=ds.n_classes, arch=args.arch)
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
     single = {k: v[0] for k, v in batches[0].items()}
@@ -149,35 +152,54 @@ def main():
             [_folded(pooled, fd["fusion_block_super"]), pooled], axis=1)
         st["live"] = [st["out_super"]]
 
-    def curve_level(st):  # pp
+    def curve_level(st):  # pp (banded route when cwd_/cws_ plans ride)
         b, fd, x = st["batch"], st["folded"], st["x"]
         edge, em = b["edge"], b["edge_mask"]
         last = st["feats"][-1]
-        x_src = last[edge[:, 0]]
-        x_dst = last.at[edge[:, 1]].get(indices_are_sorted=True)
-        curve_in = jnp.concatenate(
-            [b["e_attr"].astype(x.dtype), x_src, x_dst], axis=1)
-        curve_tok = _folded(curve_in, fd["curve_mlp"])
-        can = segment_mean(curve_tok, edge[:, 1], x.shape[0], mask=em,
-                           indices_are_sorted=True,
-                           counts=b.get("dst_count")) \
-            + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=em,
-                           counts=b.get("src_count"))
+        cw, csc = fd["curve_mlp"]
+        cwd, cws = bm_of(b, "cwd_"), bm_of(b, "cws_")
+        if cwd is not None and cws is not None:
+            cf = last.shape[1]
+            na = b["e_attr"].shape[1]
+            w_attr, w_src, w_dst = cw[:na], cw[na:na + cf], cw[na + cf:]
+            ds_ = banded_message_sum(last, cwd, w_dst, w_src, w_attr, csc)
+            ss_ = banded_message_sum(last, cws, w_src, w_dst, w_attr, csc)
+            can = (ds_ / jnp.maximum(b["dst_count"], 1.0)[:, None]
+                   + ss_ / jnp.maximum(b["src_count"], 1.0)[:, None])
+        else:
+            x_src = last[edge[:, 0]]
+            x_dst = last.at[edge[:, 1]].get(indices_are_sorted=True)
+            curve_in = jnp.concatenate(
+                [b["e_attr"].astype(x.dtype), x_src, x_dst], axis=1)
+            curve_tok = _folded(curve_in, (cw, csc))
+            can = segment_mean(curve_tok, edge[:, 1], x.shape[0], mask=em,
+                               indices_are_sorted=True,
+                               counts=b.get("dst_count")) \
+                + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=em,
+                               counts=b.get("src_count"))
         st["curve_at_node"] = can
         st["live"] = [can]
 
-    def prim_level(st):  # pp
+    def prim_level(st):  # pp (banded route when the sew_ plan rides)
         b, fd, x = st["batch"], st["folded"], st["x"]
         es, esm = b["edge_super"], b["super_mask"]
         last = st["feats"][-1]
-        s_i = last.at[es[:, 1]].get(indices_are_sorted=True)
-        s_j = last[es[:, 0]]
-        prim_in = jnp.concatenate(
-            [s_i, s_j - s_i, b["e_attr_super"].astype(x.dtype)], axis=1)
-        prim_tok = _folded(prim_in, fd["super_edge_mlp"])
-        pan = segment_mean(prim_tok, es[:, 1], x.shape[0], mask=esm,
-                           indices_are_sorted=True, plan=sup_plan_of(b),
-                           counts=b.get("super_dst_count"))
+        sw, ssc = fd["super_edge_mlp"]
+        sew = bm_of(b, "sew_")
+        if sew is not None:
+            cf = last.shape[1]
+            wa, wb, wc = sw[:cf], sw[cf:2 * cf], sw[2 * cf:]
+            ps = banded_message_sum(last, sew, wa - wb, wb, wc, ssc)
+            pan = ps / jnp.maximum(b["super_dst_count"], 1.0)[:, None]
+        else:
+            s_i = last.at[es[:, 1]].get(indices_are_sorted=True)
+            s_j = last[es[:, 0]]
+            prim_in = jnp.concatenate(
+                [s_i, s_j - s_i, b["e_attr_super"].astype(x.dtype)], axis=1)
+            prim_tok = _folded(prim_in, (sw, ssc))
+            pan = segment_mean(prim_tok, es[:, 1], x.shape[0], mask=esm,
+                               indices_are_sorted=True, plan=sup_plan_of(b),
+                               counts=b.get("super_dst_count"))
         st["prim_at_node"] = pan
         st["live"] = [pan]
 

@@ -91,3 +91,34 @@ class TestFastForwardPP:
         out = predict(var, jb)
         assert out["boxes"].shape[1] == 50
         assert not np.isnan(np.asarray(out["scores"])).any()
+
+    def test_banded_route_matches(self):
+        """Curve + prim levels through the ragged banded kernel
+        (ops/banded_message.py, interpret) == the gather/segment route."""
+        from yolat_tpu.ops.banded_message import banded_plan
+
+        model, var, _ = _pp_setup(seed=11, n_images=16)
+        batch_np, _ = random_packed_batch(seed=11, n_images=16)
+        n = batch_np["pos"].shape[0]
+        extras = {}
+        for prefix, e, m, a, sb in (
+                ("sew_", batch_np["edge_super"], batch_np["super_mask"],
+                 batch_np["e_attr_super"], 1),
+                ("cwd_", batch_np["edge"], batch_np["edge_mask"],
+                 batch_np["e_attr"], 1),
+                ("cws_", batch_np["edge"], batch_np["edge_mask"],
+                 batch_np["e_attr"], 0)):
+            p = banded_plan(e, m, a, n, wn=128, pad=64, eblk=128, sortby=sb)
+            assert p is not None, prefix
+            extras.update({prefix + k: v for k, v in p.items()})
+        jb = finalize_batch(jax.tree.map(jnp.asarray, {**batch_np, **extras}))
+        var = model.init({"params": jax.random.key(0)}, jb, train=True)
+        params = dict(var["params"])
+        for i, g in enumerate(PP_GATES):
+            params[g] = jnp.asarray(0.3 + 0.1 * i, jnp.float32)
+        var = {"params": params, "batch_stats": var["batch_stats"]}
+        folded = fold_params_pp(var, n_blocks=2)
+        a, _ = fast_forward_pp(folded, jb, edge_kernel=True, interpret=True)
+        b, _ = fast_forward_pp(folded, jb, edge_kernel=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)

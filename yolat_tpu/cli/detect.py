@@ -76,8 +76,10 @@ def main(argv=None):
     ds = SESYDDataset(cfg.data_dir, "test",
                       bbox_sampling_step=cfg.bbox_sampling_step)
     cfg = cfg.replace(n_classes=ds.n_classes)
+    from yolat_tpu.eval.fast_forward import extra_plans_for
+
     loader = PackedLoader(ds, batch_size=1, n_devices=1, shuffle=False,
-                          dense=True)
+                          dense=True, extra_plans=extra_plans_for(cfg))
     example = {k: v[0] for k, v in next(iter(loader)).items()}
     state, _, _ = load_checkpoint(cfg, example)
     variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -144,10 +144,13 @@ def main(argv=None):
     # cache_files=False: single-pass bulk inference must STREAM — the
     # unshuffled epoch cache would pack the whole manifest into RAM before
     # the first batch (it only pays off for loaders iterated repeatedly)
+    from yolat_tpu.eval.fast_forward import extra_plans_for
+
     loader = PackedLoader(ds, batch_size=cfg.batch_size,
                           n_devices=1, shuffle=False, dense=True,
                           cache_files=False,
-                          preproc_workers=args.preproc_workers)
+                          preproc_workers=args.preproc_workers,
+                          extra_plans=extra_plans_for(cfg))
 
     if not cfg.pretrained_model:
         raise SystemExit("--pretrained_model is required for inference")

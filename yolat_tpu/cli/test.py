@@ -40,8 +40,11 @@ def main(argv=None):
     ds = SESYDDataset(cfg.data_dir, partition,
                       bbox_sampling_step=cfg.bbox_sampling_step)
     cfg = cfg.replace(n_classes=ds.n_classes)
+    from yolat_tpu.eval.fast_forward import extra_plans_for
+
     loader = PackedLoader(ds, batch_size=cfg.batch_size,
-                          n_devices=cfg.n_devices, shuffle=False, dense=True)
+                          n_devices=cfg.n_devices, shuffle=False, dense=True,
+                          extra_plans=extra_plans_for(cfg))
 
     example = {k: v[0] for k, v in next(iter(loader)).items()}
     state, epoch, best = load_checkpoint(cfg, example)

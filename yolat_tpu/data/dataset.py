@@ -235,7 +235,7 @@ class PackedLoader:
                  dense: bool = False, d_max: int | None = None,
                  prefetch: int = 2, buckets: int = 1, host_id: int = 0,
                  n_hosts: int = 1, cache_files: bool = True,
-                 preproc_workers: int = 0):
+                 preproc_workers: int = 0, extra_plans: tuple = ()):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_devices = n_devices
@@ -262,6 +262,7 @@ class PackedLoader:
         # DataLoader(num_workers=8) (cad_recognition/train.py:181,188).
         # mixup draws from the dataset rng — processes would diverge.
         self.preproc_workers = 0 if dataset.do_mixup else max(0, preproc_workers)
+        self.extra_plans = tuple(extra_plans)
         self._pool = None
         if dataset.do_mixup and n_hosts > 1:
             # the mixup pad watermark grows from host-local draws; hosts
@@ -353,6 +354,7 @@ class PackedLoader:
             [l[1] for l in loads],
             [l[2] for l in loads],
             pad,
+            extra_plans=self.extra_plans,
         )
         if self.dense:
             from yolat_tpu.data.packing import add_dense_neighbors

@@ -227,7 +227,8 @@ def _aligned_super_count(f) -> int:
                 * SUPER_BLOCK).sum())
 
 
-def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
+def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
+               extra_plans: tuple = ()) -> dict:
     """Concatenate per-file proposal arrays into one padded flat batch.
 
     Args:
@@ -237,6 +238,11 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
       gts:   list of (gt_bbox [G,4], gt_labels [G]) per file.
       whs:   list of (width, height) per file.
       pad:   PadSizes; must dominate the actual totals.
+      extra_plans: opt-in ragged banded-message plans (~25-30 ms/batch of
+             host work + ~20 MB, so serving paths request them, training
+             doesn't): "super" attaches sew_* (the YOLaT++ clique level),
+             "curve" attaches cwd_*/cws_* (its curve level, both
+             aggregation directions). ops/banded_message.py.
     """
     B = pad.n_images
     assert len(files) <= B
@@ -377,6 +383,30 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes) -> dict:
     ewp = edge_window_plan(batch["edge"], em, batch["e_attr"], pad.n_nodes)
     if ewp is not None:
         batch.update(ewp)
+
+    # ragged banded plans (ops/banded_message.py) — None (band/geometry
+    # violation) just omits the keys; consumers fall back to the XLA path
+    if extra_plans:
+        from yolat_tpu.ops.banded_message import banded_plan
+
+        # per-family geometry (on-chip sweeps, PERF.md round 3): the dense
+        # skewed clique family wants small windows (one-hot width prices
+        # every edge row); the sparse near-uniform shape-edge family wants
+        # bigger blocks (fewer grid steps, padding stays ~1.3x)
+        want = []
+        if "super" in extra_plans:
+            want.append(("sew_", batch["edge_super"], batch["super_mask"],
+                         batch["e_attr_super"], 1, 512, 512))
+        if "curve" in extra_plans:
+            want.append(("cwd_", batch["edge"], em, batch["e_attr"], 1,
+                         1024, 1024))
+            want.append(("cws_", batch["edge"], em, batch["e_attr"], 0,
+                         1024, 1024))
+        for prefix, e, m, a, sortby, wn, eblk in want:
+            p = banded_plan(e, m, a, pad.n_nodes, sortby=sortby, wn=wn,
+                            eblk=eblk)
+            if p is not None:
+                batch.update({prefix + k: v for k, v in p.items()})
 
     return batch
 

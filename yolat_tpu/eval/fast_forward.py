@@ -296,6 +296,15 @@ def fold_params_for(cfg, variables):
     return fold_params(variables, n_blocks=cfg.n_blocks)
 
 
+def extra_plans_for(cfg) -> tuple:
+    """Pack-time plan families the arch's serving path can exploit
+    (PackedLoader(extra_plans=...)): YOLaT++ routes its curve/prim levels
+    through the ragged banded kernel when sew_/cwd_/cws_ plans ride the
+    batch (ops/banded_message.py)."""
+    return (("super", "curve")
+            if getattr(cfg, "arch", "") in PP_ARCHS else ())
+
+
 def _fourier(pos, n_freqs: int):
     freqs = 2.0 ** jnp.arange(n_freqs, dtype=pos.dtype) * jnp.pi
     ang = pos[:, :, None] * freqs[None, None, :]
@@ -367,30 +376,67 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
         feats.append(f)
         feats_super.append(s)
 
-    # curve level: per-edge tokens mean-scattered to both endpoints
-    x_src = feats[-1][edge[:, 0]]
-    x_dst = feats[-1].at[edge[:, 1]].get(indices_are_sorted=True)
-    curve_in = jnp.concatenate(
-        [batch["e_attr"].astype(x.dtype), x_src, x_dst], axis=1)
-    curve_tok = _folded(curve_in, folded["curve_mlp"])
-    curve_at_node = segment_mean(
-        curve_tok, edge[:, 1], x.shape[0], mask=edge_mask,
-        indices_are_sorted=True, counts=batch.get("dst_count"),
-    ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask,
-                     counts=batch.get("src_count"))
+    # the curve/prim levels' row-serialized gathers + aggregations are
+    # 5.2 ms of the 8.8 ms pp step (serve_decomp 2026-08-19) — route them
+    # through the ragged banded kernel when pack-time plans are present
+    # (PackedLoader(extra_plans=("super", "curve")), serving paths only)
+    from yolat_tpu.ops.banded_message import banded_message_sum, bm_of
 
-    # primitive level (a): super-edge clique propagation
-    es = batch["edge_super"]
-    es_mask = batch["super_mask"]
-    s_i = feats[-1].at[es[:, 1]].get(indices_are_sorted=True)
-    s_j = feats[-1][es[:, 0]]
-    prim_in = jnp.concatenate(
-        [s_i, s_j - s_i, batch["e_attr_super"].astype(x.dtype)], axis=1)
-    prim_tok = _folded(prim_in, folded["super_edge_mlp"])
-    prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
-                                mask=es_mask, indices_are_sorted=True,
-                                plan=sup_plan_of(batch),
-                                counts=batch.get("super_dst_count"))
+    use_banded = not (edge_kernel is False or (
+        edge_kernel is None and not interpret
+        and jax.default_backend() != "tpu"))
+    cf = feats[-1].shape[1]
+
+    # curve level: per-edge tokens mean-scattered to both endpoints.
+    # curve_in = [attr || x_src || x_dst] @ W splits by W's input rows
+    # into per-endpoint projections the banded kernel gathers pre-projected
+    cw, csc = folded["curve_mlp"]
+    na = batch["e_attr"].shape[1]
+    cwd = bm_of(batch, "cwd_") if use_banded else None
+    cws = bm_of(batch, "cws_") if use_banded else None
+    if cwd is not None and cws is not None:
+        w_attr, w_src, w_dst = cw[:na], cw[na:na + cf], cw[na + cf:]
+        dst_sum = banded_message_sum(feats[-1], cwd, w_dst, w_src, w_attr,
+                                     csc, interpret=interpret)
+        src_sum = banded_message_sum(feats[-1], cws, w_src, w_dst, w_attr,
+                                     csc, interpret=interpret)
+        dcnt = jnp.maximum(batch["dst_count"], 1.0)
+        scnt = jnp.maximum(batch["src_count"], 1.0)
+        curve_at_node = dst_sum / dcnt[:, None] + src_sum / scnt[:, None]
+    else:
+        x_src = feats[-1][edge[:, 0]]
+        x_dst = feats[-1].at[edge[:, 1]].get(indices_are_sorted=True)
+        curve_in = jnp.concatenate(
+            [batch["e_attr"].astype(x.dtype), x_src, x_dst], axis=1)
+        curve_tok = _folded(curve_in, (cw, csc))
+        curve_at_node = segment_mean(
+            curve_tok, edge[:, 1], x.shape[0], mask=edge_mask,
+            indices_are_sorted=True, counts=batch.get("dst_count"),
+        ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask,
+                         counts=batch.get("src_count"))
+
+    # primitive level (a): super-edge clique propagation.
+    # prim_in = [s_i || s_j - s_i || attr] @ W -> s_i@(Wa-Wb) + s_j@Wb
+    sw, ssc = folded["super_edge_mlp"]
+    sew = bm_of(batch, "sew_") if use_banded else None
+    if sew is not None and batch.get("super_dst_count") is not None:
+        wa, wb, wc = sw[:cf], sw[cf:2 * cf], sw[2 * cf:]
+        prim_sum = banded_message_sum(feats[-1], sew, wa - wb, wb, wc,
+                                      ssc, interpret=interpret)
+        prim_at_node = prim_sum / jnp.maximum(
+            batch["super_dst_count"], 1.0)[:, None]
+    else:
+        es = batch["edge_super"]
+        es_mask = batch["super_mask"]
+        s_i = feats[-1].at[es[:, 1]].get(indices_are_sorted=True)
+        s_j = feats[-1][es[:, 0]]
+        prim_in = jnp.concatenate(
+            [s_i, s_j - s_i, batch["e_attr_super"].astype(x.dtype)], axis=1)
+        prim_tok = _folded(prim_in, (sw, ssc))
+        prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
+                                    mask=es_mask, indices_are_sorted=True,
+                                    plan=sup_plan_of(batch),
+                                    counts=batch.get("super_dst_count"))
 
     feats[-1] = (feats[-1]
                  + g["gate_curve"] * curve_at_node.astype(x.dtype)

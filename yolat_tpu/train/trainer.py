@@ -106,10 +106,13 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     # eval runs on process 0 over the FULL test split with its local
     # devices (no host sharding); other hosts never iterate it, so they
     # skip the loader (its __init__ preprocesses the whole split for pads)
+    from yolat_tpu.eval.fast_forward import extra_plans_for
+
     test_loader = PackedLoader(
         test_ds, batch_size=cfg.batch_size * 2,
         n_devices=local_d if multihost else cfg.n_devices,
         shuffle=False, dense=cfg.dense_layout,
+        extra_plans=extra_plans_for(cfg),
     ) if is_main else None
 
     steps_per_epoch = max(len(train_loader), 1)
