@@ -63,7 +63,7 @@ def measure_preproc_rate(root, n_files, step, workers, loads_per_worker=48):
     return len(idxs) / dt
 
 
-def build_workload(n_images=8, batch_size=4, step=10):
+def build_workload(n_images=8, batch_size=4, step=10, extra_plans=()):
     from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
     from yolat_tpu.data.synthetic import write_dataset
 
@@ -85,9 +85,51 @@ def build_workload(n_images=8, batch_size=4, step=10):
     preproc_s = (time.perf_counter() - t0) / n_images
 
     loader = PackedLoader(ds, batch_size=batch_size, n_devices=1, shuffle=False,
-                          dense=True)
+                          dense=True, extra_plans=extra_plans)
     batches = list(loader)
     return ds, batches, preproc_s
+
+
+def attach_pp_plans(batches):
+    """Augment stacked [1, ...] bench batches with the YOLaT++ banded
+    plans (sew_/cwd_/cws_ — ops/banded_message.py) the pp serving engine
+    routes through. Returns the original list untouched if any family
+    cannot be banded."""
+    from yolat_tpu.ops.banded_message import banded_plan
+
+    out = []
+    for b in batches:
+        d = dict(b)
+        n = b["pos"].shape[1]
+        for prefix, e, m, a, sb, wn, eblk in (
+                ("sew_", b["edge_super"][0], b["super_mask"][0],
+                 b["e_attr_super"][0], 1, 512, 512),
+                ("cwd_", b["edge"][0], b["edge_mask"][0], b["e_attr"][0],
+                 1, 1024, 1024),
+                ("cws_", b["edge"][0], b["edge_mask"][0], b["e_attr"][0],
+                 0, 1024, 1024)):
+            p = banded_plan(e, m, a, n, sortby=sb, wn=wn, eblk=eblk)
+            if p is None:
+                return batches
+            d.update({prefix + k: v[None] for k, v in p.items()})
+        out.append(d)
+    return out
+
+
+def build_diagram_workload(n_images=8, batch_size=4, step=5):
+    """SESYD-style diagrams (the mergeCluster preprocessing path) at bench
+    scale — the second README config (reference README.md:52)."""
+    from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+    from yolat_tpu.data.synthetic import write_diagram_dataset
+
+    root = os.path.join(tempfile.gettempdir(), "yolat_bench_diag_v1")
+    if not os.path.exists(os.path.join(root, "train_list.txt")):
+        os.makedirs(root, exist_ok=True)
+        write_diagram_dataset(root, n_train=n_images, n_test=1, seed=7)
+    ds = SESYDDataset(root, "train", bbox_sampling_step=step, cache=True)
+    loader = PackedLoader(ds, batch_size=batch_size, n_devices=1,
+                          shuffle=False, dense=True)
+    return ds, list(loader)
 
 
 def time_predict(cfg, variables, batches, device, iters=8, fast=False,
@@ -247,6 +289,41 @@ def run_bench(error=None):
     rate_train_bf16 = time_train(train_cfg.replace(dtype="bfloat16"), state,
                                  batches, iters=t_iters)
 
+    # YOLaT++ serving row (the flagship accuracy model, VERDICT r2 item 5):
+    # same workload, banded plans attached, folded pp engine, bf16
+    rate_pp = None
+    try:
+        from yolat_tpu.eval.fast_forward import fold_params_for
+
+        pp_cfg = cfg.replace(arch="yolat_pp")
+        batches_pp = attach_pp_plans(batches)
+        single_pp = {k: v[0] for k, v in batches_pp[0].items()}
+        state_pp = create_state(pp_cfg, tx, single_pp, jax.random.key(0))
+        vars_pp = {"params": state_pp.params,
+                   "batch_stats": state_pp.batch_stats}
+        folded_pp = fold_params_for(pp_cfg, vars_pp)
+        rate_pp = time_predict(pp_cfg, vars_pp, batches_pp, default_dev,
+                               iters=p_iters, fast=True, folded=folded_pp,
+                               bf16=True)
+    except Exception:
+        pass
+
+    # diagrams serving row (mergeCluster path, reference README.md:52)
+    rate_diag = None
+    try:
+        ds_d, batches_d = build_diagram_workload()
+        d_cfg = Config(n_classes=ds_d.n_classes, data_aug=False)
+        single_d = {k: v[0] for k, v in batches_d[0].items()}
+        state_d = create_state(d_cfg, tx, single_d, jax.random.key(0))
+        vars_d = {"params": state_d.params,
+                  "batch_stats": state_d.batch_stats}
+        folded_d = fold_params(vars_d, n_blocks=d_cfg.n_blocks)
+        rate_diag = time_predict(d_cfg, vars_d, batches_d, default_dev,
+                                 iters=p_iters, fast=True, folded=folded_d,
+                                 bf16=True)
+    except Exception:
+        pass
+
     if on_cpu:
         rate_cpu = rate_dev  # the default device IS the host CPU
     else:
@@ -301,6 +378,9 @@ def run_bench(error=None):
             "fast_bf16_classfix_images_per_sec": round(rate_bf16_cf, 3),
             "train_images_per_sec": round(rate_train, 3),
             "train_bf16_images_per_sec": round(rate_train_bf16, 3),
+            "pp_images_per_sec": round(rate_pp, 3) if rate_pp else None,
+            "diagrams_images_per_sec": round(rate_diag, 3)
+            if rate_diag else None,
             # parse->detect including (1-core) host preprocessing;
             # preprocessing is cached offline in both frameworks
             "e2e_svgs_per_sec_cold": round(
