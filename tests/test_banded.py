@@ -96,6 +96,67 @@ def test_kernel_matches_oracle(sortby, two_stage):
     np.testing.assert_allclose(np.asarray(ref), want, rtol=2e-4, atol=2e-4)
 
 
+def test_both_endpoint_kernel_matches_two_pass():
+    """The fused both-endpoint pass (banded_message_sum_both) equals the
+    oracle at each endpoint AND the two-pass mirror-plan route it
+    replaces (the fast_forward_pp curve level)."""
+    from yolat_tpu.ops.banded_message import (banded_message_sum_both,
+                                              banded_message_sum_both_reference)
+
+    rng = np.random.default_rng(11)
+    n, wn, pad, eblk = 2048, 512, 128, 256
+    edge, mask, attr = _clique_family(rng, n, wn, pad_e=8192)
+    c, h = 64, 64
+    x = rng.normal(size=(n, c)).astype(np.float32)
+    w_own = (rng.normal(size=(c, h)) * 0.2).astype(np.float32)
+    w_halo = (rng.normal(size=(c, h)) * 0.2).astype(np.float32)
+    w_attr = (rng.normal(size=(4, h)) * 0.2).astype(np.float32)
+    sc1 = np.stack([rng.uniform(0.5, 1.5, h),
+                    rng.normal(size=h) * 0.1]).astype(np.float32)
+
+    plan = banded_plan(edge, mask, attr, n, sortby=1, wn=wn, pad=pad,
+                       eblk=eblk)
+    bm = bm_of({**{k: jnp.asarray(v) for k, v in plan.items()},
+                "pos": jnp.zeros((n, 2))}, "")
+    own_sum, oth_sum = banded_message_sum_both(
+        jnp.asarray(x), bm, jnp.asarray(w_own), jnp.asarray(w_halo),
+        jnp.asarray(w_attr), jnp.asarray(sc1), interpret=True)
+
+    # oracle at each endpoint
+    want_own = _gather_oracle(x, edge, mask, attr, 1, w_own, w_halo,
+                              w_attr, sc1)
+    e, a = edge[mask], attr[mask]
+    pre = x[e[:, 1]] @ w_own + x[e[:, 0]] @ w_halo + a @ w_attr
+    hh = np.maximum(pre * sc1[0] + sc1[1], 0.0)
+    want_oth = np.zeros((n, h), np.float64)
+    np.add.at(want_oth, e[:, 0], hh)
+    np.testing.assert_allclose(np.asarray(own_sum), want_own,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(oth_sum), want_oth,
+                               rtol=2e-4, atol=2e-4)
+
+    # two-pass mirror-plan route: dst pass over the dst-sorted plan plus
+    # src pass over the src-sorted plan (w_own/w_halo swap roles)
+    plan_s = banded_plan(edge, mask, attr, n, sortby=0, wn=wn, pad=pad,
+                         eblk=eblk)
+    bm_s = bm_of({**{k: jnp.asarray(v) for k, v in plan_s.items()},
+                  "pos": jnp.zeros((n, 2))}, "")
+    two_src = banded_message_sum(jnp.asarray(x), bm_s, jnp.asarray(w_halo),
+                                 jnp.asarray(w_own), jnp.asarray(w_attr),
+                                 jnp.asarray(sc1), interpret=True)
+    np.testing.assert_allclose(np.asarray(oth_sum), np.asarray(two_src),
+                               rtol=2e-4, atol=2e-4)
+
+    # jnp oracle of the fused route
+    ro, rt = banded_message_sum_both_reference(
+        jnp.asarray(x), bm, jnp.asarray(w_own), jnp.asarray(w_halo),
+        jnp.asarray(w_attr), jnp.asarray(sc1))
+    np.testing.assert_allclose(np.asarray(ro), want_own, rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rt), want_oth, rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_plan_rejects_band_violation():
     n, wn = 2048, 512
     edge = np.array([[0, 2047], [2047, 0]], np.int32)  # cross-batch edge

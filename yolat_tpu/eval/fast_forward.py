@@ -314,11 +314,13 @@ def _fourier(pos, n_freqs: int):
 
 @partial(jax.jit,
          static_argnames=("n_blocks_out", "interpret", "bf16",
-                          "edge_kernel", "n_freqs", "fused_pool"))
+                          "edge_kernel", "n_freqs", "fused_pool",
+                          "curve_fused"))
 def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
                     interpret: bool = False, bf16: bool = False,
                     edge_kernel: bool | None = None, n_freqs: int = 4,
-                    fused_pool: bool | None = None):
+                    fused_pool: bool | None = None,
+                    curve_fused: bool | None = None):
     """Folded-BN eval forward of YOLaTPlusPlus -> (logits, boxes).
 
     Mirrors nn/yolat_pp.py's eval math: canonical dual-stream convs
@@ -380,7 +382,8 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
     # 5.2 ms of the 8.8 ms pp step (serve_decomp 2026-08-19) — route them
     # through the ragged banded kernel when pack-time plans are present
     # (PackedLoader(extra_plans=("super", "curve")), serving paths only)
-    from yolat_tpu.ops.banded_message import banded_message_sum, bm_of
+    from yolat_tpu.ops.banded_message import (banded_message_sum,
+                                              banded_message_sum_both, bm_of)
 
     use_banded = not (edge_kernel is False or (
         edge_kernel is None and not interpret
@@ -394,7 +397,19 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
     na = batch["e_attr"].shape[1]
     cwd = bm_of(batch, "cwd_") if use_banded else None
     cws = bm_of(batch, "cws_") if use_banded else None
-    if cwd is not None and cws is not None:
+    if cwd is not None and curve_fused is not False:
+        # fused both-endpoint pass: the curve token is symmetric (the same
+        # per-edge h scatters to src AND dst), so one kernel pass over the
+        # dst-sorted plan computes h once and emits both endpoint sums —
+        # half the plan rows + shared gather one-hots vs the two-pass
+        # route below (banded_message_sum_both)
+        w_attr, w_src, w_dst = cw[:na], cw[na:na + cf], cw[na + cf:]
+        dst_sum, src_sum = banded_message_sum_both(
+            feats[-1], cwd, w_dst, w_src, w_attr, csc, interpret=interpret)
+        dcnt = jnp.maximum(batch["dst_count"], 1.0)
+        scnt = jnp.maximum(batch["src_count"], 1.0)
+        curve_at_node = dst_sum / dcnt[:, None] + src_sum / scnt[:, None]
+    elif cwd is not None and cws is not None:
         w_attr, w_src, w_dst = cw[:na], cw[na:na + cf], cw[na + cf:]
         dst_sum = banded_message_sum(feats[-1], cwd, w_dst, w_src, w_attr,
                                      csc, interpret=interpret)

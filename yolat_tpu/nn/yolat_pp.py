@@ -55,6 +55,8 @@ from flax import linen as nn
 
 from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import MLP
+from yolat_tpu.ops.banded_message import bm_of
+from yolat_tpu.ops.banded_train import banded_gather, banded_scatter_own
 from yolat_tpu.ops.segment import (plan_of, segment_max,
                                     segment_max_concat, segment_mean,
                                     sup_plan_of)
@@ -82,6 +84,10 @@ class YOLaTPlusPlus(nn.Module):
     remat: bool = False
     axis_name: Optional[str] = None
     sorted_edges: bool = False
+    # route the super-edge clique family through the custom-VJP banded
+    # primitives when a sew_ plan rides the batch (cfg.pp_banded_super;
+    # training perf — ops/banded_train.py)
+    banded_super: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
@@ -137,20 +143,52 @@ class YOLaTPlusPlus(nn.Module):
                          counts=batch.get("src_count"))
 
         # ---- primitive level (a): super-edge clique propagation ----------
-        es = batch["edge_super"]
-        es_mask = batch["super_mask"]
-        s_i = feats[-1][es[:, 1]]
-        s_j = feats[-1][es[:, 0]]
-        prim_in = jnp.concatenate([s_i, s_j - s_i, batch["e_attr_super"]],
-                                  axis=1)
-        prim_tok = MLP([2 * C + 4, C], act=self.act, norm=self.norm,
-                       axis_name=self.axis_name, name="super_edge_mlp")(
-            prim_in, mask=es_mask, train=train)
-        prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
-                                    mask=es_mask,
-                                    indices_are_sorted=self.sorted_edges,
-                                    plan=sup_plan_of(batch),
-                                    counts=batch.get("super_dst_count"))
+        # banded TRAINING route (opt-in, cfg.pp_banded_super): the clique
+        # family's gathers/scatters become custom-VJP banded one-hot MXU
+        # contractions (ops/banded_train.py — measured -26% on this family
+        # at bf16, PERF.md round 3) while the MLP/BN runs over the plan's
+        # block layout; masked BN stats over plan rows equal stats over the
+        # real edge set, so parameters stay interchangeable with the
+        # sparse route (same "super_edge_mlp" name and shapes)
+        bm = (bm_of(batch, "sew_") if self.banded_super else None)
+        if bm is not None and batch.get("super_dst_count") is not None:
+            interp = jax.default_backend() != "tpu"
+            x_own, x_oth = banded_gather(feats[-1], bm, interp)
+            x_own = x_own.astype(feats[-1].dtype)
+            x_oth = x_oth.astype(feats[-1].dtype)
+            na = batch["e_attr_super"].shape[1]
+            attr_p = batch["sew_bm_attr"].reshape(-1, na).astype(x_own.dtype)
+            rows_mask = batch["sew_bm_maskf"].reshape(-1) > 0
+            prim_in = jnp.concatenate([x_own, x_oth - x_own, attr_p], axis=1)
+            prim_tok = MLP([2 * C + na, C], act=self.act, norm=self.norm,
+                           axis_name=self.axis_name, name="super_edge_mlp")(
+                prim_in, mask=rows_mask, train=train)
+            prim_sum = banded_scatter_own(prim_tok, bm, x.shape[0], interp)
+            prim_at_node = (prim_sum / jnp.maximum(
+                batch["super_dst_count"].astype(jnp.float32), 1.0)[:, None]
+            ).astype(feats[-1].dtype)
+        else:
+            es = batch["edge_super"]
+            es_mask = batch["super_mask"]
+            s_i = feats[-1][es[:, 1]]
+            s_j = feats[-1][es[:, 0]]
+            prim_in = jnp.concatenate([s_i, s_j - s_i,
+                                       batch["e_attr_super"]], axis=1)
+            prim_tok = MLP([2 * C + 4, C], act=self.act, norm=self.norm,
+                           axis_name=self.axis_name, name="super_edge_mlp")(
+                prim_in, mask=es_mask, train=train)
+            prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
+                                        mask=es_mask,
+                                        indices_are_sorted=self.sorted_edges,
+                                        plan=sup_plan_of(batch),
+                                        counts=batch.get("super_dst_count"))
+
+        # route-parity probe: the banded and sparse clique routes differ
+        # only by f32 summation order, but the toy-scale train-mode BN
+        # downstream amplifies reorder noise chaotically (a super-edge
+        # PERMUTATION under the sparse route moves logits by 100% of
+        # scale) — tests compare here, before the amplifier
+        self.sow("intermediates", "prim_at_node", prim_at_node)
 
         # curve + clique evidence enter the LAST block's features as
         # residuals, so the canonical fusion keeps its exact dimensions

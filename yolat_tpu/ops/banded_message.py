@@ -328,6 +328,184 @@ def banded_message_sum(x, bm, w_own, w_halo, w_attr, sc1, w2=None,
       sc2.astype(jnp.float32))
 
 
+def _kernel_both(win_ref, first_ref, act_ref, xpre_ref, xmain_ref,
+                 xpost_ref, own_ref, oth_ref, attr_ref, mkf_ref, w_own_ref,
+                 w_halo_ref, w_attr_ref, sc1_ref, own_out_ref, mid_ref,
+                 lo_ref, hi_ref, *, wn: int, pad: int, eblk: int, ech: int):
+    """One pass, BOTH endpoints: the per-edge message h is computed once
+    and scattered to the own window (like _kernel) AND to the other
+    endpoint — decomposed into three window-aligned accumulators (the band
+    mid rows plus one spill tile into each neighbour window, the same
+    decomposition as ops/banded_train._scatter_kernel). Saves one full
+    kernel pass for symmetric aggregations (YOLaT++'s curve level scatters
+    the same token to src and dst: nn/yolat_pp.py curve_at_node)."""
+    g = pl.program_id(0)
+
+    @pl.when(act_ref[g] == 1)
+    def _body():
+        band = jnp.concatenate(
+            [xpre_ref[:], xmain_ref[:], xpost_ref[:]], axis=0)
+        cdt = band.dtype
+        bn = wn + 2 * pad
+        p_own = jax.lax.dot_general(
+            xmain_ref[:], w_own_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+        p_oth = jax.lax.dot_general(
+            band, w_halo_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)
+        sc1 = sc1_ref[:].astype(jnp.float32)
+        h_dim = p_own.shape[1]
+        acc_own = jnp.zeros((wn, h_dim), jnp.float32)
+        acc_mid = jnp.zeros((wn, h_dim), jnp.float32)
+        acc_lo = jnp.zeros((pad, h_dim), jnp.float32)
+        acc_hi = jnp.zeros((pad, h_dim), jnp.float32)
+        own_all = own_ref[0, 0]
+        oth_all = oth_ref[0, 0]
+        mk_all = mkf_ref[0, 0]
+        at_all = attr_ref[0].astype(cdt)
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (ech, wn), 1)
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (ech, bn), 1)
+        dn = (((1,), (0,)), ((), ()))
+        dt = (((0,), (0,)), ((), ()))
+        hp = (jax.lax.Precision.HIGHEST if cdt == jnp.float32 else
+              jax.lax.Precision.DEFAULT)
+        for c in range(eblk // ech):
+            sl = slice(c * ech, (c + 1) * ech)
+            oh_own = (own_all[sl][:, None] == iota_w).astype(cdt)
+            oh_oth = (oth_all[sl][:, None] == iota_b).astype(cdt)
+            pre = (jax.lax.dot_general(oh_own, p_own, dn, precision=hp,
+                                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(oh_oth, p_oth, dn, precision=hp,
+                                         preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(at_all[sl], w_attr_ref[:], dn,
+                                         preferred_element_type=jnp.float32))
+            h = jnp.maximum(pre * sc1[0] + sc1[1], 0.0)
+            hc = (h * mk_all[sl][:, None].astype(jnp.float32)).astype(cdt)
+            acc_own = acc_own + jax.lax.dot_general(
+                oh_own, hc, dt, precision=hp,
+                preferred_element_type=jnp.float32)
+            acc_lo = acc_lo + jax.lax.dot_general(
+                oh_oth[:, :pad], hc, dt, precision=hp,
+                preferred_element_type=jnp.float32)
+            acc_mid = acc_mid + jax.lax.dot_general(
+                oh_oth[:, pad:pad + wn], hc, dt, precision=hp,
+                preferred_element_type=jnp.float32)
+            acc_hi = acc_hi + jax.lax.dot_general(
+                oh_oth[:, pad + wn:], hc, dt, precision=hp,
+                preferred_element_type=jnp.float32)
+
+        @pl.when(first_ref[g] == 1)
+        def _init():
+            own_out_ref[:] = acc_own
+            mid_ref[:] = acc_mid
+            lo_ref[0] = acc_lo
+            hi_ref[0] = acc_hi
+
+        @pl.when(first_ref[g] == 0)
+        def _accum():
+            own_out_ref[:] = own_out_ref[:] + acc_own
+            mid_ref[:] = mid_ref[:] + acc_mid
+            lo_ref[0] = lo_ref[0] + acc_lo
+            hi_ref[0] = hi_ref[0] + acc_hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "ech"))
+def banded_message_sum_both(x, bm, w_own, w_halo, w_attr, sc1,
+                            interpret: bool = False, ech: int = 512):
+    """Per-node SUMS of the folded message at BOTH endpoints in one pass.
+
+    Returns (own_sum, oth_sum), each [N, H] f32: the message
+    h = relu(sc1 . (x_own @ W_own + x_oth @ W_halo + attr @ W_attr))
+    summed over edges at the plan's own (sorted) endpoint and at the other
+    endpoint. vs two banded_message_sum calls over mirror plans this
+    computes h once, runs one plan's edge rows once, and reuses the
+    gather one-hots for the scatters — the curve level's symmetric
+    src+dst aggregation is the consumer (eval/fast_forward.fast_forward_pp).
+    Single-stage messages only (the curve MLP is Dense->BN->relu)."""
+    win, first, active, own, oth, attr, maskf, wn_tag, pad_tag = bm
+    wn, pad = wn_tag.shape[0], pad_tag.shape[0]
+    n, _ = x.shape
+    n_eb, eblk = own.shape
+    h_dim = w_own.shape[1]
+    na = attr.shape[-1]
+    nw = n // wn
+    npb = n // pad
+    w_own = w_own.astype(x.dtype)
+    w_halo = w_halo.astype(x.dtype)
+    w_attr = w_attr.astype(x.dtype)
+    r = wn // pad
+    own = own.reshape(n_eb, 1, eblk)
+    oth = oth.reshape(n_eb, 1, eblk)
+    maskf = maskf.reshape(n_eb, 1, eblk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_eb,),
+        in_specs=[
+            pl.BlockSpec((pad, x.shape[1]),
+                         lambda g, w, f, a: (jnp.maximum(w[g] * r - 1, 0), 0)),
+            pl.BlockSpec((wn, x.shape[1]), lambda g, w, f, a: (w[g], 0)),
+            pl.BlockSpec((pad, x.shape[1]),
+                         lambda g, w, f, a: (jnp.minimum(w[g] * r + r,
+                                                         npb - 1), 0)),
+            pl.BlockSpec((1, 1, eblk), lambda g, w, f, a: (g, 0, 0)),
+            pl.BlockSpec((1, 1, eblk), lambda g, w, f, a: (g, 0, 0)),
+            pl.BlockSpec((1, eblk, na), lambda g, w, f, a: (g, 0, 0)),
+            pl.BlockSpec((1, 1, eblk), lambda g, w, f, a: (g, 0, 0)),
+            pl.BlockSpec(w_own.shape, lambda g, w, f, a: (0, 0)),
+            pl.BlockSpec(w_halo.shape, lambda g, w, f, a: (0, 0)),
+            pl.BlockSpec(w_attr.shape, lambda g, w, f, a: (0, 0)),
+            pl.BlockSpec(sc1.shape, lambda g, w, f, a: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((wn, h_dim), lambda g, w, f, a: (w[g], 0)),
+            pl.BlockSpec((wn, h_dim), lambda g, w, f, a: (w[g], 0)),
+            pl.BlockSpec((1, pad, h_dim), lambda g, w, f, a: (w[g], 0, 0)),
+            pl.BlockSpec((1, pad, h_dim), lambda g, w, f, a: (w[g], 0, 0)),
+        ],
+    )
+    kern = functools.partial(_kernel_both, wn=wn, pad=pad, eblk=eblk,
+                             ech=min(ech, eblk))
+    own_sum, mid, lo, hi = pl.pallas_call(
+        kern, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, h_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((n, h_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((nw, pad, h_dim), jnp.float32),
+                   jax.ShapeDtypeStruct((nw, pad, h_dim), jnp.float32)],
+        interpret=interpret,
+    )(win, first, active, x, x, x, own, oth, attr, maskf,
+      w_own, w_halo, w_attr, sc1.astype(jnp.float32))
+    # spill tiles: lo[k] lands on the tail pad rows of window k-1, hi[k]
+    # on the head pad rows of window k+1 — window-aligned adds, no scatter
+    # (ops/banded_train._scatter_call's combination)
+    grid = mid.reshape(nw, wn, h_dim)
+    lo_add = jnp.zeros_like(grid).at[:, wn - pad:, :].set(
+        jnp.concatenate([lo[1:], jnp.zeros_like(lo[:1])], axis=0))
+    hi_add = jnp.zeros_like(grid).at[:, :pad, :].set(
+        jnp.concatenate([jnp.zeros_like(hi[:1]), hi[:-1]], axis=0))
+    oth_sum = (grid + lo_add + hi_add).reshape(n, h_dim)
+    return own_sum, oth_sum
+
+
+def banded_message_sum_both_reference(x, bm, w_own, w_halo, w_attr, sc1):
+    """jnp oracle for banded_message_sum_both (tests only)."""
+    win, first, active, own, oth, attr, maskf = (
+        jnp.asarray(a) for a in bm[:7])
+    wn, pad = bm[7].shape[0], bm[8].shape[0]
+    n, _ = x.shape
+    base = win.astype(jnp.int32) * wn
+    own_g = jnp.clip(base[:, None] + own, 0, n - 1)
+    oth_g = jnp.clip(base[:, None] + oth - pad, 0, n - 1)
+    pre = (x[own_g] @ w_own.astype(x.dtype)
+           + x[oth_g] @ w_halo.astype(x.dtype)
+           + attr.astype(x.dtype) @ w_attr.astype(x.dtype))
+    h = jnp.maximum(pre.astype(jnp.float32) * sc1[0] + sc1[1], 0.0)
+    h = h * maskf[..., None] * active[:, None, None]
+    flat = h.reshape(-1, h.shape[-1])
+    return (jax.ops.segment_sum(flat, own_g.reshape(-1), num_segments=n),
+            jax.ops.segment_sum(flat, oth_g.reshape(-1), num_segments=n))
+
+
 def banded_message_sum_reference(x, bm, w_own, w_halo, w_attr, sc1,
                                  w2=None, sc2=None):
     """jnp oracle — identical banded math, XLA-scheduled (tests only)."""

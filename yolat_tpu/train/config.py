@@ -103,6 +103,10 @@ class Config:
                                     # ops/edge_window_train.py), or 'dense'
     sorted_edges: bool = True       # pack_files emits dst-sorted edges; set
                                     # False only for ad-hoc batch sources
+    pp_banded_super: bool = False   # YOLaT++ training: route the super-edge
+                                    # clique family through the custom-VJP
+                                    # banded primitives (ops/banded_train.py;
+                                    # attaches the sew_ plan to train batches)
     buckets: int = 1                # size-bucketed padding (programs per loader)
     scan_steps: int = 1             # train steps per device dispatch (lax.scan
                                     # chain; amortises remote-link latency)

@@ -64,7 +64,8 @@ def build_model(cfg, axis_name: Optional[str] = None):
     if arch in ("yolat_pp", "yolat++", "hierarchical"):
         from yolat_tpu.nn.yolat_pp import YOLaTPlusPlus
 
-        return YOLaTPlusPlus(**kw)
+        return YOLaTPlusPlus(
+            banded_super=getattr(cfg, "pp_banded_super", False), **kw)
     if arch not in CANONICAL_ARCHS:
         # the reference CLI dispatches more names (votenet, two_stage*,
         # cluster, ... — cad_recognition/test.py:60-85) whose modules are
@@ -135,7 +136,9 @@ def _step_body(model, tx, state: TrainState, batch: dict, key,
         from yolat_tpu.ops.edge_window import EW_BATCH_KEYS
 
         stale = ("dst_count", "src_count", "super_dst_count") + EW_BATCH_KEYS
-        batch = {k: v for k, v in batch.items() if k not in stale}
+        batch = {k: v for k, v in batch.items()
+                 if k not in stale
+                 and not k.startswith(("sew_", "cwd_", "cws_"))}
     batch = finalize_batch(batch, key=key, data_aug=data_aug,
                            drop_edge=drop_edge)
     if compute_dtype is not None:

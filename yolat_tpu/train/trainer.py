@@ -98,10 +98,15 @@ def run_training(cfg, exp_dir: str | None = None, max_steps: int | None = None):
     # eval loader keeps the dense layout for the folded-BN serving paths
     train_dense = (cfg.dense_layout
                    and getattr(cfg, "train_layout", "sparse") == "dense")
+    # the banded super-family training route needs the sew_ plan packed
+    # into TRAIN batches (cfg.pp_banded_super; ops/banded_train.py)
+    train_plans = (("super",) if getattr(cfg, "pp_banded_super", False)
+                   else ())
     train_loader = PackedLoader(
         train_ds, batch_size=cfg.batch_size, n_devices=local_d,
         shuffle=True, seed=cfg.seed, dense=train_dense,
         buckets=cfg.buckets, host_id=proc_id, n_hosts=n_procs,
+        extra_plans=train_plans,
     )
     # eval runs on process 0 over the FULL test split with its local
     # devices (no host sharding); other hosts never iterate it, so they
