@@ -43,6 +43,9 @@ def main():
     p.add_argument("--mixup", type=float, default=0.0,
                    help="mixup probability (reference --do_mixup; pairs "
                         "CCs side-by-side with bipartite super edges)")
+    p.add_argument("--iou_aware", action="store_true",
+                   help="IoU-aware soft classification targets "
+                        "(cfg.iou_aware_loss; high-IoU-tail lever)")
     args = p.parse_args()
 
     from yolat_tpu.cli.common import apply_platform_env
@@ -88,6 +91,7 @@ def main():
         arch=args.arch,
         do_mixup=args.mixup,
         n_devices=args.n_devices,
+        iou_aware_loss=args.iou_aware,
     )
     t0 = time.time()
     state, results = run_training(cfg)
@@ -102,6 +106,7 @@ def main():
         "wall_s": wall,
         "epochs": args.epochs,
         "arch": args.arch,
+        "iou_aware": args.iou_aware,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)

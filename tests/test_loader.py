@@ -239,3 +239,29 @@ class TestPreprocWorkers:
             assert base.pad.key() == pooled.pad.key()
         finally:
             pooled.close()
+
+
+class TestLabelIoU:
+    def test_label_iou_rides_batches(self, synthetic_root):
+        """cfg.iou_aware_loss's pack-time quality target: positive
+        proposals carry IoU(box, matched GT) > IOU_LABEL_TH, background
+        rows carry 0, and at least one proposal per image is GT-exact
+        (the synthetic generator draws symbols as whole CCs)."""
+        from yolat_tpu.geom.proposals import IOU_LABEL_TH
+
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        loader = PackedLoader(ds, batch_size=2, shuffle=False)
+        n_classes = ds.n_classes
+        saw_exact = False
+        for batch in loader:
+            b = {k: v[0] for k, v in batch.items()}
+            q = np.asarray(b["label_iou"])
+            labels = np.asarray(b["labels"])
+            pmask = np.asarray(b["proposal_mask"])
+            pos = pmask & (labels != n_classes - 1)
+            bg = pmask & (labels == n_classes - 1)
+            assert (q[bg] == 0.0).all()
+            assert (q[pos] > IOU_LABEL_TH).all()
+            assert (q[pos] <= 1.0 + 1e-6).all()
+            saw_exact |= bool((q[pos] > 0.99).any())
+        assert saw_exact

@@ -192,3 +192,30 @@ class TestTraining:
         assert float(masked) != float(full)
         want = -(jax.nn.log_softmax(logits)[0, 0] + jax.nn.log_softmax(logits)[1, 1]) / 2
         np.testing.assert_allclose(float(masked), float(want), rtol=1e-6)
+
+    def test_detection_loss_iou_aware(self):
+        """label_iou soft targets (cfg.iou_aware_loss): q=1 positives (and
+        background rows at any q) reduce to the hard CE; q<1 positives
+        train toward {class: q, background: 1-q}."""
+        logits = jnp.array([[2.0, -1.0, 0.3], [0.0, 5.0, -2.0],
+                            [1.0, 0.5, 4.0]])
+        labels = jnp.array([0, 1, 2])  # last = background (K-1)
+        mask = jnp.ones(3, bool)
+        hard = detection_loss(logits, labels, mask)["loss"]
+        exact = detection_loss(logits, labels, mask,
+                               label_iou=jnp.array([1.0, 1.0, 0.0]))["loss"]
+        np.testing.assert_allclose(float(exact), float(hard), rtol=1e-6)
+
+        q = jnp.array([0.73, 1.0, 0.0])
+        soft = detection_loss(logits, labels, mask, label_iou=q)["loss"]
+        logp = jax.nn.log_softmax(logits)
+        want = -(0.73 * logp[0, 0] + 0.27 * logp[0, 2]
+                 + logp[1, 1] + logp[2, 2]) / 3
+        np.testing.assert_allclose(float(soft), float(want), rtol=1e-6)
+        # the soft loss ORDERS quality: at equal logits, a q=0.73 row wants
+        # lower class confidence than a q=1.0 row
+        g = jax.grad(lambda lg: detection_loss(
+            lg, labels, mask, label_iou=q)["loss"])(logits)
+        gh = jax.grad(lambda lg: detection_loss(lg, labels, mask)["loss"])(
+            logits)
+        assert float(g[0, 2]) < float(gh[0, 2])  # bg channel pushed UP less hard

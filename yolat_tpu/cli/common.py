@@ -83,6 +83,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="conv edge layout for training: sparse dst-sorted "
                         "list, banded Pallas window kernels (custom VJPs), "
                         "or the dense D-slot table")
+    p.add_argument("--pp_banded_super", default=d.pp_banded_super, type=_bool,
+                   help="YOLaT++ training: banded custom-VJP clique route "
+                        "(measured neutral; PERF.md)")
+    p.add_argument("--iou_aware_loss", default=d.iou_aware_loss, type=_bool,
+                   help="quality-focal soft targets: positive proposals "
+                        "train toward {class: IoU, background: 1-IoU} so "
+                        "confidence orders overlapping proposals by quality")
     p.add_argument("--buckets", default=d.buckets, type=int,
                    help="size-bucketed padding: compiled programs per loader")
     p.add_argument("--scan_steps", default=d.scan_steps, type=int,

@@ -122,8 +122,8 @@ class CompactFile:
 
     __slots__ = ("pos", "node_mask", "bbox_idx", "edge", "e_attr",
                  "edge_super", "e_attr_super", "super_valid", "labels",
-                 "bbox", "stat_feats", "has_obj", "is_root_mask",
-                 "root_slot_local", "n_proposals")
+                 "bbox", "stat_feats", "has_obj", "label_iou",
+                 "is_root_mask", "root_slot_local", "n_proposals")
 
     def __init__(self, f):
         from yolat_tpu.ops.segment import POOL_BLOCK
@@ -172,6 +172,23 @@ class CompactFile:
         self.bbox = np.ascontiguousarray(f.bbox, np.float32)
         self.stat_feats = np.ascontiguousarray(f.stat_feats, np.float32)
         self.has_obj = np.ascontiguousarray(f.has_obj, np.int32)
+        # per-proposal label quality: IoU(proposal box, matched GT box) for
+        # positive labels, 0 for background — the soft target of the
+        # IoU-aware classification loss (cfg.iou_aware_loss; computed from
+        # the labeler's stored bbox_targets, geom/proposals.py:448, so no
+        # preprocessed-file format change)
+        tgt = np.asarray(f.bbox_targets, np.float64)
+        box = np.asarray(f.bbox, np.float64)
+        pos_lbl = tgt.any(axis=1)
+        ix0 = np.maximum(box[:, 0], tgt[:, 0])
+        iy0 = np.maximum(box[:, 1], tgt[:, 1])
+        ix1 = np.minimum(box[:, 2], tgt[:, 2])
+        iy1 = np.minimum(box[:, 3], tgt[:, 3])
+        inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+        ab = (box[:, 2] - box[:, 0]) * (box[:, 3] - box[:, 1])
+        at = (tgt[:, 2] - tgt[:, 0]) * (tgt[:, 3] - tgt[:, 1])
+        iou = inter / np.maximum(ab + at - inter, 1e-12)
+        self.label_iou = np.where(pos_lbl, iou, 0.0).astype(np.float32)
         P = len(self.labels)
         self.n_proposals = P
         self.is_root_mask = np.zeros(P, bool)
@@ -267,6 +284,7 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
         "bbox": np.zeros((pad.n_proposals, 4), np.float32),
         "stat_feats": np.zeros((pad.n_proposals, 13), np.float32),
         "has_obj": np.zeros(pad.n_proposals, np.int32),
+        "label_iou": np.zeros(pad.n_proposals, np.float32),
         "image_id": np.zeros(pad.n_proposals, np.int32),
         "is_root": np.zeros(pad.n_proposals, bool),
         "root_slot": np.zeros(pad.n_proposals, np.int32),
@@ -314,6 +332,7 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
         batch["bbox"][p_off : p_off + p] = f.bbox
         batch["stat_feats"][p_off : p_off + p] = f.stat_feats
         batch["has_obj"][p_off : p_off + p] = f.has_obj
+        batch["label_iou"][p_off : p_off + p] = f.label_iou
         batch["image_id"][p_off : p_off + p] = img
         batch["is_root"][p_off : p_off + p] = f.is_root_mask
         # per-proposal pointer to its CC's root proposal (two-pass inference)

@@ -203,21 +203,44 @@ class SparseCADGCN(nn.Module):
         return logits, batch["bbox"]
 
 
-def detection_loss(pred_cls, labels, proposal_mask, classifier: str = "softmax"):
+def detection_loss(pred_cls, labels, proposal_mask, classifier: str = "softmax",
+                   label_iou=None):
     """Masked classification loss over proposals (DetectionLoss,
     architecture3cc_rpn_gp_iter2.py:358-379). Returns a dict
     {'loss', 'loss_cls'} like the reference. Logits are upcast to f32 so the
-    log-softmax/NLL is stable under bf16 mixed-precision training."""
+    log-softmax/NLL is stable under bf16 mixed-precision training.
+
+    label_iou (optional, cfg.iou_aware_loss): per-proposal quality
+    q = IoU(proposal box, matched GT) packed by the loader. The hard
+    positive target becomes the soft pair {class: q, background: 1-q}, so
+    trained confidence tracks localisation quality. Rationale (measured,
+    scripts/pp_tail_probe.py): the labeler marks any proposal with
+    IoU > 0.7 positive (geom/proposals.py IOU_LABEL_TH, reference parity),
+    so a 0.73-IoU sibling and the exact box train toward the SAME hard
+    target — nothing orders them at NMS time, and YOLaT++'s hierarchy makes
+    sibling scores near-identical (6/192 GTs kept a 0.66-0.73 box over an
+    available exact one at margins <3e-3 on the n32 gate). Goes beyond the
+    reference (quality-focal-style soft label); off by default."""
     pred_cls = pred_cls.astype(jnp.float32)
     m = proposal_mask.astype(pred_cls.dtype)
     denom = jnp.maximum(m.sum(), 1.0)
+    k = pred_cls.shape[-1]
+    background = k - 1
+    onehot = jax.nn.one_hot(labels, k, dtype=pred_cls.dtype)
+    if label_iou is not None:
+        q = jnp.where(labels == background, 1.0,
+                      label_iou.astype(pred_cls.dtype))[:, None]
+        bg = jax.nn.one_hot(jnp.full_like(labels, background), k,
+                            dtype=pred_cls.dtype)
+        target = onehot * q + bg * (1.0 - q)
+    else:
+        target = onehot
     if classifier == "softmax":
         logp = jax.nn.log_softmax(pred_cls, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        nll = -(target * logp).sum(axis=-1)
         loss = (nll * m).sum() / denom
     else:
-        onehot = jax.nn.one_hot(labels, pred_cls.shape[-1], dtype=pred_cls.dtype)
         p = jnp.clip(pred_cls, 1e-7, 1 - 1e-7)
-        bce = -(onehot * jnp.log(p) + (1 - onehot) * jnp.log(1 - p)).mean(axis=-1)
+        bce = -(target * jnp.log(p) + (1 - target) * jnp.log(1 - p)).mean(axis=-1)
         loss = (bce * m).sum() / denom
     return {"loss": loss, "loss_cls": loss}

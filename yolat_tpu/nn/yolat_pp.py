@@ -111,6 +111,8 @@ class YOLaTPlusPlus(nn.Module):
             pe, mask=node_mask, train=train
         )
 
+        self.sow("probe", "pe", pe_tok)
+
         f, s = x, x
         feats, feats_super = [], []
         for i in range(self.n_blocks):
@@ -127,6 +129,8 @@ class YOLaTPlusPlus(nn.Module):
                 f = f + gate("gate_point") * pe_tok
             feats.append(f)
             feats_super.append(s)
+            self.sow("probe", f"conv{i + 1}_f", f)
+            self.sow("probe", f"conv{i + 1}_s", s)
 
         # ---- curve level: per-edge tokens scattered to endpoints ---------
         x_src = feats[-1][edge[:, 0]]
@@ -141,6 +145,7 @@ class YOLaTPlusPlus(nn.Module):
             counts=batch.get("dst_count"),
         ) + segment_mean(curve_tok, edge[:, 0], x.shape[0], mask=edge_mask,
                          counts=batch.get("src_count"))
+        self.sow("probe", "curve", curve_at_node)
 
         # ---- primitive level (a): super-edge clique propagation ----------
         # banded TRAINING route (opt-in, cfg.pp_banded_super): the clique
@@ -189,6 +194,7 @@ class YOLaTPlusPlus(nn.Module):
         # PERMUTATION under the sparse route moves logits by 100% of
         # scale) — tests compare here, before the amplifier
         self.sow("intermediates", "prim_at_node", prim_at_node)
+        self.sow("probe", "prim", prim_at_node)
 
         # curve + clique evidence enter the LAST block's features as
         # residuals, so the canonical fusion keeps its exact dimensions
@@ -217,6 +223,7 @@ class YOLaTPlusPlus(nn.Module):
             pooled_super, mask=batch["proposal_mask"], train=train
         )
         out_super = jnp.concatenate([fusion_super, pooled_super], axis=1)
+        self.sow("probe", "node_stream", out_super)
 
         # ---- primitive level (b): REAL super-node tokens -----------------
         # geom/hierarchical.py getSuperNode parity on the packed batch:
@@ -239,11 +246,13 @@ class YOLaTPlusPlus(nn.Module):
                         axis_name=self.axis_name, name="super_node_mlp")(
             sup_in, mask=batch["proposal_mask"], train=train
         )
+        self.sow("probe", "super_tok", super_tok)
 
         # ---- canonical head, super tokens as a 512-d gated residual ------
         pooled = segment_max_concat((fusion, cat), bbox_idx, n_prop,
                                     mask=node_mask, indices_are_sorted=True,
                                     plan=pool)
+        self.sow("probe", "pool_head", pooled)
         h = jnp.concatenate([pooled, out_super], axis=1)
         h = MLP([(fusion_dims + 1024) * 2, 512], act=self.act, norm=self.norm,
                 axis_name=self.axis_name, name="pred_0")(
@@ -256,6 +265,7 @@ class YOLaTPlusPlus(nn.Module):
         )
         logits = MLP([256, self.n_classes], act=None, norm=None,
                      name="pred_2")(h, train=train)
+        self.sow("probe", "pred", logits)
         if self.classifier != "softmax":
             logits = jax.nn.sigmoid(logits)
         return logits, batch["bbox"]

@@ -107,6 +107,13 @@ class Config:
                                     # clique family through the custom-VJP
                                     # banded primitives (ops/banded_train.py;
                                     # attaches the sew_ plan to train batches)
+    iou_aware_loss: bool = False    # quality-focal-style soft targets: a
+                                    # positive proposal trains toward
+                                    # {class: IoU vs GT, background: 1-IoU}
+                                    # so confidence orders overlapping
+                                    # proposals by localisation quality
+                                    # (beyond-reference; nn/model.py
+                                    # detection_loss label_iou)
     buckets: int = 1                # size-bucketed padding (programs per loader)
     scan_steps: int = 1             # train steps per device dispatch (lax.scan
                                     # chain; amortises remote-link latency)

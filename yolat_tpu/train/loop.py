@@ -119,7 +119,7 @@ _DENSE_KEYS = ("nbr_idx", "nbr_attr", "nbr_mask")
 def _step_body(model, tx, state: TrainState, batch: dict, key,
                data_aug: bool, classifier: str, axis_name: Optional[str],
                drop_edge: float = 0.0, compute_dtype=None,
-               train_layout: str = "sparse"):
+               train_layout: str = "sparse", iou_aware: bool = False):
     if train_layout in ("sparse", "window"):
         # training runs the sparse dst-sorted edge branch (or the banded
         # window branch): the dense [N, D] slot table is mostly padding at
@@ -166,7 +166,8 @@ def _step_body(model, tx, state: TrainState, batch: dict, key,
             rngs={"dropout": key},
         )
         loss_dict = detection_loss(
-            logits, batch["labels"], batch["proposal_mask"], classifier
+            logits, batch["labels"], batch["proposal_mask"], classifier,
+            label_iou=(batch.get("label_iou") if iou_aware else None),
         )
         return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
 
@@ -203,7 +204,8 @@ def make_train_step(cfg, tx):
         return _step_body(model, tx, state, batch, key, cfg.data_aug,
                           cfg.classifier, axis_name=None,
                           drop_edge=cfg.drop_edge, compute_dtype=cdtype,
-                          train_layout=getattr(cfg, "train_layout", "sparse"))
+                          train_layout=getattr(cfg, "train_layout", "sparse"),
+                          iou_aware=getattr(cfg, "iou_aware_loss", False))
 
     return step
 
@@ -238,7 +240,9 @@ def make_scan_train_step(cfg, tx, n_steps: int):
                                      drop_edge=cfg.drop_edge,
                                      compute_dtype=cdtype,
                                      train_layout=getattr(cfg, "train_layout",
-                                                          "sparse"))
+                                                          "sparse"),
+                                     iou_aware=getattr(cfg, "iou_aware_loss",
+                                                       False))
             return (st, k), metrics
 
         (st, _), metrics = jax.lax.scan(body, (state, key), stacked)
@@ -267,7 +271,9 @@ def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
                                           drop_edge=cfg.drop_edge,
                                           compute_dtype=cdtype,
                                           train_layout=getattr(
-                                              cfg, "train_layout", "sparse"))
+                                              cfg, "train_layout", "sparse"),
+                                          iou_aware=getattr(
+                                              cfg, "iou_aware_loss", False))
         return new_state, loss_dict
 
     mapped = jax.shard_map(
