@@ -58,7 +58,7 @@ def main():
     rng = np.random.default_rng(0)
     res = {"n_nodes": int(n), "dtype": "bf16"}
 
-    for ci in (5, 64):
+    for ci in (5, 8, 16, 64):
         h = 64
         w1 = jnp.asarray(rng.normal(size=(2 * ci + 4, h)) * 0.1, jnp.bfloat16)
         sc1 = jnp.asarray(np.stack([np.ones(h), np.zeros(h)]), jnp.float32)

@@ -82,6 +82,10 @@ def main():
                          f"(have {sorted(state.batch_stats)})")
 
     def prep(batch, key):
+        # strip the [1, ...] device axis (same as make_train_step)
+        batch = jax.tree.map(
+            lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x,
+            batch)
         batch = {k: v for k, v in batch.items() if k not in _DENSE_KEYS}
         batch = finalize_batch(batch, key=key, data_aug=cfg.data_aug)
         if cdtype is not None:

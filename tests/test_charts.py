@@ -80,9 +80,11 @@ class TestChartDPGate:
         step = make_dp_train_step(cfg, tx, mesh)
 
         losses = []
-        for it in range(3):
+        for it in range(12):
             state, m = step(state, stacked, jax.random.key(it))
             losses.append(float(m["loss"]))
         assert all(np.isfinite(losses)), losses
-        # the model must be learning the chart vocabulary, not diverging
-        assert losses[-1] < losses[0] * 1.5
+        # the model must actually be LEARNING the chart vocabulary: a real
+        # decrease over 12 repeated-batch steps (any healthy model
+        # overfits one batch fast; a frozen/broken one cannot pass this)
+        assert min(losses[-3:]) < losses[0] * 0.8, losses

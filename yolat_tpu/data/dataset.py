@@ -44,7 +44,7 @@ def _loader_worker_load(idx: int):
     from yolat_tpu.data.packing import CompactFile
 
     f, gt, wh = _LOADER_WORKER_DS.load(idx)
-    return idx, (CompactFile(f), gt, wh)
+    return idx, (CompactFile(f, n_classes=_LOADER_WORKER_DS.n_classes), gt, wh)
 
 
 # bump when the graph/proposal cache formats change semantically
@@ -297,7 +297,7 @@ class PackedLoader:
         if hit is not None:
             return hit
         f, gt, wh = self.ds.load(i)
-        item = (CompactFile(f), gt, wh)
+        item = (CompactFile(f, n_classes=getattr(self.ds, 'n_classes', None)), gt, wh)
         if self.cache_files:
             self._compact[i] = item
         return item
@@ -308,9 +308,14 @@ class PackedLoader:
         if self._pool is None:
             import multiprocessing as mp
 
-            # spawn: never fork a parent that may hold live JAX/TPU state
+            # spawn: never fork a parent that may hold live JAX/TPU state.
+            # Clamp to the core count: preprocessing is CPU-bound (parse +
+            # geometry), so oversubscribing a small host only adds
+            # scheduler/cache churn — measured 146.6 -> 105.6 SVG/s going
+            # 1 -> 4 workers on a 1-core host (BENCH_r03 extras).
             ctx = mp.get_context("spawn")
-            self._pool = ctx.Pool(self.preproc_workers,
+            n_procs = max(1, min(self.preproc_workers, os.cpu_count() or 1))
+            self._pool = ctx.Pool(n_procs,
                                   initializer=_loader_worker_init,
                                   initargs=(self.ds.ctor_kwargs(),))
         return self._pool

@@ -125,7 +125,7 @@ class CompactFile:
                  "bbox", "stat_feats", "has_obj", "label_iou",
                  "is_root_mask", "root_slot_local", "n_proposals")
 
-    def __init__(self, f):
+    def __init__(self, f, n_classes=None):
         from yolat_tpu.ops.segment import POOL_BLOCK
 
         bbox_idx = np.asarray(f.bbox_idx, np.int64)
@@ -179,7 +179,14 @@ class CompactFile:
         # preprocessed-file format change)
         tgt = np.asarray(f.bbox_targets, np.float64)
         box = np.asarray(f.bbox, np.float64)
-        pos_lbl = tgt.any(axis=1)
+        if n_classes is not None:
+            # positivity from the stored label (background = n_classes-1,
+            # geom/proposals.py:452); a degenerate all-zero GT box row
+            # then still counts as positive (label_iou 0) instead of
+            # silently training as background
+            pos_lbl = self.labels != (n_classes - 1)
+        else:
+            pos_lbl = tgt.any(axis=1)
         ix0 = np.maximum(box[:, 0], tgt[:, 0])
         iy0 = np.maximum(box[:, 1], tgt[:, 1])
         ix1 = np.minimum(box[:, 2], tgt[:, 2])

@@ -272,6 +272,10 @@ def banded_message_sum(x, bm, w_own, w_halo, w_attr, sc1, w2=None,
     wn, pad = wn_tag.shape[0], pad_tag.shape[0]
     n, _ = x.shape
     n_eb, eblk = own.shape
+    if eblk % min(ech, eblk) != 0:
+        raise ValueError(
+            f"plan eblk={eblk} must be a multiple of ech={min(ech, eblk)}: "
+            "the kernel chunk loop would silently drop trailing edge rows")
     h_dim = w_own.shape[1]
     na = attr.shape[-1]
     nw = n // wn
@@ -426,6 +430,10 @@ def banded_message_sum_both(x, bm, w_own, w_halo, w_attr, sc1,
     wn, pad = wn_tag.shape[0], pad_tag.shape[0]
     n, _ = x.shape
     n_eb, eblk = own.shape
+    if eblk % min(ech, eblk) != 0:
+        raise ValueError(
+            f"plan eblk={eblk} must be a multiple of ech={min(ech, eblk)}: "
+            "the kernel chunk loop would silently drop trailing edge rows")
     h_dim = w_own.shape[1]
     na = attr.shape[-1]
     nw = n // wn

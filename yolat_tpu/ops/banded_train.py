@@ -63,47 +63,58 @@ def _prec(cdt):
 
 def _gather_kernel(win_ref, first_ref, act_ref, xpre_ref, xmain_ref,
                    xpost_ref, own_ref, oth_ref, mkf_ref, own_out_ref,
-                   oth_out_ref, *, wn, pad, eblk, ech):
+                   oth_out_ref=None, *, wn, pad, eblk, ech,
+                   own_only=False):
     g = pl.program_id(0)
 
     @pl.when(act_ref[g] == 0)
     def _zero():  # inactive blocks must not leak uninitialised HBM rows
         own_out_ref[:] = jnp.zeros_like(own_out_ref)
-        oth_out_ref[:] = jnp.zeros_like(oth_out_ref)
+        if not own_only:
+            oth_out_ref[:] = jnp.zeros_like(oth_out_ref)
 
     @pl.when(act_ref[g] == 1)
     def _body():
-        band = jnp.concatenate(
-            [xpre_ref[:], xmain_ref[:], xpost_ref[:]], axis=0)
         xm = xmain_ref[:]
-        cdt = band.dtype
+        cdt = xm.dtype
         bn = wn + 2 * pad
         hp = _prec(cdt)
         own_all = own_ref[0, 0]
         oth_all = oth_ref[0, 0]
         mk_all = mkf_ref[0, 0]
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (ech, wn), 1)
-        iota_b = jax.lax.broadcasted_iota(jnp.int32, (ech, bn), 1)
         dn = (((1,), (0,)), ((), ()))
+        if not own_only:
+            # the oth endpoint reads the full (wn + 2*pad) band; own-only
+            # callers (banded_scatter_own's backward) skip the concat and
+            # the wide contraction entirely — it doubles the kernel cost
+            band = jnp.concatenate(
+                [xpre_ref[:], xmain_ref[:], xpost_ref[:]], axis=0)
+            iota_b = jax.lax.broadcasted_iota(jnp.int32, (ech, bn), 1)
         for c in range(eblk // ech):
             sl = slice(c * ech, (c + 1) * ech)
             mk = mk_all[sl][:, None].astype(jnp.float32)
             oh_own = (own_all[sl][:, None] == iota_w).astype(cdt)
-            oh_oth = (oth_all[sl][:, None] == iota_b).astype(cdt)
             own_out_ref[sl, :] = jax.lax.dot_general(
                 oh_own, xm, dn, precision=hp,
                 preferred_element_type=jnp.float32) * mk
-            oth_out_ref[sl, :] = jax.lax.dot_general(
-                oh_oth, band, dn, precision=hp,
-                preferred_element_type=jnp.float32) * mk
+            if not own_only:
+                oh_oth = (oth_all[sl][:, None] == iota_b).astype(cdt)
+                oth_out_ref[sl, :] = jax.lax.dot_general(
+                    oh_oth, band, dn, precision=hp,
+                    preferred_element_type=jnp.float32) * mk
 
 
-def _gather_impl(x, bm, interpret, ech):
+def _gather_impl(x, bm, interpret, ech, own_only=False):
     win, first, active, own, oth, attr, maskf, wn_tag, pad_tag = bm
     del attr
     wn, pad = wn_tag.shape[0], pad_tag.shape[0]
     n, c = x.shape
     n_eb, eblk = own.shape
+    if eblk % min(ech, eblk) != 0:
+        raise ValueError(
+            f"plan eblk={eblk} must be a multiple of ech={min(ech, eblk)}: "
+            "the kernel chunk loop would silently drop trailing edge rows")
     r = wn // pad
     npb = n // pad
     own3 = own.reshape(n_eb, 1, eblk)
@@ -123,20 +134,19 @@ def _gather_impl(x, bm, interpret, ech):
             pl.BlockSpec((1, 1, eblk), lambda g, w, f, a: (g, 0, 0)),
             pl.BlockSpec((1, 1, eblk), lambda g, w, f, a: (g, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((eblk, c), lambda g, w, f, a: (g, 0)),
-            pl.BlockSpec((eblk, c), lambda g, w, f, a: (g, 0)),
-        ],
+        out_specs=[pl.BlockSpec((eblk, c), lambda g, w, f, a: (g, 0))] * (
+            1 if own_only else 2),
     )
     kern = functools.partial(_gather_kernel, wn=wn, pad=pad, eblk=eblk,
-                             ech=min(ech, eblk))
+                             ech=min(ech, eblk), own_only=own_only)
     rows = n_eb * eblk
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows, c), jnp.float32),
-                   jax.ShapeDtypeStruct((rows, c), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((rows, c), jnp.float32)] * (
+            1 if own_only else 2),
         interpret=interpret,
     )(win, first, active, x, x, x, own3, oth3, mk3)
+    return out[0] if own_only else out
 
 
 # --------------------------------------------------------------------------
@@ -145,7 +155,7 @@ def _gather_impl(x, bm, interpret, ech):
 
 
 def _scatter_kernel(win_ref, first_ref, act_ref, rows_ref, own_ref,
-                    oth_ref, mkf_ref, mid_ref, lo_ref, hi_ref, *,
+                    oth_ref, mkf_ref, mid_ref, lo_ref=None, hi_ref=None, *,
                     wn, pad, eblk, ech, target_oth):
     g = pl.program_id(0)
 
@@ -208,11 +218,29 @@ def _scatter_call(rows, bm, n, target_oth, interpret, ech):
     del attr
     wn, pad = wn_tag.shape[0], pad_tag.shape[0]
     n_eb, eblk = own.shape
+    if eblk % min(ech, eblk) != 0:
+        raise ValueError(
+            f"plan eblk={eblk} must be a multiple of ech={min(ech, eblk)}: "
+            "the kernel chunk loop would silently drop trailing edge rows")
     h_dim = rows.shape[1]
     nw = n // wn
     own3 = own.reshape(n_eb, 1, eblk)
     oth3 = oth.reshape(n_eb, 1, eblk)
     mk3 = maskf.reshape(n_eb, 1, eblk)
+    # own-side scatters land only inside their window: the lo/hi spill
+    # outputs exist only in target_oth mode (a mid-only signature avoids
+    # two dead uninitialised HBM allocations on the hot own path)
+    out_specs = [pl.BlockSpec((wn, h_dim), lambda g, w, f, a: (w[g], 0))]
+    out_shape = [jax.ShapeDtypeStruct((n, h_dim), jnp.float32)]
+    if target_oth:
+        out_specs += [
+            pl.BlockSpec((1, pad, h_dim), lambda g, w, f, a: (w[g], 0, 0)),
+            pl.BlockSpec((1, pad, h_dim), lambda g, w, f, a: (w[g], 0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((nw, pad, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((nw, pad, h_dim), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_eb,),
@@ -222,23 +250,18 @@ def _scatter_call(rows, bm, n, target_oth, interpret, ech):
             pl.BlockSpec((1, 1, eblk), lambda g, w, f, a: (g, 0, 0)),
             pl.BlockSpec((1, 1, eblk), lambda g, w, f, a: (g, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((wn, h_dim), lambda g, w, f, a: (w[g], 0)),
-            pl.BlockSpec((1, pad, h_dim), lambda g, w, f, a: (w[g], 0, 0)),
-            pl.BlockSpec((1, pad, h_dim), lambda g, w, f, a: (w[g], 0, 0)),
-        ],
+        out_specs=out_specs,
     )
     kern = functools.partial(_scatter_kernel, wn=wn, pad=pad, eblk=eblk,
                              ech=min(ech, eblk), target_oth=target_oth)
-    mid, lo, hi = pl.pallas_call(
+    out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, h_dim), jnp.float32),
-                   jax.ShapeDtypeStruct((nw, pad, h_dim), jnp.float32),
-                   jax.ShapeDtypeStruct((nw, pad, h_dim), jnp.float32)],
+        out_shape=out_shape,
         interpret=interpret,
     )(win, first, active, rows, own3, oth3, mk3)
     if not target_oth:
-        return mid
+        return out[0]
+    mid, lo, hi = out
     # spill tiles: lo[k] lands on the tail pad rows of window k-1, hi[k]
     # on the head pad rows of window k+1 — window-aligned adds, no scatter
     grid = mid.reshape(nw, wn, h_dim)
@@ -296,7 +319,10 @@ def _scatter_own_fwd(rows, bm, n, interpret, ech):
 def _scatter_own_bwd(n, interpret, ech, res, g):
     bm, sentinel = res
     dtype = sentinel.dtype
-    g_rows, _ = _gather_impl(g.astype(dtype), bm, interpret, ech)
+    # own-only: the oth gather's (wn+2*pad)-wide band contraction would
+    # roughly double the backward cost for a discarded output
+    g_rows = _gather_impl(g.astype(dtype), bm, interpret, ech,
+                          own_only=True)
     return (g_rows.astype(dtype), _zero_plan_ct(bm))
 
 
