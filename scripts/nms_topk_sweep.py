@@ -81,7 +81,7 @@ def main():
                  for b in dev_batches]
 
     results = {}
-    for topk in (512, 1024, 2048, 4096):
+    for topk in (256, 384, 512, 1024, 2048, 4096):
         c = cfg.replace(nms_topk=topk)
         fp_predict = make_predict_fn(c, max_det=300, fast=True, folded=folded)
         mismatches = 0
