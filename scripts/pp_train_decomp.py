@@ -54,6 +54,19 @@ def main():
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--arch", type=str, default="yolat_pp")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated group names: measure only those "
+                         "prefixes (plus base + closure) — cuts compile "
+                         "count; deltas are vs the previous MEASURED "
+                         "prefix, so pass adjacent groups for clean "
+                         "single-group deltas")
+    ap.add_argument("--skip_base", action="store_true",
+                    help="skip the base prefix (saves one compile; the "
+                         "first measured row's delta is then cumulative)")
+    ap.add_argument("--banded", action="store_true",
+                    help="attribute the pp_banded_super arm (sew_ plan "
+                         "rides the batch, clique level on the custom-VJP "
+                         "banded primitives)")
     args = ap.parse_args()
 
     import jax
@@ -66,9 +79,10 @@ def main():
                                       compute_dtype_of, create_state)
     from yolat_tpu.train.optim import make_optimizer
 
-    ds, batches, _ = build_workload()
+    ds, batches, _ = build_workload(
+        extra_plans=("super",) if args.banded else ())
     cfg = Config(n_classes=ds.n_classes, arch=args.arch, data_aug=True,
-                 dtype=args.dtype)
+                 dtype=args.dtype, pp_banded_super=args.banded)
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
     single = {k: v[0] for k, v in batches[0].items()}
     state = create_state(cfg, tx, single, jax.random.key(0))
@@ -176,9 +190,19 @@ def main():
            "n_images_per_step": n_images // S,
            "device": str(jax.devices()[0])}
     rows = {}
-    prev = time_chain(make_prefix_step(-1))
-    res["base_ms"] = round(prev * 1e3, 3)
+    only = (set(args.only.split(",")) if args.only else
+            {g[0] for g in GROUPS})
+    unknown = only - {g[0] for g in GROUPS}
+    if unknown:
+        raise SystemExit(f"unknown groups: {sorted(unknown)}")
+    if args.skip_base:
+        prev = 0.0
+    else:
+        prev = time_chain(make_prefix_step(-1))
+        res["base_ms"] = round(prev * 1e3, 3)
     for k in range(len(GROUPS)):
+        if GROUPS[k][0] not in only:
+            continue
         s = time_chain(make_prefix_step(k))
         rows[GROUPS[k][0]] = {"cum_ms": round(s * 1e3, 3),
                               "delta_ms": round((s - prev) * 1e3, 3)}
