@@ -67,6 +67,8 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--keep", action="store_true",
                     help="keep the raw trace directory")
+    ap.add_argument("--banded", action="store_true",
+                    help="pp_banded_super arm (use with --arch yolat_pp)")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +77,8 @@ def main():
     from bench import build_workload
     from yolat_tpu.train.config import Config
 
-    ds, batches, _ = build_workload()
+    ds, batches, _ = build_workload(
+        extra_plans=("super",) if args.banded else ())
     outdir = f"/tmp/xprof_{args.mode}"
 
     from yolat_tpu.train.loop import create_state, make_train_step
@@ -83,7 +86,7 @@ def main():
 
     if args.mode == "train":
         cfg = Config(n_classes=ds.n_classes, data_aug=True, dtype="bfloat16",
-                     arch=args.arch)
+                     arch=args.arch, pp_banded_super=args.banded)
         tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
         single = {k: v[0] for k, v in batches[0].items()}
         state = create_state(cfg, tx, single, jax.random.key(0))

@@ -57,7 +57,7 @@ from yolat_tpu.nn.conv import make_conv
 from yolat_tpu.nn.layers import MLP
 from yolat_tpu.ops.banded_message import bm_of
 from yolat_tpu.ops.banded_train import banded_gather, banded_scatter_own
-from yolat_tpu.ops.segment import (plan_of, segment_max,
+from yolat_tpu.ops.segment import (plan_of, segment_broadcast, segment_max,
                                     segment_max_concat, segment_mean,
                                     sup_plan_of)
 
@@ -133,8 +133,18 @@ class YOLaTPlusPlus(nn.Module):
             self.sow("probe", f"conv{i + 1}_s", s)
 
         # ---- curve level: per-edge tokens scattered to endpoints ---------
+        # dst gathers ride the pack contract's dst-sortedness so their
+        # BACKWARD scatter-adds take XLA's sorted path (measured -2.5 ms on
+        # the prim level alone, scripts/pp_prim_decomp.py `sorted_i`). The
+        # src side stays a plain gather: rewriting its backward through a
+        # pack-time src-sort permutation measured NEUTRAL at full-step
+        # level (scripts/pp_srcperm_ab.py, PERF.md round 4 — the permute
+        # gather costs what the unsorted scatter saved)
         x_src = feats[-1][edge[:, 0]]
-        x_dst = feats[-1][edge[:, 1]]
+        if self.sorted_edges:
+            x_dst = feats[-1].at[edge[:, 1]].get(indices_are_sorted=True)
+        else:
+            x_dst = feats[-1][edge[:, 1]]
         curve_in = jnp.concatenate([batch["e_attr"], x_src, x_dst], axis=1)
         curve_tok = MLP([4 + 2 * C, C], act=self.act, norm=self.norm,
                         axis_name=self.axis_name, name="curve_mlp")(
@@ -175,7 +185,20 @@ class YOLaTPlusPlus(nn.Module):
         else:
             es = batch["edge_super"]
             es_mask = batch["super_mask"]
-            s_i = feats[-1][es[:, 1]]
+            sup = sup_plan_of(batch)
+            if sup is not None:
+                # dst runs are SUPER_BLOCK-aligned: the gather shrinks 4x
+                # (block owners + in-register broadcast) and its backward
+                # becomes a dense block-sum + a 4x smaller scatter — no
+                # full-width scatter-add at all. Together with the sorted
+                # dst gathers this measured 126.6 -> ~147 img/s bf16 on
+                # the full pp train step (scripts/pp_srcperm_ab.py)
+                s_i = segment_broadcast(feats[-1], es[:, 1], es.shape[0],
+                                        plan=sup)
+            elif self.sorted_edges:
+                s_i = feats[-1].at[es[:, 1]].get(indices_are_sorted=True)
+            else:
+                s_i = feats[-1][es[:, 1]]
             s_j = feats[-1][es[:, 0]]
             prim_in = jnp.concatenate([s_i, s_j - s_i,
                                        batch["e_attr_super"]], axis=1)
@@ -185,7 +208,7 @@ class YOLaTPlusPlus(nn.Module):
             prim_at_node = segment_mean(prim_tok, es[:, 1], x.shape[0],
                                         mask=es_mask,
                                         indices_are_sorted=self.sorted_edges,
-                                        plan=sup_plan_of(batch),
+                                        plan=sup,
                                         counts=batch.get("super_dst_count"))
 
         # route-parity probe: the banded and sparse clique routes differ
