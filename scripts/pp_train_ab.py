@@ -34,15 +34,19 @@ def main():
     # via PackedLoader(extra_plans=("super",)) when cfg.pp_banded_super)
     ds, batches, _ = build_workload(extra_plans=("super",))
     res = {"device": str(jax.devices()[0]), "dtype": args.dtype}
-    for tag, banded in (("sparse", False), ("banded_super", True)):
+    for tag, kw in (("sparse", {}),
+                    ("banded_super", {"pp_banded_super": True}),
+                    ("factored", {"pp_factored_prim": True})):
         cfg = Config(n_classes=ds.n_classes, arch="yolat_pp", data_aug=True,
-                     dtype=args.dtype, pp_banded_super=banded)
+                     dtype=args.dtype, **kw)
         tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
         single = {k: v[0] for k, v in batches[0].items()}
         state = create_state(cfg, tx, single, jax.random.key(0))
         res[tag + "_img_s"] = round(
             time_train(cfg, state, batches, iters=args.iters), 1)
-    res["speedup"] = round(res["banded_super_img_s"] / res["sparse_img_s"], 3)
+    for tag in ("banded_super", "factored"):
+        res[tag + "_speedup"] = round(
+            res[tag + "_img_s"] / res["sparse_img_s"], 3)
     print(json.dumps(res))
 
 

@@ -43,6 +43,9 @@ def main():
     p.add_argument("--mixup", type=float, default=0.0,
                    help="mixup probability (reference --do_mixup; pairs "
                         "CCs side-by-side with bipartite super edges)")
+    p.add_argument("--factored", action="store_true",
+                   help="YOLaT++ v2 factored primitive level "
+                        "(cfg.pp_factored_prim; train-throughput lever)")
     p.add_argument("--iou_aware", action="store_true",
                    help="IoU-aware soft classification targets "
                         "(cfg.iou_aware_loss; high-IoU-tail lever)")
@@ -92,6 +95,7 @@ def main():
         do_mixup=args.mixup,
         n_devices=args.n_devices,
         iou_aware_loss=args.iou_aware,
+        pp_factored_prim=args.factored,
     )
     t0 = time.time()
     state, results = run_training(cfg)
@@ -107,6 +111,7 @@ def main():
         "epochs": args.epochs,
         "arch": args.arch,
         "iou_aware": args.iou_aware,
+        "factored": args.factored,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)

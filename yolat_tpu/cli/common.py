@@ -86,6 +86,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--pp_banded_super", default=d.pp_banded_super, type=_bool,
                    help="YOLaT++ training: banded custom-VJP clique route "
                         "(measured neutral; PERF.md)")
+    p.add_argument("--pp_factored_prim", default=d.pp_factored_prim,
+                   type=_bool,
+                   help="YOLaT++ v2 primitive level: aggregate-then-"
+                        "activate prefix-sum clique aggregation "
+                        "(quality-gated variant; PERF.md round 4)")
     p.add_argument("--iou_aware_loss", default=d.iou_aware_loss, type=_bool,
                    help="quality-focal soft targets: positive proposals "
                         "train toward {class: IoU, background: 1-IoU} so "

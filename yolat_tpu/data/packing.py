@@ -399,6 +399,43 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
     except AssertionError:
         pass  # unaligned runs (foreign packer) — consumers fall back
 
+    # factored clique-level fields (nn/yolat_pp.py factored_prim — the
+    # aggregate-then-activate v2 primitive level): the clique family is
+    # lower-triangular all-pairs per proposal (src < dst, one direction —
+    # the reference's i<j enumeration, build_graph_bbox.py:109-112), so
+    # "mean over incoming super neighbours" = "mean over PRECEDING member
+    # nodes of the proposal" and the whole per-edge level collapses to a
+    # per-node prefix sum. These fields are the static structure:
+    #   sup_member [N] bool  node is an endpoint of a real super edge
+    #   sup_rank   [N] f32   count of preceding member nodes in the same
+    #                        proposal (== in-degree for pure cliques)
+    #   sup_abar   [N, 4] f32 mean of incoming super-edge attrs (0 if none)
+    #   prop_first_row [P] i32 first node row of each proposal
+    real = batch["edge_super"][sm]
+    member = np.zeros(pad.n_nodes, bool)
+    member[real[:, 0]] = True
+    member[real[:, 1]] = True
+    bidx = batch["bbox_idx"]
+    mem_idx = np.flatnonzero(member)
+    rank = np.zeros(pad.n_nodes, np.float32)
+    if len(mem_idx):
+        grp = bidx[mem_idx]  # contiguous groups: bidx is sorted ascending
+        starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+        lens = np.diff(np.r_[starts, len(mem_idx)])
+        rank[mem_idx] = (np.arange(len(mem_idx))
+                         - np.repeat(starts, lens)).astype(np.float32)
+    abar = np.zeros((pad.n_nodes, 4), np.float32)
+    np.add.at(abar, real[:, 1], batch["e_attr_super"][sm])
+    indeg = np.bincount(real[:, 1], minlength=pad.n_nodes)
+    nz = indeg > 0
+    abar[nz] /= indeg[nz, None]
+    batch["sup_member"] = member
+    batch["sup_rank"] = rank
+    batch["sup_abar"] = abar
+    batch["prop_first_row"] = np.minimum(
+        np.searchsorted(bidx, np.arange(pad.n_proposals)),
+        pad.n_nodes - 1).astype(np.int32)
+
     # edge-window plan for the VMEM-resident message kernel (serving).
     # None (batch too small / a window over capacity / locality violated)
     # simply omits the keys — consumers fall back to the XLA path. Stale

@@ -88,6 +88,15 @@ class YOLaTPlusPlus(nn.Module):
     # primitives when a sew_ plan rides the batch (cfg.pp_banded_super;
     # training perf — ops/banded_train.py)
     banded_super: bool = False
+    # v2 primitive level (cfg.pp_factored_prim): aggregate-then-activate.
+    # The clique family is lower-triangular all-pairs per proposal, so
+    # mean-over-neighbours of the LINEAR part factors through a per-node
+    # prefix sum — the 372k-row per-edge MLP/BN and both endpoint
+    # gather/scatter pairs vanish (the prim level was 61% of the pp train
+    # step, scripts/pp_train_decomp.py). DIFFERENT function family from
+    # the per-edge level (GCN-style: nonlinearity after aggregation), so
+    # it is quality-gated, not parity-tested, against the sparse route.
+    factored_prim: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
@@ -166,7 +175,31 @@ class YOLaTPlusPlus(nn.Module):
         # real edge set, so parameters stay interchangeable with the
         # sparse route (same "super_edge_mlp" name and shapes)
         bm = (bm_of(batch, "sew_") if self.banded_super else None)
-        if bm is not None and batch.get("super_dst_count") is not None:
+        if self.factored_prim and "sup_rank" in batch:
+            # ---- factored (v2) primitive level ---------------------------
+            # m_i = mean of preceding member features within the proposal,
+            # via one exclusive prefix sum + per-proposal rebase: the
+            # cumsum runs in f32 (sums grow to ~1e4-1e5 at bench scale;
+            # rebase cancellation stays ~1e-3 relative to one feature)
+            s_f = feats[-1]
+            member = batch["sup_member"]
+            rank = batch["sup_rank"]
+            sm_rows = jnp.where(member[:, None], s_f, 0).astype(jnp.float32)
+            pref = jnp.cumsum(sm_rows, axis=0) - sm_rows  # exclusive
+            base = pref[batch["prop_first_row"]]  # [P, C]
+            base_n = segment_broadcast(base, bbox_idx, s_f.shape[0],
+                                       plan=plan_of(batch))
+            m = ((pref - base_n)
+                 / jnp.maximum(rank, 1.0)[:, None]).astype(s_f.dtype)
+            valid = member & (rank > 0)  # first member receives nothing,
+            # matching the sparse route (dst is always the larger index)
+            prim_in = jnp.concatenate([s_f, m - s_f, batch["sup_abar"]],
+                                      axis=1)
+            prim_tok = MLP([2 * C + 4, C], act=self.act, norm=self.norm,
+                           axis_name=self.axis_name, name="super_fact_mlp")(
+                prim_in, mask=valid, train=train)
+            prim_at_node = jnp.where(valid[:, None], prim_tok, 0)
+        elif bm is not None and batch.get("super_dst_count") is not None:
             interp = jax.default_backend() != "tpu"
             x_own, x_oth = banded_gather(feats[-1], bm, interp)
             x_own = x_own.astype(feats[-1].dtype)

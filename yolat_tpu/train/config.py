@@ -107,6 +107,11 @@ class Config:
                                     # clique family through the custom-VJP
                                     # banded primitives (ops/banded_train.py;
                                     # attaches the sew_ plan to train batches)
+    pp_factored_prim: bool = False  # YOLaT++ v2 primitive level: aggregate-
+                                    # then-activate over the per-proposal
+                                    # prefix sum (nn/yolat_pp.py) — the
+                                    # 372k-row per-edge clique MLP collapses
+                                    # to per-node work; quality-gated variant
     iou_aware_loss: bool = False    # quality-focal-style soft targets: a
                                     # positive proposal trains toward
                                     # {class: IoU vs GT, background: 1-IoU}

@@ -65,7 +65,8 @@ def build_model(cfg, axis_name: Optional[str] = None):
         from yolat_tpu.nn.yolat_pp import YOLaTPlusPlus
 
         return YOLaTPlusPlus(
-            banded_super=getattr(cfg, "pp_banded_super", False), **kw)
+            banded_super=getattr(cfg, "pp_banded_super", False),
+            factored_prim=getattr(cfg, "pp_factored_prim", False), **kw)
     if arch not in CANONICAL_ARCHS:
         # the reference CLI dispatches more names (votenet, two_stage*,
         # cluster, ... — cad_recognition/test.py:60-85) whose modules are
