@@ -151,9 +151,13 @@ def time_predict(cfg, variables, batches, device, iters=8, fast=False,
     import jax.numpy as jnp
 
     from yolat_tpu.eval.predict import make_predict_core
+    from yolat_tpu.eval.runner import img_slot_cap
 
+    # per-image NMS slot cap (exact, ~4x smaller per-image candidate sort;
+    # eval/predict.py img_slots) — max over ALL chained batches
+    cap = max(img_slot_cap(b) for b in batches)
     core = make_predict_core(cfg, max_det=300, fast=fast, folded=folded,
-                             bf16=bf16, pallas=pallas)
+                             bf16=bf16, pallas=pallas, img_slots=cap)
     stack = {k: jax.device_put(np.stack([b[k][0] for b in batches]), device)
              for k in batches[0]}
     dev_vars = jax.device_put(variables, device)

@@ -92,6 +92,30 @@ class TestFastForwardPP:
         assert out["boxes"].shape[1] == 50
         assert not np.isnan(np.asarray(out["scores"])).any()
 
+    def test_factored_route_matches_flax(self):
+        """A cfg.pp_factored_prim checkpoint serves through the folded
+        engine with logits parity to the flax model in eval mode (the
+        factored prim level replaces the per-edge clique level end to
+        end — fold_params_pp folds super_fact_mlp, fast_forward_pp runs
+        the prefix-sum aggregation)."""
+        batch_np, _ = random_packed_batch(seed=13, n_images=4)
+        jb = finalize_batch(jax.tree.map(jnp.asarray, batch_np))
+        model = YOLaTPlusPlus(n_classes=17, sorted_edges=True,
+                              factored_prim=True)
+        var = model.init({"params": jax.random.key(0)}, jb, train=True)
+        params = dict(var["params"])
+        assert "super_fact_mlp" in params
+        assert "super_edge_mlp" not in params
+        for i, g in enumerate(PP_GATES):
+            params[g] = jnp.asarray(0.3 + 0.1 * i, jnp.float32)
+        var = {"params": params, "batch_stats": var["batch_stats"]}
+        want, _ = model.apply(var, jb, train=False)
+        folded = fold_params_pp(var, n_blocks=2)
+        assert "super_fact_mlp" in folded
+        got, _ = fast_forward_pp(folded, jb, edge_kernel=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_banded_route_matches(self):
         """Curve + prim levels through the ragged banded kernel
         (ops/banded_message.py, interpret) == the gather/segment route."""

@@ -62,6 +62,48 @@ class TestPredictPathEquivalence:
         assert np.isfinite(result["map_all"])
 
 
+class TestImgSlotsLayout:
+    def test_capped_layout_identical_detections(self):
+        """img_slots (per-image NMS slot cap, eval/predict.py) is an EXACT
+        layout shrink: with any cap >= the true per-image proposal max the
+        detections are identical to the full [B, P] layout, row for row."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.eval.predict import make_predict_fn
+        from yolat_tpu.eval.runner import img_slot_cap
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.loop import create_state
+        from yolat_tpu.train.optim import make_optimizer
+
+        batch_np, _ = random_packed_batch(seed=11, n_images=3)
+        cfg = Config(n_classes=17, data_aug=False)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        state = create_state(cfg, tx, batch_np, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        batch = jax.tree.map(jnp.asarray, batch_np)
+
+        cap = img_slot_cap({k: v[None] for k, v in batch_np.items()},
+                           quantum=8)
+        # the cap must actually bind for the test to mean anything
+        assert cap < batch_np["labels"].shape[0]
+
+        full = make_predict_fn(cfg, max_det=64)(variables, batch)
+        capped = make_predict_fn(cfg, max_det=64, img_slots=cap)(
+            variables, batch)
+        va = np.asarray(full["valid"])
+        np.testing.assert_array_equal(va, np.asarray(capped["valid"]))
+        np.testing.assert_allclose(np.asarray(full["scores"])[va],
+                                   np.asarray(capped["scores"])[va],
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(full["classes"])[va],
+                                      np.asarray(capped["classes"])[va])
+        np.testing.assert_allclose(np.asarray(full["boxes"])[va],
+                                   np.asarray(capped["boxes"])[va],
+                                   rtol=1e-6)
+
+
 class TestClassfixNMSPath:
     def test_predict_with_classfix_matches_fixpoint(self):
         """End-to-end predict parity: the per-class exact NMS returns the

@@ -275,9 +275,13 @@ def fold_params_pp(variables, n_blocks: int = 2, n_freqs: int = 4) -> dict:
                  scn=scn)
         )
 
-    for name in ("fusion_block", "fusion_block_super", "pred_0", "pred_1",
-                 "point_pe_mlp", "curve_mlp", "super_edge_mlp",
-                 "super_node_mlp"):
+    # a checkpoint carries EITHER super_edge_mlp (per-edge clique level)
+    # OR super_fact_mlp (factored v2 level, cfg.pp_factored_prim) — fold
+    # whichever exists so both train routes serve through this engine
+    names = ["fusion_block", "fusion_block_super", "pred_0", "pred_1",
+             "point_pe_mlp", "curve_mlp", "super_node_mlp"]
+    names += [n for n in ("super_edge_mlp", "super_fact_mlp") if n in p]
+    for name in names:
         w, sc = _fold_stage(p[name]["dense_0"], p[name]["bn_0"],
                             st[name]["bn_0"])
         out[name] = (w, sc)
@@ -431,16 +435,36 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
                          counts=batch.get("src_count"))
 
     # primitive level (a): super-edge clique propagation.
-    # prim_in = [s_i || s_j - s_i || attr] @ W -> s_i@(Wa-Wb) + s_j@Wb
-    sw, ssc = folded["super_edge_mlp"]
+    # factored (v2) route: serve a cfg.pp_factored_prim checkpoint with the
+    # same prefix-sum aggregation it trained with (nn/yolat_pp.py
+    # factored_prim) — no per-edge work at all, the cheapest prim level
     sew = bm_of(batch, "sew_") if use_banded else None
-    if sew is not None and batch.get("super_dst_count") is not None:
+    if "super_fact_mlp" in folded and "sup_rank" in batch:
+        from yolat_tpu.ops.segment import segment_broadcast
+
+        s_f = feats[-1]
+        member = batch["sup_member"]
+        rank = batch["sup_rank"]
+        sm_rows = jnp.where(member[:, None], s_f, 0).astype(jnp.float32)
+        pref = jnp.cumsum(sm_rows, axis=0) - sm_rows  # exclusive
+        base_n = segment_broadcast(pref[batch["prop_first_row"]], bbox_idx,
+                                   s_f.shape[0], plan=pool)
+        m = ((pref - base_n)
+             / jnp.maximum(rank, 1.0)[:, None]).astype(s_f.dtype)
+        valid = member & (rank > 0)
+        prim_in = jnp.concatenate(
+            [s_f, m - s_f, batch["sup_abar"].astype(x.dtype)], axis=1)
+        prim_tok = _folded(prim_in, folded["super_fact_mlp"])
+        prim_at_node = jnp.where(valid[:, None], prim_tok, 0)
+    elif sew is not None and batch.get("super_dst_count") is not None:
+        sw, ssc = folded["super_edge_mlp"]
         wa, wb, wc = sw[:cf], sw[cf:2 * cf], sw[2 * cf:]
         prim_sum = banded_message_sum(feats[-1], sew, wa - wb, wb, wc,
                                       ssc, interpret=interpret)
         prim_at_node = prim_sum / jnp.maximum(
             batch["super_dst_count"], 1.0)[:, None]
     else:
+        sw, ssc = folded["super_edge_mlp"]
         es = batch["edge_super"]
         es_mask = batch["super_mask"]
         s_i = feats[-1].at[es[:, 1]].get(indices_are_sorted=True)

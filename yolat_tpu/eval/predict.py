@@ -35,13 +35,23 @@ from yolat_tpu.train.loop import build_model
 def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
                     fast: bool = False, folded=None, bf16: bool = False,
                     pallas: bool | None = None,
-                    edge_kernel: bool | None = None):
+                    edge_kernel: bool | None = None,
+                    img_slots: int | None = None):
     """Returns a jitted (variables, batch) -> per-image detections fn.
 
     With fast=True (requires the dense neighbour layout in the batch and
     `folded` from eval/fast_forward.fold_params), the forward runs through
     the folded-BN inference engine + Pallas kernels instead of the flax
     module — same logits to float tolerance.
+
+    img_slots: per-image proposal-slot cap for the NMS layout. Default
+    (None) gives every image the FULL batch padded width P, so each
+    image's candidate sort covers B*P slots it can never fill; a cap of
+    max-proposals-per-image (host-known at pack time — eval/runner.py and
+    bench.py compute it from the real per-image counts) shrinks the
+    per-image NMS flat sort and conf work ~Bx with IDENTICAL detections.
+    A kept proposal beyond the cap would be dropped — callers must pass a
+    cap >= the true per-image max (runner asserts this host-side).
 
     Output dict (leading axis = image slot in batch):
       boxes   [B, max_det, 4]  pixel xyxy
@@ -53,14 +63,16 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
     """
     core = make_predict_core(cfg, n_images=n_images, max_det=max_det,
                              fast=fast, folded=folded, bf16=bf16,
-                             pallas=pallas, edge_kernel=edge_kernel)
+                             pallas=pallas, edge_kernel=edge_kernel,
+                             img_slots=img_slots)
     return jax.jit(core)
 
 
 def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
                       fast: bool = False, folded=None, bf16: bool = False,
                       pallas: bool | None = None,
-                      edge_kernel: bool | None = None):
+                      edge_kernel: bool | None = None,
+                      img_slots: int | None = None):
     """The un-jitted predict body: (variables, batch) -> detections dict.
     Wrapped by make_predict_fn (jit) and make_dp_predict_fn (shard_map)."""
     model = build_model(cfg, axis_name=None)
@@ -122,18 +134,25 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
             batch["image_id"], num_segments=B,
         )
         idx_in_img = arange - seg_start[batch["image_id"]]
-        flat_slot = batch["image_id"] * P + jnp.clip(idx_in_img, 0, P - 1)
+        # per-image slot width: the full padded batch width P by default,
+        # or the caller's cap (max real proposals per image; exact — see
+        # make_predict_fn). Rows that are not kept, or beyond the cap, go
+        # to a trash slot so they can never clobber a real slot.
+        S = P if img_slots is None else min(int(img_slots), P)
+        ok = kept & (idx_in_img < S)
+        flat_slot = jnp.where(
+            ok, batch["image_id"] * S + jnp.clip(idx_in_img, 0, S - 1), B * S)
 
         def scatter(x, fill=0.0):
-            out = jnp.full((B * P,) + x.shape[1:], fill, x.dtype)
+            out = jnp.full((B * S + 1,) + x.shape[1:], fill, x.dtype)
             return out.at[flat_slot].set(jnp.where(
-                kept.reshape(kept.shape + (1,) * (x.ndim - 1)), x,
-                jnp.asarray(fill, x.dtype)))
+                ok.reshape(ok.shape + (1,) * (x.ndim - 1)), x,
+                jnp.asarray(fill, x.dtype)))[: B * S]
 
-        img_boxes = scatter(boxes).reshape(B, P, 4)
-        img_cls = scatter(cls_scores).reshape(B, P, background)
-        img_obj = scatter(obj).reshape(B, P)
-        img_valid = scatter(kept).reshape(B, P)
+        img_boxes = scatter(boxes).reshape(B, S, 4)
+        img_cls = scatter(cls_scores).reshape(B, S, background)
+        img_obj = scatter(obj).reshape(B, S)
+        img_valid = scatter(kept).reshape(B, S)
 
         nms = jax.vmap(
             partial(single_image_nms, iou_thres=cfg.nms_iou,
@@ -155,7 +174,8 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
 
 
 def make_dp_predict_fn(cfg, mesh, axis_name: str = "data", max_det: int = 300,
-                       fast: bool = False, folded=None, bf16: bool = False):
+                       fast: bool = False, folded=None, bf16: bool = False,
+                       img_slots: int | None = None):
     """Data-parallel serving: (variables, batch[D, ...]) -> detections with a
     leading device axis. Variables replicated, batch shards P(axis_name);
     each device runs the full predict (forward + NMS) on its shard — the
@@ -164,7 +184,7 @@ def make_dp_predict_fn(cfg, mesh, axis_name: str = "data", max_det: int = 300,
     from jax.sharding import PartitionSpec as P
 
     core = make_predict_core(cfg, max_det=max_det, fast=fast, folded=folded,
-                             bf16=bf16)
+                             bf16=bf16, img_slots=img_slots)
 
     def shard_fn(variables, batch):
         out = core(variables, jax.tree.map(lambda x: x[0], batch))

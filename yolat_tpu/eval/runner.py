@@ -22,18 +22,36 @@ from yolat_tpu.eval.predict import make_predict_fn
 _PREDICT_CACHE: dict = {}
 
 
-def _cached_predict_fn(cfg, mesh, max_det):
-    key = (cfg, mesh, max_det)
+def _cached_predict_fn(cfg, mesh, max_det, img_slots=None):
+    key = (cfg, mesh, max_det, img_slots)
     fn = _PREDICT_CACHE.get(key)
     if fn is None:
         if mesh is not None:
             from yolat_tpu.eval.predict import make_dp_predict_fn
 
-            fn = make_dp_predict_fn(cfg, mesh, max_det=max_det)
+            fn = make_dp_predict_fn(cfg, mesh, max_det=max_det,
+                                    img_slots=img_slots)
         else:
-            fn = make_predict_fn(cfg, max_det=max_det)
+            fn = make_predict_fn(cfg, max_det=max_det, img_slots=img_slots)
         _PREDICT_CACHE[key] = fn
     return fn
+
+
+def img_slot_cap(stacked, quantum: int = 256) -> int:
+    """Per-image NMS slot cap for one stacked batch: the max real-proposal
+    count of any image, rounded up to `quantum` so jitted predict programs
+    are shared across batches. Exact by construction (cap >= every
+    per-image count in THIS batch), so predict(img_slots=cap) returns
+    identical detections to the uncapped [B, P] layout while the per-image
+    candidate sort shrinks ~batch_size x (eval/predict.py img_slots)."""
+    iid = np.asarray(stacked["image_id"])
+    pm = np.asarray(stacked["proposal_mask"])
+    mx = 1
+    for d in range(iid.shape[0]):
+        real = iid[d][pm[d]]
+        if real.size:
+            mx = max(mx, int(np.bincount(real).max()))
+    return -(-mx // quantum) * quantum
 
 
 def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
@@ -51,25 +69,36 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
         from yolat_tpu.eval.fast_forward import fold_params_for
 
         folded = fold_params_for(cfg, variables)
-    if fast:
-        if mesh is not None:
-            from yolat_tpu.eval.predict import make_dp_predict_fn
+    fast_fns: dict = {}
 
-            predict_dp = make_dp_predict_fn(cfg, mesh, max_det=max_det,
+    def get_predict(cap):
+        if fast:
+            fn = fast_fns.get(cap)
+            if fn is None:
+                if mesh is not None:
+                    from yolat_tpu.eval.predict import make_dp_predict_fn
+
+                    fn = make_dp_predict_fn(cfg, mesh, max_det=max_det,
                                             fast=True, folded=folded,
-                                            bf16=serve == "fast_bf16")
-        else:
-            predict = make_predict_fn(cfg, max_det=max_det, fast=True,
-                                      folded=folded,
-                                      bf16=serve == "fast_bf16")
-    elif mesh is not None:
-        predict_dp = _cached_predict_fn(cfg, mesh, max_det)
-    else:
-        predict = _cached_predict_fn(cfg, None, max_det)
+                                            bf16=serve == "fast_bf16",
+                                            img_slots=cap)
+                else:
+                    fn = make_predict_fn(cfg, max_det=max_det, fast=True,
+                                         folded=folded,
+                                         bf16=serve == "fast_bf16",
+                                         img_slots=cap)
+                fast_fns[cap] = fn
+            return fn
+        return _cached_predict_fn(cfg, mesh, max_det, img_slots=cap)
+
     ev = Evaluator(cfg.n_classes)
 
     for stacked in loader:
         n_dev = stacked["pos"].shape[0]
+        if mesh is not None:
+            predict_dp = get_predict(img_slot_cap(stacked))
+        else:
+            predict = get_predict(img_slot_cap(stacked))
         if mesh is not None:
             all_out = {k: np.asarray(v)
                        for k, v in predict_dp(variables, stacked).items()}
