@@ -333,6 +333,28 @@ def run_bench(error=None):
     except Exception as e:
         row_errors["pp"] = f"{type(e).__name__}: {e}"
 
+    # YOLaT++ factored rows (round 4): the v2 prefix-sum primitive level
+    # (cfg.pp_factored_prim) — serving AND the flagship training rate
+    rate_pp_fact = rate_pp_train = None
+    try:
+        from yolat_tpu.eval.fast_forward import fold_params_for
+
+        ppf_cfg = cfg.replace(arch="yolat_pp", pp_factored_prim=True)
+        batches_ppf = attach_pp_plans(batches)
+        single_ppf = {k: v[0] for k, v in batches_ppf[0].items()}
+        state_ppf = create_state(ppf_cfg, tx, single_ppf, jax.random.key(0))
+        vars_ppf = {"params": state_ppf.params,
+                    "batch_stats": state_ppf.batch_stats}
+        folded_ppf = fold_params_for(ppf_cfg, vars_ppf)
+        rate_pp_fact = time_predict(ppf_cfg, vars_ppf, batches_ppf,
+                                    default_dev, iters=p_iters, fast=True,
+                                    folded=folded_ppf, bf16=True)
+        rate_pp_train = time_train(
+            ppf_cfg.replace(data_aug=True, dtype="bfloat16"), state_ppf,
+            batches_ppf, iters=t_iters)
+    except Exception as e:
+        row_errors["pp_factored"] = f"{type(e).__name__}: {e}"
+
     # diagrams serving row (mergeCluster path, reference README.md:52)
     rate_diag = None
     try:
@@ -404,6 +426,10 @@ def run_bench(error=None):
             "train_images_per_sec": round(rate_train, 3),
             "train_bf16_images_per_sec": round(rate_train_bf16, 3),
             "pp_images_per_sec": round(rate_pp, 3) if rate_pp else None,
+            "pp_factored_images_per_sec": round(rate_pp_fact, 3)
+            if rate_pp_fact else None,
+            "pp_factored_train_bf16_images_per_sec": round(rate_pp_train, 3)
+            if rate_pp_train else None,
             "diagrams_images_per_sec": round(rate_diag, 3)
             if rate_diag else None,
             # parse->detect including (1-core) host preprocessing;

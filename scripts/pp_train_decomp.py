@@ -67,7 +67,12 @@ def main():
                     help="attribute the pp_banded_super arm (sew_ plan "
                          "rides the batch, clique level on the custom-VJP "
                          "banded primitives)")
+    ap.add_argument("--factored", action="store_true",
+                    help="attribute the cfg.pp_factored_prim arm (v2 "
+                         "prefix-sum prim level, super_fact_mlp)")
     args = ap.parse_args()
+    if args.factored:
+        GROUPS[4] = ("prim", ["prim"], ["super_fact_mlp"])
 
     import jax
     import jax.numpy as jnp
@@ -82,7 +87,8 @@ def main():
     ds, batches, _ = build_workload(
         extra_plans=("super",) if args.banded else ())
     cfg = Config(n_classes=ds.n_classes, arch=args.arch, data_aug=True,
-                 dtype=args.dtype, pp_banded_super=args.banded)
+                 dtype=args.dtype, pp_banded_super=args.banded,
+                 pp_factored_prim=args.factored)
     tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
     single = {k: v[0] for k, v in batches[0].items()}
     state = create_state(cfg, tx, single, jax.random.key(0))
