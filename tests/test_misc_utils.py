@@ -56,6 +56,36 @@ class TestViz:
         p2 = plot_graph(pts, edges, out_path=str(tmp_path / "g.png"))
         assert os.path.exists(p2)
 
+    def test_part_seg_comparison(self, tmp_path):
+        """visualize_part_seg parity surface (reference utils/pc_viz.py:256):
+        coloured-.obj parse + multi-panel render."""
+        from yolat_tpu.utils.viz import (get_points_colors_from_obj,
+                                         show_pointclouds,
+                                         visualize_part_seg)
+
+        rng = np.random.default_rng(1)
+        for d in ("run_a", "run_b"):
+            (tmp_path / d).mkdir()
+            for name in ("pred.obj", "gt.obj"):
+                lines = [
+                    "v " + " ".join(f"{v:.4f}" for v in rng.random(3))
+                    + " " + " ".join(f"{c:.2f}" for c in rng.random(3))
+                    for _ in range(30)
+                ]
+                (tmp_path / d / name).write_text("\n".join(lines) + "\n")
+        pts, cols = get_points_colors_from_obj(
+            str(tmp_path / "run_a" / "pred.obj"))
+        assert pts.shape == (30, 3) and cols.shape == (30, 3)
+        out = visualize_part_seg(
+            "pred.obj", "gt.obj",
+            [str(tmp_path / "run_a"), str(tmp_path / "run_b")],
+            text=["a", "b", "gt"], png_path=str(tmp_path / "cmp.png"))
+        assert os.path.exists(out)
+        out2 = show_pointclouds([pts, pts], [cols, cols], text=["x", "y"],
+                                png_path=str(tmp_path / "pc.png"),
+                                orientation="vertical")
+        assert os.path.exists(out2)
+
 
 class TestDropEdge:
     def test_dropout_masks_edges(self):
