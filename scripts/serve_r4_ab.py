@@ -37,7 +37,9 @@ def main():
     from yolat_tpu.train.optim import make_optimizer
 
     cfg0 = Config(n_classes=17, arch="yolat_pp")
+    print("# building workload...", flush=True)
     ds, batches, _ = build_workload(extra_plans=extra_plans_for(cfg0))
+    print("# workload ready", flush=True)
     single = {k: v[0] for k, v in batches[0].items()}
     cap = max(img_slot_cap(b) for b in batches)
     stack = {k: jnp.asarray(np.stack([b[k][0] for b in batches]))
@@ -47,6 +49,8 @@ def main():
         args.iters // S)
 
     def time_core(core, variables):
+        print("# compiling...", flush=True)
+
         @jax.jit
         def run(variables, stack):
             def body(carry, i):
@@ -80,6 +84,7 @@ def main():
         core = make_predict_core(cfg, max_det=300, fast=True, folded=folded,
                                  bf16=True, img_slots=slots)
         res[tag + "_img_s"] = time_core(core, variables)
+        print(f"# {tag}: {res[tag + '_img_s']}", flush=True)
     res["cap_speedup"] = round(
         res["canon_capped_img_s"] / res["canon_fullP_img_s"], 3)
 
@@ -95,6 +100,7 @@ def main():
         core = make_predict_core(cfg, max_det=300, fast=True, folded=folded,
                                  bf16=True, img_slots=cap)
         res[tag + "_img_s"] = time_core(core, variables)
+        print(f"# {tag}: {res[tag + '_img_s']}", flush=True)
     res["factored_speedup"] = round(
         res["pp_factored_img_s"] / res["pp_edge_img_s"], 3)
     print(json.dumps(res))

@@ -91,6 +91,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="YOLaT++ v2 primitive level: aggregate-then-"
                         "activate prefix-sum clique aggregation "
                         "(quality-gated variant; PERF.md round 4)")
+    p.add_argument("--fused_head_train", default=d.fused_head_train,
+                   type=_bool,
+                   help="train-mode fused pool head: closed-form Gram BN "
+                        "stats + VMEM-confined fusion activations "
+                        "(ops/fused_pool_train.py)")
     p.add_argument("--iou_aware_loss", default=d.iou_aware_loss, type=_bool,
                    help="quality-focal soft targets: positive proposals "
                         "train toward {class: IoU, background: 1-IoU} so "

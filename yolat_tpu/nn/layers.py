@@ -167,3 +167,71 @@ def maybe_remat_mlp(remat: bool):
     if remat:
         return nn.remat(MLP, static_argnums=(3,))
     return MLP
+
+
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({kernel, bias}) without
+    applying it — the fused pool head consumes raw weights."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", KAIMING, (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _BNParams(nn.Module):
+    """Parameter/stat holder matching MaskedBatchNorm's tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones(self.features, jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class FusedPoolFusion(nn.Module):
+    """TRAIN-mode fusion MLP + proposal max-pool through
+    ops/fused_pool_train (closed-form BN stats via the Gram matrix, the
+    [N, H] activations confined to VMEM). Parameter/stat tree is
+    IDENTICAL to MLP([cin, h], norm='batch') named the same way
+    (dense_0 + bn_0), so fused-on and fused-off checkpoints are
+    interchangeable; running stats update with MaskedBatchNorm's exact
+    convention (torch momentum 0.1, unbiased running var)."""
+
+    in_features: int
+    features: int
+    momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, cat, node_mask, blk_first, n_prop: int,
+                 interpret: bool = False):
+        from yolat_tpu.ops.fused_pool_train import fused_pool_train
+
+        k, b = _DenseParams(self.in_features, self.features,
+                            name="dense_0")()
+        scale, bias, ra_mean, ra_var = _BNParams(self.features,
+                                                 name="bn_0")()
+        maskf = node_mask.astype(jnp.float32)[:, None]
+        pooled, mean, var, count = fused_pool_train(
+            cat, maskf, k, b, scale, bias, blk_first, n_prop, interpret,
+            self.axis_name)
+        if not self.is_initializing():
+            unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+            ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                             + self.momentum * mean)
+            ra_var.value = ((1 - self.momentum) * ra_var.value
+                            + self.momentum * unbiased)
+        return pooled

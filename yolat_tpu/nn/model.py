@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolat_tpu.nn.conv import make_conv
-from yolat_tpu.nn.layers import MLP, maybe_remat_mlp
+from yolat_tpu.nn.layers import MLP, FusedPoolFusion, maybe_remat_mlp
+from yolat_tpu.ops.fused_pool_train import fused_pool_available
 from yolat_tpu.ops.segment import (plan_of, segment_max,
                                     segment_max_concat, segment_mean)
 
@@ -46,6 +47,12 @@ class Backbone(nn.Module):
     remat: bool = False
     axis_name: Optional[str] = None
     sorted_edges: bool = False  # pack_files batches are dst-sorted
+    # train-mode fused pool head (cfg.fused_head_train): the fusion MLP's
+    # BN statistics come from the closed-form Gram moments and the [N, H]
+    # activations never touch HBM (ops/fused_pool_train.py); applies when
+    # an aligned pool plan rides the batch, else falls back to the MLP +
+    # segment_max_concat path. Checkpoint-compatible either way.
+    fused_pool: bool = False
 
     @property
     def fusion_dims(self) -> int:
@@ -113,14 +120,32 @@ class Backbone(nn.Module):
         lo = self.n_blocks - self.n_blocks_out
         cat = jnp.concatenate(feats[lo:], axis=1)
         mlp_cls = maybe_remat_mlp(self.remat)
-        fusion = mlp_cls([self.fusion_dims, 1024], act=self.act, norm=self.norm,
-                         axis_name=self.axis_name, name="fusion_block")(
-            cat, node_mask, train
-        )
-        # out_feat = [fusion | cat] is returned as PARTS: its only consumer
-        # is a segment max, and per-column max commutes with column concat
-        # (ops/segment.segment_max_concat) — the [N, 1152] node-level concat
-        # never needs to materialise
+        use_fused = (self.fused_pool and train
+                     and fused_pool_available({"pos": cat}, pool_plan))
+        if use_fused:
+            interp = jax.default_backend() != "tpu"
+            pooled_fusion = FusedPoolFusion(
+                self.fusion_dims, 1024, axis_name=self.axis_name,
+                name="fusion_block")(cat, node_mask, pool_plan[0],
+                                     n_proposals, interp)
+            pooled_cat = segment_max(cat, bbox_idx, n_proposals,
+                                     mask=node_mask,
+                                     indices_are_sorted=True,
+                                     plan=pool_plan)
+            # ALREADY POOLED: [fusion-pool | cat-pool], the order
+            # segment_max_concat produces on the unfused path
+            out_parts = jnp.concatenate(
+                [pooled_fusion, pooled_cat.astype(pooled_fusion.dtype)],
+                axis=1)
+        else:
+            fusion = mlp_cls([self.fusion_dims, 1024], act=self.act,
+                             norm=self.norm, axis_name=self.axis_name,
+                             name="fusion_block")(cat, node_mask, train)
+            # out_feat = [fusion | cat] is returned as PARTS: its only
+            # consumer is a segment max, and per-column max commutes with
+            # column concat (ops/segment.segment_max_concat) — the
+            # [N, 1152] node-level concat never needs to materialise
+            out_parts = (fusion, cat)
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
         pooled = segment_mean(cat_super, bbox_idx, n_proposals, mask=node_mask,
                               indices_are_sorted=True, plan=pool_plan,
@@ -131,7 +156,7 @@ class Backbone(nn.Module):
             pooled, proposal_mask, train
         )
         out_feat_super = jnp.concatenate([fusion_super, pooled], axis=1)
-        return (fusion, cat), out_feat_super
+        return out_parts, out_feat_super
 
 
 class SparseCADGCN(nn.Module):
@@ -153,6 +178,8 @@ class SparseCADGCN(nn.Module):
     # ops/edge_window_train.py) — falls back to the sparse branch when a
     # batch carries no plan (e.g. drop_edge stripped it)
     window_edges: bool = False
+    # train-mode fused pool head (see Backbone.fused_pool)
+    fused_pool: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
@@ -169,7 +196,8 @@ class SparseCADGCN(nn.Module):
             n_blocks=self.n_blocks, n_blocks_out=self.n_blocks_out,
             conv=self.conv, act=self.act, norm=self.norm,
             remat=self.remat, axis_name=self.axis_name,
-            sorted_edges=self.sorted_edges, name="cls_net",
+            sorted_edges=self.sorted_edges, fused_pool=self.fused_pool,
+            name="cls_net",
         )
         out_feat_parts, out_feat_super = cls_net(
             batch["x"], batch["edge"], batch["e_attr"], batch["edge_mask"],
@@ -180,10 +208,13 @@ class SparseCADGCN(nn.Module):
             dst_count=batch.get("dst_count"),
             prop_count=batch.get("prop_count"), ew=ew,
         )
-        pooled = segment_max_concat(out_feat_parts, batch["bbox_idx"],
-                                    n_proposals, mask=batch["node_mask"],
-                                    indices_are_sorted=True,
-                                    plan=plan_of(batch))
+        if isinstance(out_feat_parts, tuple):
+            pooled = segment_max_concat(out_feat_parts, batch["bbox_idx"],
+                                        n_proposals, mask=batch["node_mask"],
+                                        indices_are_sorted=True,
+                                        plan=plan_of(batch))
+        else:  # fused pool head: Backbone already pooled (static branch)
+            pooled = out_feat_parts
         h = jnp.concatenate([pooled, out_feat_super], axis=1)
 
         fusion_out = cls_net.fusion_dims + 1024

@@ -97,6 +97,9 @@ class YOLaTPlusPlus(nn.Module):
     # the per-edge level (GCN-style: nonlinearity after aggregation), so
     # it is quality-gated, not parity-tested, against the sparse route.
     factored_prim: bool = False
+    # train-mode fused pool head (cfg.fused_head_train): closed-form BN
+    # stats + VMEM-confined fusion activations (ops/fused_pool_train.py)
+    fused_pool: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = True):
@@ -263,10 +266,27 @@ class YOLaTPlusPlus(nn.Module):
         pool = plan_of(batch)
         cat = jnp.concatenate(feats[lo:], axis=1)
         fusion_dims = C * self.n_blocks_out
-        fusion = MLP([fusion_dims, 1024], act=self.act, norm=self.norm,
-                     axis_name=self.axis_name, name="fusion_block")(
-            cat, mask=node_mask, train=train
-        )
+        from yolat_tpu.ops.fused_pool_train import fused_pool_available
+
+        use_fused = (self.fused_pool and train
+                     and fused_pool_available({"pos": cat}, pool))
+        if use_fused:
+            from yolat_tpu.nn.layers import FusedPoolFusion
+
+            interp = jax.default_backend() != "tpu"
+            fused_pooled = jnp.concatenate([
+                FusedPoolFusion(fusion_dims, 1024,
+                                axis_name=self.axis_name,
+                                name="fusion_block")(
+                    cat, node_mask, pool[0], n_prop, interp),
+                segment_max(cat, bbox_idx, n_prop, mask=node_mask,
+                            indices_are_sorted=True, plan=pool,
+                            ).astype(cat.dtype)], axis=1)
+        else:
+            fusion = MLP([fusion_dims, 1024], act=self.act, norm=self.norm,
+                         axis_name=self.axis_name, name="fusion_block")(
+                cat, mask=node_mask, train=train
+            )
         # [fusion | cat] is pooled as PARTS (segment_max_concat): the
         # node-level [N, 1152] concat never materialises
         cat_super = jnp.concatenate(feats_super[lo:], axis=1)
@@ -305,9 +325,12 @@ class YOLaTPlusPlus(nn.Module):
         self.sow("probe", "super_tok", super_tok)
 
         # ---- canonical head, super tokens as a 512-d gated residual ------
-        pooled = segment_max_concat((fusion, cat), bbox_idx, n_prop,
-                                    mask=node_mask, indices_are_sorted=True,
-                                    plan=pool)
+        if use_fused:
+            pooled = fused_pooled
+        else:
+            pooled = segment_max_concat((fusion, cat), bbox_idx, n_prop,
+                                        mask=node_mask,
+                                        indices_are_sorted=True, plan=pool)
         self.sow("probe", "pool_head", pooled)
         h = jnp.concatenate([pooled, out_super], axis=1)
         h = MLP([(fusion_dims + 1024) * 2, 512], act=self.act, norm=self.norm,

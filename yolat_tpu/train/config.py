@@ -112,6 +112,13 @@ class Config:
                                     # prefix sum (nn/yolat_pp.py) — the
                                     # 372k-row per-edge clique MLP collapses
                                     # to per-node work; quality-gated variant
+    fused_head_train: bool = False  # train-mode fused pool head: the fusion
+                                    # MLP's BN stats come from closed-form
+                                    # Gram moments and its [N, 1024]
+                                    # activations never touch HBM
+                                    # (ops/fused_pool_train.py custom VJP);
+                                    # falls back silently when a batch has
+                                    # no aligned pool plan
     iou_aware_loss: bool = False    # quality-focal-style soft targets: a
                                     # positive proposal trains toward
                                     # {class: IoU vs GT, background: 1-IoU}

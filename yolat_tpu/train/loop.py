@@ -58,6 +58,7 @@ def build_model(cfg, axis_name: Optional[str] = None):
         remat=getattr(cfg, "remat", False),
         axis_name=axis_name,
         sorted_edges=getattr(cfg, "sorted_edges", True),
+        fused_pool=getattr(cfg, "fused_head_train", False),
     )
     arch = getattr(cfg, "arch", "centernet3cc_rpn_gp_iter2")
     window = getattr(cfg, "train_layout", "sparse") == "window"
