@@ -137,8 +137,35 @@ def test_bf16_close():
             beta, blk_first, n_prop, True)
         return jnp.sum(pooled.astype(jnp.float32) * cot)
 
-    g = jax.grad(loss16)(w)
-    assert np.isfinite(np.asarray(g)).all()
+    def loss16_ref(w):
+        """bf16 unfused composition: fusion stored in bf16 before the max,
+        so winner detection happens at bf16 — the same tie semantics the
+        fused backward must reproduce (a bf16-winner bug here once read
+        +3% from gradients that were silently near-empty)."""
+        xm16 = (x.astype(jnp.bfloat16)
+                * maskf.astype(jnp.bfloat16))
+        z = xm16 @ w.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)
+        zf = z.astype(jnp.float32)
+        m = maskf
+        count = jnp.maximum(m.sum(), 1.0)
+        mean = (zf * m).sum(axis=0) / count
+        var = jnp.maximum((zf * zf * m).sum(axis=0) / count - mean * mean,
+                          0.0)
+        y = (zf - mean) * jax.lax.rsqrt(var + BN_EPS) * gamma + beta
+        a = jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+        pooled = segment_max(a, seg, n_prop, mask=mask,
+                             indices_are_sorted=True)
+        return jnp.sum(pooled.astype(jnp.float32) * cot)
+
+    g = np.asarray(jax.grad(loss16)(w), np.float32)
+    gr = np.asarray(jax.grad(loss16_ref)(w), np.float32)
+    assert np.isfinite(g).all()
+    # the gradient must carry real winner signal, not just BN corrections:
+    # direction and magnitude agree with the bf16 composition
+    denom = np.linalg.norm(g) * np.linalg.norm(gr)
+    cos = float((g * gr).sum() / max(denom, 1e-9))
+    assert cos > 0.98, cos
+    assert 0.8 < np.linalg.norm(g) / max(np.linalg.norm(gr), 1e-9) < 1.25
 
 
 def test_available_predicate():

@@ -141,8 +141,12 @@ def _bwd(n_prop, interpret, axis_name, res, cts):
         [inv, bf * inv + beta.astype(jnp.float32) - mean * inv], axis=0)
 
     # per-8-block rows of the pooled output + cotangent ([N/8, H] gathers
-    # — 1/8 of N, the size class the two-level max backward already pays)
-    pooled_b = pooled.astype(jnp.float32)[blk_first]
+    # — 1/8 of N, the size class the two-level max backward already pays).
+    # pooled stays in its STORED dtype: the kernel recomputes activations
+    # in f32 and must compare at the precision the forward stored (bf16
+    # winner detection would otherwise never fire — f32 recompute vs bf16
+    # store differ in the rounded-away bits)
+    pooled_b = pooled[blk_first]
     gp_b = jnp.asarray(gp, jnp.float32)[blk_first]
 
     dw_u, dx_s, usum_l, uzraw_l = _bwd_kernel_call(
@@ -207,11 +211,19 @@ def _bwd_kernel(x_ref, maskf_ref, w_ref, sc_ref, pooled_ref, gp_ref,
     y = zraw * sc[0] + sc[1]
     a = jnp.maximum(y, 0.0)
     a = jnp.where(m > 0.0, a, -1e30)
-    pr = jnp.broadcast_to(pooled_ref[:][:, None, :],
-                          (nb, block, h)).reshape(t, h)
+    # winner compare happens at the FORWARD's stored precision: the f32
+    # recompute must be rounded the way the forward kernel rounded before
+    # the cross-block max, or bf16 winners never match. The compare
+    # itself runs in f32 (Mosaic rejects bf16 equality on this target);
+    # upcasting the two ROUNDED values is exact, so f32 equality of them
+    # is equivalent to comparing in the stored dtype.
+    aq = a.astype(pooled_ref.dtype).astype(jnp.float32)
+    pr = jnp.broadcast_to(
+        pooled_ref[:].astype(jnp.float32)[:, None, :],
+        (nb, block, h)).reshape(t, h)
     gr = jnp.broadcast_to(gp_ref[:][:, None, :],
                           (nb, block, h)).reshape(t, h)
-    u = jnp.where((a == pr) & (y > 0.0), gr, 0.0)  # [T, H] f32 (== dy)
+    u = jnp.where((aq == pr) & (y > 0.0), gr, 0.0)  # [T, H] f32 (== dy)
     s = (u * sc[0]).astype(x.dtype)
 
     dw_tile = jax.lax.dot_general(x, s, (((0,), (0,)), ((), ())),
