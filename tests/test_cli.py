@@ -45,6 +45,50 @@ class TestPreprocessOptions:
         assert "super_shape" in g["edge"] and "super_super" in g["edge"]
 
 
+class TestProfileFlag:
+    """--profile yolat_pp_fast: the flagship bundle (VALIDATION.md rounds
+    4-5) with the chart exception and explicit-flag precedence."""
+
+    @staticmethod
+    def _cfg(argv):
+        from yolat_tpu.cli.common import build_parser, config_from_args
+
+        return config_from_args(build_parser("t").parse_args(argv), argv)
+
+    def test_bundle_applied(self):
+        cfg = self._cfg(["--profile", "yolat_pp_fast",
+                         "--data_dir", "data/FloorPlansGraph5_iter"])
+        assert cfg.arch == "yolat_pp"
+        assert cfg.pp_factored_prim is True
+        assert cfg.iou_aware_loss is True
+
+    def test_explicit_flag_wins(self):
+        # even when the explicit value equals the parser default
+        cfg = self._cfg(["--profile", "yolat_pp_fast",
+                         "--iou_aware_loss", "false"])
+        assert cfg.arch == "yolat_pp"
+        assert cfg.iou_aware_loss is False
+        cfg = self._cfg(["--profile", "yolat_pp_fast",
+                         "--arch", "centernet3cc_rpn_gp_iter2"])
+        assert cfg.arch == "centernet3cc_rpn_gp_iter2"
+        assert cfg.pp_factored_prim is True
+
+    def test_chart_exception(self):
+        # iou_aware_loss measured WORSE on dense chart sweeps
+        # (VALIDATION.md "Chart-VG at step 20") — the bundle skips it there
+        cfg = self._cfg(["--profile", "yolat_pp_fast",
+                         "--data_dir", "data/charts-syn"])
+        assert cfg.arch == "yolat_pp"
+        assert cfg.pp_factored_prim is True
+        assert cfg.iou_aware_loss is False
+
+    def test_no_profile_is_reference_faithful(self):
+        cfg = self._cfg(["--data_dir", "data/FloorPlansGraph5_iter"])
+        assert cfg.arch == "centernet3cc_rpn_gp_iter2"
+        assert cfg.pp_factored_prim is False
+        assert cfg.iou_aware_loss is False
+
+
 class TestBucketedScanTraining:
     def test_buckets_with_scan_steps(self, synthetic_root, tmp_path):
         """buckets=2 + scan_steps=2: chunks group by full shape signature

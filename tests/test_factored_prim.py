@@ -129,16 +129,17 @@ def test_factored_model_runs_and_learns_shape(batch_np):
     assert max(conv) > 0, "upstream convs must receive gradient through m"
 
 
-def test_factored_fallback_without_fields(batch_np):
-    """Without the pack fields the factored flag falls back to the sparse
-    per-edge route (no crash, different param set)."""
+def test_factored_without_fields_raises(batch_np):
+    """Without the pack fields the factored flag fails LOUDLY: a silent
+    per-edge fallback would create super_edge_mlp params — an architecture
+    switch keyed on batch contents (ADVICE round 4)."""
+    import pytest
+
     strip = {k: v for k, v in batch_np.items()
              if k not in ("sup_member", "sup_rank", "sup_abar",
                           "prop_first_row")}
     jb = finalize_batch(jax.tree.map(jnp.asarray, strip))
     model = YOLaTPlusPlus(n_classes=17, sorted_edges=True,
                           factored_prim=True)
-    var = model.init({"params": jax.random.key(0)}, jb, train=True)
-    assert "super_edge_mlp" in var["params"]
-    logits, _ = model.apply(var, jb, train=False)
-    assert np.isfinite(np.asarray(logits)).all()
+    with pytest.raises(ValueError, match="sup_rank"):
+        model.init({"params": jax.random.key(0)}, jb, train=True)

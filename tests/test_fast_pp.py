@@ -116,6 +116,25 @@ class TestFastForwardPP:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_factored_checkpoint_foreign_batch_raises(self):
+        """A factored checkpoint served with a batch lacking the factored
+        pack fields fails with a descriptive error, not a KeyError on the
+        absent super_edge_mlp (ADVICE round 4)."""
+        import pytest
+
+        batch_np, _ = random_packed_batch(seed=13, n_images=2)
+        jb_full = finalize_batch(jax.tree.map(jnp.asarray, batch_np))
+        model = YOLaTPlusPlus(n_classes=17, sorted_edges=True,
+                              factored_prim=True)
+        var = model.init({"params": jax.random.key(0)}, jb_full, train=True)
+        folded = fold_params_pp(var, n_blocks=2)
+        strip = {k: v for k, v in batch_np.items()
+                 if k not in ("sup_member", "sup_rank", "sup_abar",
+                              "prop_first_row")}
+        jb = finalize_batch(jax.tree.map(jnp.asarray, strip))
+        with pytest.raises(ValueError, match="factored pack fields"):
+            fast_forward_pp(folded, jb, edge_kernel=False)
+
     def test_banded_route_matches(self):
         """Curve + prim levels through the ragged banded kernel
         (ops/banded_message.py, interpret) == the gather/segment route."""

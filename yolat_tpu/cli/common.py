@@ -20,6 +20,44 @@ def _bool(v) -> bool:
     return str(v).lower() in ("1", "true", "yes", "y")
 
 
+# Named flag bundles ("flagship profiles"). Each entry maps Config fields to
+# the measured-best values; VALIDATION.md carries the evidence rows. Fields
+# listed under "unless_chart" are quality flags whose benefit is domain-
+# conditional: they win at the floorplans n32 gate but LOSE on dense
+# thin-box chart sweeps (step-20 gate, VALIDATION.md round 5), so they are
+# skipped when the data_dir follows the chart naming convention
+# (graph_dict3.py:57 keys class dicts off the path the same way).
+PROFILES = {
+    "yolat_pp_fast": {
+        "always": {"arch": "yolat_pp", "pp_factored_prim": True},
+        "unless_chart": {"iou_aware_loss": True},
+    },
+}
+
+
+def _explicit_flags(argv) -> set:
+    """Flag dests the user actually typed (vs parser defaults): re-parse
+    argv with SUPPRESS defaults so only given flags land in the namespace."""
+    p = build_parser("explicit-flag probe")
+    for a in p._actions:
+        a.default = argparse.SUPPRESS
+    ns, _ = p.parse_known_args(argv)
+    return set(vars(ns))
+
+
+def apply_profile(kw: dict, profile: str, explicit: set) -> dict:
+    """Overlay a PROFILES bundle onto Config kwargs; explicit CLI flags win."""
+    bundle = PROFILES[profile]
+    is_chart = "chart" in str(kw.get("data_dir", "")).lower()
+    overrides = dict(bundle["always"])
+    if not is_chart:
+        overrides.update(bundle.get("unless_chart", {}))
+    for field, value in overrides.items():
+        if field not in explicit:
+            kw[field] = value
+    return kw
+
+
 def build_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     d = Config()
@@ -110,6 +148,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--process_id", default=d.process_id, type=int)
     p.add_argument("--n_processes", default=d.n_processes, type=int,
                    help=">1 enables multi-process (multi-host) execution")
+    p.add_argument("--profile", default=d.profile, type=str,
+                   choices=tuple(PROFILES) + ("",),
+                   help="named flag bundle (explicit flags win): "
+                        "yolat_pp_fast = arch yolat_pp + pp_factored_prim "
+                        "+ iou_aware_loss (the latter skipped on chart "
+                        "datasets, where it measures worse — "
+                        "VALIDATION.md 'Chart-VG at step 20')")
     return p
 
 
@@ -150,10 +195,15 @@ def enable_compilation_cache(path: str = "/tmp/yolat_xla_cache") -> None:
         pass
 
 
-def config_from_args(args) -> Config:
+def config_from_args(args, argv=None) -> Config:
+    """Build a Config from parsed args; pass the same `argv` given to
+    parse_args so --profile can tell explicit flags from defaults."""
     apply_platform_env()
     enable_compilation_cache()
     fields = set(Config.__dataclass_fields__)
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw["lr_adjust_freq"] = int(min(args.lr_adjust_freq, 10 ** 9))
+    profile = kw.get("profile", "")
+    if profile:
+        kw = apply_profile(kw, profile, _explicit_flags(argv))
     return Config(**kw)

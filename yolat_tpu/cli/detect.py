@@ -71,7 +71,7 @@ def main(argv=None):
                    help="flax = parity path; fast/fast_bf16 = folded-BN "
                         "serving engine (bf16 is the TPU serving default)")
     args = p.parse_args(argv)
-    cfg = config_from_args(args)
+    cfg = config_from_args(args, argv)
 
     ds = SESYDDataset(cfg.data_dir, "test",
                       bbox_sampling_step=cfg.bbox_sampling_step)

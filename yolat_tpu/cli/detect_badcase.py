@@ -60,7 +60,7 @@ def main(argv=None):
     p.add_argument("--iou_th", default=0.5, type=float)
     p.add_argument("--max_images", default=0, type=int)
     args = p.parse_args(argv)
-    cfg = config_from_args(args)
+    cfg = config_from_args(args, argv)
 
     ds = SESYDDataset(cfg.data_dir, "test",
                       bbox_sampling_step=cfg.bbox_sampling_step)

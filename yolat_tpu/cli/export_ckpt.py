@@ -32,7 +32,7 @@ def main(argv=None):
     p.add_argument("--tag", default="best", type=str,
                    help="checkpoint tag to restore (best / an epoch number)")
     args = p.parse_args(argv)
-    cfg = config_from_args(args).replace(n_classes=args.n_classes,
+    cfg = config_from_args(args, argv).replace(n_classes=args.n_classes,
                                          data_aug=False)
 
     batch, _ = random_packed_batch(seed=0, n_images=1, ccs_per_image=2,

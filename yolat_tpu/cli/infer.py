@@ -98,7 +98,7 @@ def main(argv=None):
                         "records instead of aborting the whole run "
                         "(--input_dir mode only)")
     args = p.parse_args(argv)
-    cfg = config_from_args(args)
+    cfg = config_from_args(args, argv)
 
     import jax
 

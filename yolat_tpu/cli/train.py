@@ -6,7 +6,7 @@ from yolat_tpu.train.trainer import run_training
 
 def main(argv=None):
     args = build_parser("yolat_tpu training").parse_args(argv)
-    cfg = config_from_args(args).replace(phase="train")
+    cfg = config_from_args(args, argv).replace(phase="train")
     _, results = run_training(cfg)
     print(
         f"best test_value={results.get('best_value', 0):.4f} "

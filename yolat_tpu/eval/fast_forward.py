@@ -439,6 +439,15 @@ def fast_forward_pp(folded: dict, batch: dict, n_blocks_out: int = 2,
     # same prefix-sum aggregation it trained with (nn/yolat_pp.py
     # factored_prim) — no per-edge work at all, the cheapest prim level
     sew = bm_of(batch, "sew_") if use_banded else None
+    if "super_fact_mlp" in folded and "sup_rank" not in batch:
+        # a factored checkpoint has no super_edge_mlp — falling through to
+        # the per-edge branches below would die on a KeyError; say why
+        raise ValueError(
+            "factored checkpoint (folded 'super_fact_mlp') requires the "
+            "factored pack fields ('sup_rank'/'sup_member'/'sup_abar') in "
+            "the batch: repack with the hierarchical sidecars "
+            "(cli/preprocess --hierarchical + PackedLoader), or serve a "
+            "non-factored checkpoint")
     if "super_fact_mlp" in folded and "sup_rank" in batch:
         from yolat_tpu.ops.segment import segment_broadcast
 

@@ -51,7 +51,11 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
     bench.py compute it from the real per-image counts) shrinks the
     per-image NMS flat sort and conf work ~Bx with IDENTICAL detections.
     A kept proposal beyond the cap would be dropped — callers must pass a
-    cap >= the true per-image max (runner asserts this host-side).
+    cap >= the true per-image max. eval/runner.img_slot_cap computes it
+    exactly (max over the pack's real per-image proposal counts), so for
+    runner/bench batches the cap is exact BY CONSTRUCTION; there is no
+    runtime assert, and an undersized cap from another caller silently
+    drops detections.
 
     Output dict (leading axis = image slot in batch):
       boxes   [B, max_det, 4]  pixel xyxy

@@ -178,6 +178,15 @@ class YOLaTPlusPlus(nn.Module):
         # real edge set, so parameters stay interchangeable with the
         # sparse route (same "super_edge_mlp" name and shapes)
         bm = (bm_of(batch, "sew_") if self.banded_super else None)
+        if self.factored_prim and "sup_rank" not in batch:
+            # silently taking the per-edge route here would create
+            # super_edge_mlp params — an architecture switch that makes the
+            # param tree batch-dependent (confusing flax apply errors later)
+            raise ValueError(
+                "pp_factored_prim=True but the batch has no factored pack "
+                "fields ('sup_rank'): pack with PackedLoader over "
+                "hierarchical sidecars (cli/preprocess --hierarchical), or "
+                "set pp_factored_prim=False")
         if self.factored_prim and "sup_rank" in batch:
             # ---- factored (v2) primitive level ---------------------------
             # m_i = mean of preceding member features within the proposal,

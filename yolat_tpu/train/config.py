@@ -136,6 +136,11 @@ class Config:
     process_id: int = 0
     n_processes: int = 0            # 0/1 = single-process
     pretrained_model: str = ""
+    profile: str = ""               # named flag bundle applied at parse time
+                                    # (cli/common.py PROFILES; the analog of
+                                    # the reference's README-command-as-spec
+                                    # convention, README.md:47,52). Explicit
+                                    # CLI flags always win over the bundle.
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
