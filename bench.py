@@ -72,7 +72,11 @@ def build_workload(n_images=8, batch_size=4, step=10, extra_plans=()):
     from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
     from yolat_tpu.data.synthetic import write_dataset
 
-    root = os.path.join(tempfile.gettempdir(), "yolat_bench_v1")
+    # roots are keyed by image count so throughput-mode sweeps (batch
+    # 8/16/32, scripts/serve_batch_sweep.py) don't collide with the
+    # canonical 8-image workload
+    suffix = "" if n_images <= 8 else f"_{n_images}img"
+    root = os.path.join(tempfile.gettempdir(), f"yolat_bench_v1{suffix}")
     if not os.path.exists(os.path.join(root, "train_list.txt")):
         os.makedirs(root, exist_ok=True)
         write_dataset(root, n_train=n_images, n_test=1, seed=7,
@@ -138,7 +142,8 @@ def build_diagram_workload(n_images=8, batch_size=4, step=5):
 
 
 def time_predict(cfg, variables, batches, device, iters=8, fast=False,
-                 folded=None, bf16=False, pallas=None):
+                 folded=None, bf16=False, pallas=None,
+                 detections_only=False):
     """Detect throughput (images/sec), measured as ONE on-device lax.scan
     chain of iters*len(batches) predict steps — the same methodology as
     time_train. Per-call dispatch through the axon tunnel costs ~1.5 ms of
@@ -157,7 +162,8 @@ def time_predict(cfg, variables, batches, device, iters=8, fast=False,
     # eval/predict.py img_slots) — max over ALL chained batches
     cap = max(img_slot_cap(b) for b in batches)
     core = make_predict_core(cfg, max_det=300, fast=fast, folded=folded,
-                             bf16=bf16, pallas=pallas, img_slots=cap)
+                             bf16=bf16, pallas=pallas, img_slots=cap,
+                             detections_only=detections_only)
     stack = {k: jax.device_put(np.stack([b[k][0] for b in batches]), device)
              for k in batches[0]}
     dev_vars = jax.device_put(variables, device)

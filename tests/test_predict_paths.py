@@ -104,6 +104,35 @@ class TestImgSlotsLayout:
                                    rtol=1e-6)
 
 
+class TestDetectionsOnlyMode:
+    def test_same_detections_smaller_output(self):
+        """detections_only (serving mode) returns exactly the NMS outputs
+        with values identical to the full eval-protocol program."""
+        import jax
+        import jax.numpy as jnp
+
+        from yolat_tpu.data.toy import random_packed_batch
+        from yolat_tpu.eval.predict import make_predict_fn
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.loop import create_state
+        from yolat_tpu.train.optim import make_optimizer
+
+        batch_np, _ = random_packed_batch(seed=5, n_images=3)
+        cfg = Config(n_classes=17, data_aug=False)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        state = create_state(cfg, tx, batch_np, jax.random.key(0))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        batch = jax.tree.map(jnp.asarray, batch_np)
+
+        full = make_predict_fn(cfg, max_det=64)(variables, batch)
+        served = make_predict_fn(cfg, max_det=64, detections_only=True)(
+            variables, batch)
+        assert set(served) == {"boxes", "scores", "classes", "valid"}
+        for k in served:
+            np.testing.assert_array_equal(np.asarray(full[k]),
+                                          np.asarray(served[k]))
+
+
 class TestClassfixNMSPath:
     def test_predict_with_classfix_matches_fixpoint(self):
         """End-to-end predict parity: the per-class exact NMS returns the

@@ -36,7 +36,8 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
                     fast: bool = False, folded=None, bf16: bool = False,
                     pallas: bool | None = None,
                     edge_kernel: bool | None = None,
-                    img_slots: int | None = None):
+                    img_slots: int | None = None,
+                    detections_only: bool = False):
     """Returns a jitted (variables, batch) -> per-image detections fn.
 
     With fast=True (requires the dense neighbour layout in the batch and
@@ -68,7 +69,8 @@ def make_predict_fn(cfg, n_images: int | None = None, max_det: int = 300,
     core = make_predict_core(cfg, n_images=n_images, max_det=max_det,
                              fast=fast, folded=folded, bf16=bf16,
                              pallas=pallas, edge_kernel=edge_kernel,
-                             img_slots=img_slots)
+                             img_slots=img_slots,
+                             detections_only=detections_only)
     return jax.jit(core)
 
 
@@ -76,7 +78,8 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
                       fast: bool = False, folded=None, bf16: bool = False,
                       pallas: bool | None = None,
                       edge_kernel: bool | None = None,
-                      img_slots: int | None = None):
+                      img_slots: int | None = None,
+                      detections_only: bool = False):
     """The un-jitted predict body: (variables, batch) -> detections dict.
     Wrapped by make_predict_fn (jit) and make_dp_predict_fn (shard_map)."""
     model = build_model(cfg, axis_name=None)
@@ -165,6 +168,11 @@ def make_predict_core(cfg, n_images: int | None = None, max_det: int = 300,
                     topk=getattr(cfg, "nms_topk", 4096),
                     approx_topk=getattr(cfg, "nms_approx_topk", False))
         )(img_boxes, img_cls, img_obj, img_valid)
+        if detections_only:
+            # serving mode: detections in, detections out — skip the
+            # eval-protocol extras below ([P]/[P,K]-sized per-step outputs
+            # that a scan-chained server would stack into HBM every step)
+            return nms
         nms["pred_label"] = pred_label
         nms["kept"] = kept
         # raw per-proposal scores for alternative post-processing (the

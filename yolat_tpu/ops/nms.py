@@ -78,15 +78,21 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
 
     flat_conf = conf.reshape(M * K)
     cand_valid = cand_valid.reshape(M * K)
+
+    if algorithm == "fixpoint":
+        # boxes/classes/offsets for the top-C winners are derived from
+        # top_idx INSIDE _fixpoint_nms (idx//K gathers the box, idx%K is
+        # the class) — materialising [M*K, 4] repeat/offset arrays here
+        # just to gather C<<M*K rows was the bulk of the conf stage's
+        # fixed cost (PERF.md round-4 nms_decomp: 0.2 ms flat in the cap)
+        return _fixpoint_nms(flat_conf, cand_valid, boxes, K,
+                             iou_thres, max_det,
+                             min(topk, max_nms, M * K),
+                             approx_topk=approx_topk)
+
     classes = jnp.tile(jnp.arange(K, dtype=jnp.int32), (M,))
     box_rep = jnp.repeat(boxes, K, axis=0)
     offset_boxes = box_rep + (classes[:, None].astype(boxes.dtype) * MAX_WH)
-
-    if algorithm == "fixpoint":
-        return _fixpoint_nms(flat_conf, cand_valid, classes, box_rep,
-                             offset_boxes, iou_thres, max_det,
-                             min(topk, max_nms, M * K),
-                             approx_topk=approx_topk)
 
     order = jnp.argsort(-jnp.where(cand_valid, flat_conf, -jnp.inf))
     flat_conf = flat_conf[order]
@@ -142,7 +148,7 @@ def single_image_nms(boxes, cls_scores, obj_scores, valid,
     }
 
 
-def _fixpoint_nms(flat_conf, cand_valid, classes, box_rep, offset_boxes,
+def _fixpoint_nms(flat_conf, cand_valid, boxes, K: int,
                   iou_thres: float, max_det: int, C: int,
                   approx_topk: bool = False):
     """Exact greedy NMS over the top-C candidates via fixed-point iteration.
@@ -173,9 +179,11 @@ def _fixpoint_nms(flat_conf, cand_valid, classes, box_rep, offset_boxes,
     else:
         top_scores, top_idx = jax.lax.top_k(scores, C)  # descending
     tvalid = cand_valid[top_idx]
-    ob = offset_boxes[top_idx]
-    bx = box_rep[top_idx]
-    cl = classes[top_idx]
+    # flat candidate idx = proposal*K + class: gather the C winners' boxes
+    # directly instead of pre-materialising [M*K, 4] repeat/offset arrays
+    cl = (top_idx % K).astype(jnp.int32)
+    bx = boxes[top_idx // K]
+    ob = bx + cl[:, None].astype(bx.dtype) * MAX_WH
 
     ix0 = jnp.maximum(ob[:, None, 0], ob[None, :, 0])
     iy0 = jnp.maximum(ob[:, None, 1], ob[None, :, 1])
