@@ -177,9 +177,12 @@ def main(argv=None):
 
     fast = args.serve_mode in ("fast", "fast_bf16")
     folded = fold_params_for(cfg, variables) if fast else None
+    # detections_only: bulk serving never reads the eval-protocol extras
+    # (pred_label/kept/prop_*), so skip their per-batch HBM writes + fetch
     predict = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
                               folded=folded,
-                              bf16=args.serve_mode == "fast_bf16")
+                              bf16=args.serve_mode == "fast_bf16",
+                              detections_only=True)
 
     n_images = 0
     device_s = 0.0
