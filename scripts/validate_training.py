@@ -49,6 +49,10 @@ def main():
     p.add_argument("--iou_aware", action="store_true",
                    help="IoU-aware soft classification targets "
                         "(cfg.iou_aware_loss; high-IoU-tail lever)")
+    p.add_argument("--iou_mode", type=str, default="abs",
+                   choices=("abs", "rel"),
+                   help="quality target: abs IoU, or sibling-relative "
+                        "(cfg.iou_aware_mode; round-5 chart lever)")
     args = p.parse_args()
 
     from yolat_tpu.cli.common import apply_platform_env
@@ -95,6 +99,7 @@ def main():
         do_mixup=args.mixup,
         n_devices=args.n_devices,
         iou_aware_loss=args.iou_aware,
+        iou_aware_mode=args.iou_mode,
         pp_factored_prim=args.factored,
     )
     t0 = time.time()
@@ -111,6 +116,7 @@ def main():
         "epochs": args.epochs,
         "arch": args.arch,
         "iou_aware": args.iou_aware,
+        "iou_mode": args.iou_mode,
         "factored": args.factored,
     }
     with open(args.out, "w") as f:

@@ -265,3 +265,35 @@ class TestLabelIoU:
             assert (q[pos] <= 1.0 + 1e-6).all()
             saw_exact |= bool((q[pos] > 0.99).any())
         assert saw_exact
+
+    def test_label_iou_rel_normalises_sibling_groups(self, synthetic_root):
+        """cfg.iou_aware_mode='rel': within every matched-GT sibling group
+        the BEST sibling carries exactly 1.0 (no positive starvation) and
+        the ratio to label_iou is constant across the group (rank
+        preserved); background rows carry 0."""
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        loader = PackedLoader(ds, batch_size=2, shuffle=False)
+        n_classes = ds.n_classes
+        saw_group = False
+        for batch in loader:
+            b = {k: v[0] for k, v in batch.items()}
+            q = np.asarray(b["label_iou"])
+            qr = np.asarray(b["label_iou_rel"])
+            labels = np.asarray(b["labels"])
+            pmask = np.asarray(b["proposal_mask"])
+            img = np.asarray(b["image_id"])
+            pos = pmask & (labels != n_classes - 1)
+            bg = pmask & (labels == n_classes - 1)
+            assert (qr[bg] == 0.0).all()
+            assert (qr[pos] > 0).all() and (qr[pos] <= 1.0 + 1e-6).all()
+            assert (qr[pos] >= q[pos] - 1e-6).all()  # rel >= abs always
+            # group = (image, label, ratio qr/q): every group must contain
+            # a 1.0 (its best sibling)
+            ratio = np.where(q > 0, qr / np.maximum(q, 1e-12), 0.0)
+            keys = np.stack([img[pos], labels[pos], ratio[pos].round(6)], 1)
+            groups, inv = np.unique(keys, axis=0, return_inverse=True)
+            gmax = np.zeros(len(groups))
+            np.maximum.at(gmax, inv, qr[pos])
+            assert np.allclose(gmax, 1.0, atol=1e-5)
+            saw_group |= len(groups) < pos.sum()  # some real multi-member
+        assert saw_group

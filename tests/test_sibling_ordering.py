@@ -123,6 +123,33 @@ class TestFlatSpreadRegime:
         assert "0.5839" in text  # the negative result's mAP@0.5
 
 
+class TestRelativeMode:
+    """cfg.iou_aware_mode='rel' (round 5): the sibling-RELATIVE quality
+    target q_rel = IoU / best-sibling-IoU keeps the best sibling at the
+    full hard target while preserving the ordering — designed to combine
+    the wide-spread win with no flat-spread starvation."""
+
+    def _probs(self, ious):
+        best = max(ious)
+        labels = [0] * len(ious) + [BG]
+        q_rel = [q / best for q in ious] + [1.0]
+        return _fixed_point_probs(labels, q_rel)
+
+    def test_no_starvation_flat_regime(self):
+        # charts-like: [0.52, 0.50] -> best sibling trains toward 1.0,
+        # unlike absolute mode's ~0.5 (TestFlatSpreadRegime)
+        p = self._probs([0.52, 0.50])
+        assert float(p[0, 0]) > 0.9
+
+    def test_ordering_preserved_wide_regime(self):
+        # floorplans-like: ordering margins survive the normalisation
+        p = self._probs([0.95, 0.80, 0.72])
+        s = p[:3, 0]
+        assert (np.diff(s) < 0).all(), f"not IoU-ordered: {s}"
+        assert float(s[0] - s[1]) > 0.05 and float(s[1] - s[2]) > 0.03
+        assert float(s[0]) > 0.9  # and the best sibling is unstarved
+
+
 class TestSpreadThreshold:
     """The flag's domain of validity as a measurable property: ordering
     margin grows with sibling IoU spread; the crossover where margin

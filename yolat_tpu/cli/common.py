@@ -136,8 +136,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "(ops/fused_pool_train.py)")
     p.add_argument("--iou_aware_loss", default=d.iou_aware_loss, type=_bool,
                    help="quality-focal soft targets: positive proposals "
-                        "train toward {class: IoU, background: 1-IoU} so "
+                        "train toward {class: q, background: 1-q} so "
                         "confidence orders overlapping proposals by quality")
+    p.add_argument("--iou_aware_mode", default=d.iou_aware_mode, type=str,
+                   choices=("abs", "rel"),
+                   help="q for --iou_aware_loss: 'abs' = IoU vs matched GT; "
+                        "'rel' = IoU / best sibling IoU (rank-preserving, "
+                        "no positive starvation on dense thin-box sweeps)")
     p.add_argument("--buckets", default=d.buckets, type=int,
                    help="size-bucketed padding: compiled programs per loader")
     p.add_argument("--scan_steps", default=d.scan_steps, type=int,

@@ -123,7 +123,8 @@ class CompactFile:
     __slots__ = ("pos", "node_mask", "bbox_idx", "edge", "e_attr",
                  "edge_super", "e_attr_super", "super_valid", "labels",
                  "bbox", "stat_feats", "has_obj", "label_iou",
-                 "is_root_mask", "root_slot_local", "n_proposals")
+                 "label_iou_rel", "is_root_mask", "root_slot_local",
+                 "n_proposals")
 
     def __init__(self, f, n_classes=None):
         from yolat_tpu.ops.segment import POOL_BLOCK
@@ -196,6 +197,23 @@ class CompactFile:
         at = (tgt[:, 2] - tgt[:, 0]) * (tgt[:, 3] - tgt[:, 1])
         iou = inter / np.maximum(ab + at - inter, 1e-12)
         self.label_iou = np.where(pos_lbl, iou, 0.0).astype(np.float32)
+        # sibling-RELATIVE quality (cfg.iou_aware_mode='rel'): IoU
+        # normalised within each matched-GT sibling group, so the best
+        # sibling keeps the FULL hard target (q_rel=1: no positive-score
+        # starvation — the mechanism that lost both chart step-20 metrics
+        # under absolute-IoU targets, VALIDATION.md round 5) while worse
+        # siblings still order below it. Groups key on the stored GT
+        # box + label (bbox_targets rows identify the matched GT).
+        rel = np.zeros_like(iou)
+        if pos_lbl.any():
+            keys = np.concatenate(
+                [tgt[pos_lbl].round(9),
+                 self.labels[pos_lbl][:, None].astype(np.float64)], axis=1)
+            _, grp = np.unique(keys, axis=0, return_inverse=True)
+            gmax = np.zeros(int(grp.max()) + 1)
+            np.maximum.at(gmax, grp, iou[pos_lbl])
+            rel[pos_lbl] = iou[pos_lbl] / np.maximum(gmax[grp], 1e-12)
+        self.label_iou_rel = np.where(pos_lbl, rel, 0.0).astype(np.float32)
         P = len(self.labels)
         self.n_proposals = P
         self.is_root_mask = np.zeros(P, bool)
@@ -292,6 +310,7 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
         "stat_feats": np.zeros((pad.n_proposals, 13), np.float32),
         "has_obj": np.zeros(pad.n_proposals, np.int32),
         "label_iou": np.zeros(pad.n_proposals, np.float32),
+        "label_iou_rel": np.zeros(pad.n_proposals, np.float32),
         "image_id": np.zeros(pad.n_proposals, np.int32),
         "is_root": np.zeros(pad.n_proposals, bool),
         "root_slot": np.zeros(pad.n_proposals, np.int32),
@@ -340,6 +359,7 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
         batch["stat_feats"][p_off : p_off + p] = f.stat_feats
         batch["has_obj"][p_off : p_off + p] = f.has_obj
         batch["label_iou"][p_off : p_off + p] = f.label_iou
+        batch["label_iou_rel"][p_off : p_off + p] = f.label_iou_rel
         batch["image_id"][p_off : p_off + p] = img
         batch["is_root"][p_off : p_off + p] = f.is_root_mask
         # per-proposal pointer to its CC's root proposal (two-pass inference)

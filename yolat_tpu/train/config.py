@@ -121,11 +121,18 @@ class Config:
                                     # no aligned pool plan
     iou_aware_loss: bool = False    # quality-focal-style soft targets: a
                                     # positive proposal trains toward
-                                    # {class: IoU vs GT, background: 1-IoU}
-                                    # so confidence orders overlapping
+                                    # {class: q, background: 1-q} so
+                                    # confidence orders overlapping
                                     # proposals by localisation quality
                                     # (beyond-reference; nn/model.py
                                     # detection_loss label_iou)
+    iou_aware_mode: str = "abs"     # q = 'abs' (IoU vs matched GT — the
+                                    # floorplans n32 winner) | 'rel' (IoU /
+                                    # best sibling IoU of the same GT: the
+                                    # best sibling keeps the full hard
+                                    # target, so dense thin-box sweeps
+                                    # aren't starved — VALIDATION.md
+                                    # "Chart-VG at step 20", round 5)
     buckets: int = 1                # size-bucketed padding (programs per loader)
     scan_steps: int = 1             # train steps per device dispatch (lax.scan
                                     # chain; amortises remote-link latency)

@@ -118,10 +118,20 @@ def compute_dtype_of(cfg):
 _DENSE_KEYS = ("nbr_idx", "nbr_attr", "nbr_mask")
 
 
+
+def _iou_field(cfg):
+    """None, or the packed quality field the IoU-aware loss trains on
+    (cfg.iou_aware_mode: 'abs' -> label_iou, 'rel' -> label_iou_rel)."""
+    if not getattr(cfg, "iou_aware_loss", False):
+        return None
+    return ("label_iou_rel"
+            if getattr(cfg, "iou_aware_mode", "abs") == "rel"
+            else "label_iou")
+
 def _step_body(model, tx, state: TrainState, batch: dict, key,
                data_aug: bool, classifier: str, axis_name: Optional[str],
                drop_edge: float = 0.0, compute_dtype=None,
-               train_layout: str = "sparse", iou_aware: bool = False):
+               train_layout: str = "sparse", iou_aware: Optional[str] = None):
     if train_layout in ("sparse", "window"):
         # training runs the sparse dst-sorted edge branch (or the banded
         # window branch): the dense [N, D] slot table is mostly padding at
@@ -169,7 +179,7 @@ def _step_body(model, tx, state: TrainState, batch: dict, key,
         )
         loss_dict = detection_loss(
             logits, batch["labels"], batch["proposal_mask"], classifier,
-            label_iou=(batch.get("label_iou") if iou_aware else None),
+            label_iou=(batch.get(iou_aware) if iou_aware else None),
         )
         return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
 
@@ -207,7 +217,7 @@ def make_train_step(cfg, tx):
                           cfg.classifier, axis_name=None,
                           drop_edge=cfg.drop_edge, compute_dtype=cdtype,
                           train_layout=getattr(cfg, "train_layout", "sparse"),
-                          iou_aware=getattr(cfg, "iou_aware_loss", False))
+                          iou_aware=_iou_field(cfg))
 
     return step
 
@@ -243,8 +253,7 @@ def make_scan_train_step(cfg, tx, n_steps: int):
                                      compute_dtype=cdtype,
                                      train_layout=getattr(cfg, "train_layout",
                                                           "sparse"),
-                                     iou_aware=getattr(cfg, "iou_aware_loss",
-                                                       False))
+                                     iou_aware=_iou_field(cfg))
             return (st, k), metrics
 
         (st, _), metrics = jax.lax.scan(body, (state, key), stacked)
@@ -274,8 +283,7 @@ def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
                                           compute_dtype=cdtype,
                                           train_layout=getattr(
                                               cfg, "train_layout", "sparse"),
-                                          iou_aware=getattr(
-                                              cfg, "iou_aware_loss", False))
+                                          iou_aware=_iou_field(cfg))
         return new_state, loss_dict
 
     mapped = jax.shard_map(
