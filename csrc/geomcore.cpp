@@ -966,4 +966,67 @@ long sweep_rects(const double* xv, long nx, const double* yv, long ny,
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// compact_sort_align: the CompactFile edge transform (data/packing.py) in one
+// native pass — stable counting-sort of an edge family by ORIGINAL dst
+// (old2new is strictly increasing, so this equals sorting by remapped dst),
+// endpoint remap through old2new, and run alignment to `block` (pad rows
+// carry the run's dst as src=dst, zero attrs, valid=false — the
+// data/packing._align_runs semantics). block=1 = sort+remap only.
+//
+// Two-phase protocol: with out_edge == nullptr, returns the aligned row
+// count only (histogram pass); with outputs, fills [s2, 2] int32 edges,
+// [s2, 4] float attrs (first 4 input columns), [s2] uint8 valid and
+// returns s2, or -1 if s2 > cap.
+long compact_sort_align(const int64_t* edge, const double* attr, long S,
+                        long attr_in_dim, const int64_t* old2new, long n_old,
+                        long block, int32_t* out_edge, float* out_attr,
+                        uint8_t* out_valid, long cap) {
+  if (block < 1) block = 1;
+  std::vector<long> cnt((size_t)n_old, 0);
+  for (long i = 0; i < S; ++i) ++cnt[(size_t)edge[2 * i + 1]];
+  long s2 = 0;
+  for (long d = 0; d < n_old; ++d)
+    if (cnt[(size_t)d]) s2 += ((cnt[(size_t)d] + block - 1) / block) * block;
+  if (out_edge == nullptr) return s2;
+  if (s2 > cap) return -1;
+
+  // aligned start offset per ORIGINAL dst id, then fill forward (stable)
+  std::vector<long> offs((size_t)n_old, 0);
+  long acc = 0;
+  for (long d = 0; d < n_old; ++d) {
+    offs[(size_t)d] = acc;
+    if (cnt[(size_t)d]) acc += ((cnt[(size_t)d] + block - 1) / block) * block;
+  }
+  std::vector<long> fill((size_t)n_old, 0);
+  for (long i = 0; i < S; ++i) {
+    const long d = edge[2 * i + 1];
+    const long p = offs[(size_t)d] + fill[(size_t)d]++;
+    out_edge[2 * p] = (int32_t)old2new[(size_t)edge[2 * i]];
+    out_edge[2 * p + 1] = (int32_t)old2new[(size_t)d];
+    const double* a = attr + attr_in_dim * i;
+    float* o = out_attr + 4 * p;
+    const long m = attr_in_dim < 4 ? attr_in_dim : 4;
+    for (long c = 0; c < m; ++c) o[c] = (float)a[c];
+    for (long c = m; c < 4; ++c) o[c] = 0.0f;
+    out_valid[p] = 1;
+  }
+  // pad rows: src = dst = the run's REMAPPED dst, zero attr, invalid
+  for (long d = 0; d < n_old; ++d) {
+    const long c = cnt[(size_t)d];
+    if (!c) continue;
+    const long a2 = ((c + block - 1) / block) * block;
+    const int32_t nd = (int32_t)old2new[(size_t)d];
+    for (long k = c; k < a2; ++k) {
+      const long p = offs[(size_t)d] + k;
+      out_edge[2 * p] = nd;
+      out_edge[2 * p + 1] = nd;
+      float* o = out_attr + 4 * p;
+      o[0] = o[1] = o[2] = o[3] = 0.0f;
+      out_valid[p] = 0;
+    }
+  }
+  return s2;
+}
+
 }  // extern "C"

@@ -49,6 +49,9 @@ def main():
     p.add_argument("--iou_aware", action="store_true",
                    help="IoU-aware soft classification targets "
                         "(cfg.iou_aware_loss; high-IoU-tail lever)")
+    p.add_argument("--pos_weight", type=float, default=1.0,
+                   help="positive-row loss weight "
+                        "(cfg.pos_class_weight; dense-sweep lever)")
     p.add_argument("--iou_mode", type=str, default="abs",
                    choices=("abs", "rel"),
                    help="quality target: abs IoU, or sibling-relative "
@@ -100,6 +103,7 @@ def main():
         n_devices=args.n_devices,
         iou_aware_loss=args.iou_aware,
         iou_aware_mode=args.iou_mode,
+        pos_class_weight=args.pos_weight,
         pp_factored_prim=args.factored,
     )
     t0 = time.time()
@@ -117,6 +121,7 @@ def main():
         "arch": args.arch,
         "iou_aware": args.iou_aware,
         "iou_mode": args.iou_mode,
+        "pos_weight": args.pos_weight,
         "factored": args.factored,
     }
     with open(args.out, "w") as f:

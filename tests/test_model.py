@@ -219,3 +219,28 @@ class TestTraining:
         gh = jax.grad(lambda lg: detection_loss(lg, labels, mask)["loss"])(
             logits)
         assert float(g[0, 2]) < float(gh[0, 2])  # bg channel pushed UP less hard
+
+    def test_detection_loss_pos_weight(self):
+        """pos_class_weight: positives' rows weigh `w` in a WEIGHTED mean
+        (denominator includes the weights); w=1 is reference-exact."""
+        logits = jnp.array([[2.0, -1.0, 0.3], [0.0, 5.0, -2.0],
+                            [1.0, 0.5, 4.0]])
+        labels = jnp.array([0, 1, 2])  # last = background (K-1)
+        mask = jnp.ones(3, bool)
+        base = detection_loss(logits, labels, mask)["loss"]
+        same = detection_loss(logits, labels, mask, pos_weight=1.0)["loss"]
+        np.testing.assert_allclose(float(base), float(same), rtol=1e-7)
+
+        w = 16.0
+        weighted = detection_loss(logits, labels, mask, pos_weight=w)["loss"]
+        nll = -jax.nn.log_softmax(logits)[jnp.arange(3), labels]
+        want = (w * nll[0] + w * nll[1] + nll[2]) / (2 * w + 1)
+        np.testing.assert_allclose(float(weighted), float(want), rtol=1e-6)
+
+        # the positive rows' gradient share grows accordingly
+        gw = jax.grad(lambda lg: detection_loss(
+            lg, labels, mask, pos_weight=w)["loss"])(logits)
+        gb = jax.grad(lambda lg: detection_loss(lg, labels, mask)["loss"])(
+            logits)
+        pos_share = lambda g: float(jnp.abs(g[:2]).sum() / jnp.abs(g).sum())
+        assert pos_share(gw) > pos_share(gb)

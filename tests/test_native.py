@@ -291,3 +291,51 @@ class TestSplitLinesNative:
                             lambda *a, **k: None)
         want = sc.split_line(pts, pts_lines)
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+class TestCompactSortAlignNative:
+    """csrc compact_sort_align vs the numpy CompactFile transform."""
+
+    @pytest.fixture
+    def lib(self):
+        lib = _native.load_library()
+        if lib is None:
+            pytest.skip("native library unavailable")
+        return lib
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("block", [1, 8])
+    def test_matches_numpy_oracle(self, lib, seed, block):
+        from yolat_tpu.data.packing import _align_runs
+
+        rng = np.random.default_rng(seed)
+        n_old = 50
+        S = 400
+        edge = rng.integers(0, n_old, size=(S, 2)).astype(np.int64)
+        attr = rng.normal(size=(S, 6))  # >4 cols: first 4 are taken
+        # strictly increasing remap with gaps (the pool-aligned old2new)
+        old2new = np.cumsum(rng.integers(1, 4, size=n_old)).astype(np.int64)
+
+        got = _native.compact_sort_align_native(edge, attr, old2new, block)
+        assert got is not None
+        ge, ga, gv = got
+
+        eo = np.argsort(edge[:, 1], kind="stable")
+        we = old2new[edge[eo]].astype(np.int32)
+        wa = attr[eo, 0:4].astype(np.float32)
+        if block == 1:
+            np.testing.assert_array_equal(ge, we)
+            np.testing.assert_array_equal(ga, wa)
+            assert gv.all()
+        else:
+            we2, wa2, wv = _align_runs(we, wa, block)
+            np.testing.assert_array_equal(ge, we2)
+            np.testing.assert_array_equal(ga, wa2)
+            np.testing.assert_array_equal(gv, wv)
+
+    def test_empty(self, lib):
+        got = _native.compact_sort_align_native(
+            np.zeros((0, 2), np.int64), np.zeros((0, 4)),
+            np.arange(5, dtype=np.int64), 8)
+        assert got is not None
+        assert got[0].shape == (0, 2) and got[2].shape == (0,)

@@ -138,6 +138,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="quality-focal soft targets: positive proposals "
                         "train toward {class: q, background: 1-q} so "
                         "confidence orders overlapping proposals by quality")
+    p.add_argument("--pos_class_weight", default=d.pos_class_weight,
+                   type=float,
+                   help="positive-row loss weight (weighted mean): >1 "
+                        "counters extreme background imbalance on dense "
+                        "sweeps (chart step-20); 1.0 = reference-exact")
     p.add_argument("--iou_aware_mode", default=d.iou_aware_mode, type=str,
                    choices=("abs", "rel"),
                    help="q for --iou_aware_loss: 'abs' = IoU vs matched GT; "

@@ -148,27 +148,47 @@ class CompactFile:
             np.arange(n_prop, dtype=np.int32), new_counts)
         # old2new is strictly increasing, so dst-sorted edge lists stay
         # dst-sorted after the endpoint remap
-        eo = np.argsort(np.asarray(f.edge)[:, 1], kind="stable")
-        self.edge = np.ascontiguousarray(
-            old2new[np.asarray(f.edge, np.int64)[eo]], np.int32)
-        self.e_attr = np.ascontiguousarray(
-            np.asarray(f.e_attr)[eo, 0:4], np.float32)
-        so = np.argsort(np.asarray(f.edge_super)[:, 1], kind="stable")
-        es = np.ascontiguousarray(
-            old2new[np.asarray(f.edge_super, np.int64)[so]], np.int32)
-        ea = np.ascontiguousarray(
-            np.asarray(f.e_attr_super)[so, 0:4], np.float32)
-        # SUPER_BLOCK-align each dst node's super-edge run (pad rows keep the run's
-        # dst so sortedness holds; src=dst, attr=0, super_valid=False):
-        # the clique family is 5x the regular edge count at SESYD scale
-        # and its per-node mean was a 2.3 ms/step row-serialized scatter in
-        # YOLaT++ serving — aligned runs route it through the boundary-free
-        # two-level pool plan (block reduce + NB-row scatter), the same
-        # trick CompactFile already plays for proposal node runs.
+        # edge families: stable dst sort + endpoint remap (+ run alignment
+        # below) — the native kernel (csrc compact_sort_align, counting
+        # sort) does each family in one pass; the numpy path is the
+        # fallback and equivalence oracle (tests/test_native.py)
+        from yolat_tpu.geom._native import compact_sort_align_native
+
+        nat_e = compact_sort_align_native(
+            np.asarray(f.edge, np.int64), np.asarray(f.e_attr, np.float64),
+            old2new, 1)
+        if nat_e is not None:
+            self.edge, self.e_attr, _ = nat_e
+        else:
+            eo = np.argsort(np.asarray(f.edge)[:, 1], kind="stable")
+            self.edge = np.ascontiguousarray(
+                old2new[np.asarray(f.edge, np.int64)[eo]], np.int32)
+            self.e_attr = np.ascontiguousarray(
+                np.asarray(f.e_attr)[eo, 0:4], np.float32)
+        # SUPER_BLOCK-align each dst node's super-edge run (pad rows keep
+        # the run's dst so sortedness holds; src=dst, attr=0,
+        # super_valid=False): the clique family is 5x the regular edge
+        # count at SESYD scale and its per-node mean was a 2.3 ms/step
+        # row-serialized scatter in YOLaT++ serving — aligned runs route
+        # it through the boundary-free two-level pool plan (block reduce +
+        # NB-row scatter), the same trick CompactFile already plays for
+        # proposal node runs. The native kernel sorts AND aligns in the
+        # same pass (block=SUPER_BLOCK).
         from yolat_tpu.ops.segment import SUPER_BLOCK
 
-        self.edge_super, self.e_attr_super, self.super_valid = \
-            _align_runs(es, ea, SUPER_BLOCK)
+        nat_s = compact_sort_align_native(
+            np.asarray(f.edge_super, np.int64),
+            np.asarray(f.e_attr_super, np.float64), old2new, SUPER_BLOCK)
+        if nat_s is not None:
+            self.edge_super, self.e_attr_super, self.super_valid = nat_s
+        else:
+            so = np.argsort(np.asarray(f.edge_super)[:, 1], kind="stable")
+            es = np.ascontiguousarray(
+                old2new[np.asarray(f.edge_super, np.int64)[so]], np.int32)
+            ea = np.ascontiguousarray(
+                np.asarray(f.e_attr_super)[so, 0:4], np.float32)
+            self.edge_super, self.e_attr_super, self.super_valid = \
+                _align_runs(es, ea, SUPER_BLOCK)
         self.labels = np.ascontiguousarray(f.labels, np.int32)
         self.bbox = np.ascontiguousarray(f.bbox, np.float32)
         self.stat_feats = np.ascontiguousarray(f.stat_feats, np.float32)

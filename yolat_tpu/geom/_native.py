@@ -118,6 +118,15 @@ def load_library():
                 ctypes.c_double, ctypes.c_double,
                 f64p, ctypes.c_long,
             ]
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.compact_sort_align.restype = ctypes.c_long
+            lib.compact_sort_align.argtypes = [
+                i64p, f64p, ctypes.c_long, ctypes.c_long,
+                i64p, ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -474,3 +483,43 @@ def angle_stats_native(edges_local: np.ndarray, pos_local: np.ndarray,
         n_90=int(out[0]), n_less90=int(out[1]), n_more90=int(out[2]),
         mean=out[3], max=out[4], min=out[5], std=out[6],
     )
+
+
+def compact_sort_align_native(edge: np.ndarray, attr: np.ndarray,
+                              old2new: np.ndarray, block: int):
+    """CompactFile edge transform in C++ (csrc compact_sort_align): stable
+    dst counting-sort + endpoint remap + run alignment to `block`.
+    Returns (edge2 [S2,2] int32, attr2 [S2,4] float32, valid [S2] bool) or
+    None (library unavailable). block=1 -> valid is all-True."""
+    lib = load_library()
+    if lib is None:
+        return None
+    edge = np.ascontiguousarray(edge, dtype=np.int64).reshape(-1, 2)
+    attr = np.ascontiguousarray(attr, dtype=np.float64)
+    if attr.ndim == 1:
+        attr = attr.reshape(len(edge), -1)
+    old2new = np.ascontiguousarray(old2new, dtype=np.int64)
+    S = len(edge)
+    adim = attr.shape[1] if S else 4
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    e_p = edge.ctypes.data_as(i64p)
+    a_p = attr.ctypes.data_as(f64p)
+    o_p = old2new.ctypes.data_as(i64p)
+    null_i32 = ctypes.POINTER(ctypes.c_int32)()
+    null_f32 = ctypes.POINTER(ctypes.c_float)()
+    null_u8 = ctypes.POINTER(ctypes.c_uint8)()
+    s2 = lib.compact_sort_align(e_p, a_p, S, adim, o_p, len(old2new),
+                                block, null_i32, null_f32, null_u8, 0)
+    edge2 = np.empty((s2, 2), np.int32)
+    attr2 = np.empty((s2, 4), np.float32)
+    valid = np.empty(s2, np.uint8)
+    got = lib.compact_sort_align(
+        e_p, a_p, S, adim, o_p, len(old2new), block,
+        edge2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        attr2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s2)
+    if got != s2:
+        return None
+    return edge2, attr2, valid.astype(bool)

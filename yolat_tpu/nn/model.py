@@ -235,7 +235,7 @@ class SparseCADGCN(nn.Module):
 
 
 def detection_loss(pred_cls, labels, proposal_mask, classifier: str = "softmax",
-                   label_iou=None):
+                   label_iou=None, pos_weight: float = 1.0):
     """Masked classification loss over proposals (DetectionLoss,
     architecture3cc_rpn_gp_iter2.py:358-379). Returns a dict
     {'loss', 'loss_cls'} like the reference. Logits are upcast to f32 so the
@@ -251,9 +251,20 @@ def detection_loss(pred_cls, labels, proposal_mask, classifier: str = "softmax",
     target — nothing orders them at NMS time, and YOLaT++'s hierarchy makes
     sibling scores near-identical (6/192 GTs kept a 0.66-0.73 box over an
     available exact one at margins <3e-3 on the n32 gate). Goes beyond the
-    reference (quality-focal-style soft label); off by default."""
+    reference (quality-focal-style soft label); off by default.
+
+    pos_weight (cfg.pos_class_weight, round 5): multiply positive rows'
+    loss by this factor. On dense sweeps positives are a sliver of the
+    masked mean (chart step-20: ~0.5% of 7.2k proposals/image), so the
+    trained positive confidence is starved — median TP score 0.058 with
+    95 FPs outranking it (scripts/chart_fp_probe.py) — and mAP@0.5 pays
+    in precision-at-rank. Weighted mean (denominator includes the
+    weights) keeps the loss scale lr-compatible. 1.0 = reference-exact."""
     pred_cls = pred_cls.astype(jnp.float32)
     m = proposal_mask.astype(pred_cls.dtype)
+    if pos_weight != 1.0:
+        background_id = pred_cls.shape[-1] - 1
+        m = m * jnp.where(labels != background_id, pos_weight, 1.0)
     denom = jnp.maximum(m.sum(), 1.0)
     k = pred_cls.shape[-1]
     background = k - 1

@@ -126,6 +126,12 @@ class Config:
                                     # proposals by localisation quality
                                     # (beyond-reference; nn/model.py
                                     # detection_loss label_iou)
+    pos_class_weight: float = 1.0   # multiply positive proposals' loss
+                                    # rows (weighted mean): the dense-sweep
+                                    # class-imbalance lever (chart step-20:
+                                    # positives ~0.5% of rows starved TP
+                                    # confidence — PERF.md round 5).
+                                    # 1.0 = reference-exact
     iou_aware_mode: str = "abs"     # q = 'abs' (IoU vs matched GT — the
                                     # floorplans n32 winner) | 'rel' (IoU /
                                     # best sibling IoU of the same GT: the

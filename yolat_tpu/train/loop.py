@@ -131,7 +131,8 @@ def _iou_field(cfg):
 def _step_body(model, tx, state: TrainState, batch: dict, key,
                data_aug: bool, classifier: str, axis_name: Optional[str],
                drop_edge: float = 0.0, compute_dtype=None,
-               train_layout: str = "sparse", iou_aware: Optional[str] = None):
+               train_layout: str = "sparse", iou_aware: Optional[str] = None,
+               pos_weight: float = 1.0):
     if train_layout in ("sparse", "window"):
         # training runs the sparse dst-sorted edge branch (or the banded
         # window branch): the dense [N, D] slot table is mostly padding at
@@ -180,6 +181,7 @@ def _step_body(model, tx, state: TrainState, batch: dict, key,
         loss_dict = detection_loss(
             logits, batch["labels"], batch["proposal_mask"], classifier,
             label_iou=(batch.get(iou_aware) if iou_aware else None),
+            pos_weight=pos_weight,
         )
         return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
 
@@ -217,7 +219,8 @@ def make_train_step(cfg, tx):
                           cfg.classifier, axis_name=None,
                           drop_edge=cfg.drop_edge, compute_dtype=cdtype,
                           train_layout=getattr(cfg, "train_layout", "sparse"),
-                          iou_aware=_iou_field(cfg))
+                          iou_aware=_iou_field(cfg),
+                          pos_weight=getattr(cfg, "pos_class_weight", 1.0))
 
     return step
 
@@ -253,7 +256,8 @@ def make_scan_train_step(cfg, tx, n_steps: int):
                                      compute_dtype=cdtype,
                                      train_layout=getattr(cfg, "train_layout",
                                                           "sparse"),
-                                     iou_aware=_iou_field(cfg))
+                                     iou_aware=_iou_field(cfg),
+                          pos_weight=getattr(cfg, "pos_class_weight", 1.0))
             return (st, k), metrics
 
         (st, _), metrics = jax.lax.scan(body, (state, key), stacked)
@@ -283,7 +287,8 @@ def make_dp_train_step(cfg, tx, mesh: Mesh, axis_name: str = "data"):
                                           compute_dtype=cdtype,
                                           train_layout=getattr(
                                               cfg, "train_layout", "sparse"),
-                                          iou_aware=_iou_field(cfg))
+                                          iou_aware=_iou_field(cfg),
+                          pos_weight=getattr(cfg, "pos_class_weight", 1.0))
         return new_state, loss_dict
 
     mapped = jax.shard_map(
