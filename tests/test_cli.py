@@ -73,14 +73,23 @@ class TestProfileFlag:
         assert cfg.arch == "centernet3cc_rpn_gp_iter2"
         assert cfg.pp_factored_prim is True
 
-    def test_chart_exception(self):
-        # iou_aware_loss measured WORSE on dense chart sweeps
-        # (VALIDATION.md "Chart-VG at step 20") — the bundle skips it there
+    def test_chart_recipe(self):
+        # dense-sweep chart datasets get the measured-best round-5 recipe
+        # (VALIDATION.md "Chart-VG at step 20": 0.619 -> 0.861 mAP@0.5)
+        # instead of the floorplans abs-IoU target that lost there
         cfg = self._cfg(["--profile", "yolat_pp_fast",
                          "--data_dir", "data/charts-syn"])
         assert cfg.arch == "yolat_pp"
         assert cfg.pp_factored_prim is True
-        assert cfg.iou_aware_loss is False
+        assert cfg.iou_aware_loss is True
+        assert cfg.iou_aware_mode == "rel"
+        assert cfg.pos_class_weight == 16.0
+        # non-chart data keeps the reference-exact loss weighting; the
+        # quality-target mode is rel everywhere (bit-identical to abs on
+        # floorplans — VALIDATION.md round 5)
+        cfg = self._cfg(["--profile", "yolat_pp_fast"])
+        assert cfg.pos_class_weight == 1.0
+        assert cfg.iou_aware_mode == "rel"
 
     def test_no_profile_is_reference_faithful(self):
         cfg = self._cfg(["--data_dir", "data/FloorPlansGraph5_iter"])

@@ -21,16 +21,25 @@ def _bool(v) -> bool:
 
 
 # Named flag bundles ("flagship profiles"). Each entry maps Config fields to
-# the measured-best values; VALIDATION.md carries the evidence rows. Fields
-# listed under "unless_chart" are quality flags whose benefit is domain-
-# conditional: they win at the floorplans n32 gate but LOSE on dense
-# thin-box chart sweeps (step-20 gate, VALIDATION.md round 5), so they are
-# skipped when the data_dir follows the chart naming convention
-# (graph_dict3.py:57 keys class dicts off the path the same way).
+# the measured-best values; VALIDATION.md carries the evidence rows. Some
+# flags are domain-conditional (keyed on the data_dir naming convention the
+# reference itself uses for class dicts, graph_dict3.py:57):
+#   "unless_chart" — applied everywhere EXCEPT chart datasets (the abs-IoU
+#     quality target wins the floorplans n32 gate but lost both chart
+#     step-20 metrics, VALIDATION.md rounds 4-5)
+#   "when_chart" — applied ONLY on chart datasets (dense thin-box sweeps:
+#     pos_class_weight 16 + sibling-relative quality targets took the
+#     step-20 gate 0.619 -> 0.861 mAP@0.5, VALIDATION.md round 5)
 PROFILES = {
     "yolat_pp_fast": {
         "always": {"arch": "yolat_pp", "pp_factored_prim": True},
-        "unless_chart": {"iou_aware_loss": True},
+        # mode 'rel' everywhere: on floorplans the best sibling is
+        # GT-exact so q_rel == q and the n32 gate reproduces the abs arm
+        # BIT-IDENTICALLY (artifacts_r5/gate_pp_iou_rel_n32.json); on
+        # dense sweeps rel is the measured winner
+        "unless_chart": {"iou_aware_loss": True, "iou_aware_mode": "rel"},
+        "when_chart": {"pos_class_weight": 16.0, "iou_aware_loss": True,
+                       "iou_aware_mode": "rel"},
     },
 }
 
@@ -50,7 +59,9 @@ def apply_profile(kw: dict, profile: str, explicit: set) -> dict:
     bundle = PROFILES[profile]
     is_chart = "chart" in str(kw.get("data_dir", "")).lower()
     overrides = dict(bundle["always"])
-    if not is_chart:
+    if is_chart:
+        overrides.update(bundle.get("when_chart", {}))
+    else:
         overrides.update(bundle.get("unless_chart", {}))
     for field, value in overrides.items():
         if field not in explicit:
