@@ -76,9 +76,13 @@ class Config:
                                     # 4096 ALL detection-exact vs the
                                     # unbounded greedy loop on the bench
                                     # workload at untrained (near-flat,
-                                    # worst-case) scores; 1024 keeps a 2x
-                                    # margin over the smallest exact cap
-                                    # and runs ~9% faster than 4096.
+                                    # worst-case) scores. Re-justified at
+                                    # TRAINED scores on the densest (chart
+                                    # step-20, 7.2k proposals/image, capped
+                                    # layout) workload: 1024..8192 give
+                                    # bit-identical mAP and classfix moves
+                                    # it +-0.0002 (PERF.md round 5,
+                                    # scripts/chart_nms_probe.py).
     nms_approx_topk: bool = False   # lax.approx_max_k candidate selection
                                     # (TPU partial reduction instead of the
                                     # full M*K sort); winners re-sorted so
