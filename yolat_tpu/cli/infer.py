@@ -178,11 +178,24 @@ def main(argv=None):
     fast = args.serve_mode in ("fast", "fast_bf16")
     folded = fold_params_for(cfg, variables) if fast else None
     # detections_only: bulk serving never reads the eval-protocol extras
-    # (pred_label/kept/prop_*), so skip their per-batch HBM writes + fetch
-    predict = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
-                              folded=folded,
-                              bf16=args.serve_mode == "fast_bf16",
-                              detections_only=True)
+    # (pred_label/kept/prop_*), so skip their per-batch HBM writes + fetch.
+    # img_slots: the exact per-image NMS slot cap (+16% detect, PERF.md
+    # round 4) — computed per batch from real per-image counts and
+    # 256-quantized, so the predict program is memoized per cap value and
+    # recompiles only when a batch's cap bucket changes
+    from yolat_tpu.eval.runner import img_slot_cap
+
+    predict_by_cap: dict = {}
+
+    def get_predict(cap):
+        fn = predict_by_cap.get(cap)
+        if fn is None:
+            fn = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
+                                 folded=folded,
+                                 bf16=args.serve_mode == "fast_bf16",
+                                 img_slots=cap, detections_only=True)
+            predict_by_cap[cap] = fn
+        return fn
 
     n_images = 0
     device_s = 0.0
@@ -197,7 +210,8 @@ def main(argv=None):
             batch = {k: v[0] for k, v in stacked.items()}
             t0 = time.perf_counter()
             out = {k: np.asarray(v) for k, v in
-                   predict(variables, batch).items()}
+                   get_predict(img_slot_cap(stacked))(variables,
+                                                      batch).items()}
             device_s += time.perf_counter() - t0
             B = int(batch["n_images"])
             for img in range(B):
