@@ -88,8 +88,13 @@ class Config:
                                     # full M*K sort); winners re-sorted so
                                     # greedy order is exact among them —
                                     # deviations confined to ranks near
-                                    # nms_topk. Off until the on-chip A/B
-                                    # shows it detection-exact AND faster.
+                                    # nms_topk. Measured round 5 at the
+                                    # capped layout: detection-exact on
+                                    # the bench workload but SLOWER
+                                    # (1366 vs 1407 img/s) — the slot cap
+                                    # already shrank the candidate set to
+                                    # where full top_k wins. Off by
+                                    # measurement (PERF.md round 5).
 
     # TPU execution
     remat: bool = False             # rematerialise fusion/message MLPs
