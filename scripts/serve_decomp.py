@@ -339,9 +339,14 @@ def main():
                       "delta_ms": round((s - prev) * 1e3, 3)}
         prev = s
 
-    # full core (adds NMS on top of postproc)
+    # full core (adds NMS on top of postproc) — the CURRENT headline
+    # program: per-image slot cap + detections_only (round 5)
+    from yolat_tpu.eval.runner import img_slot_cap
+
+    cap = img_slot_cap({k: v[None] for k, v in single.items()})
     core = make_predict_core(cfg, max_det=300, fast=True, folded=folded0,
-                             bf16=bf16)
+                             bf16=bf16, img_slots=cap,
+                             detections_only=True)
 
     def full(b):
         out = core(variables, b)
