@@ -408,7 +408,7 @@ def run_bench(error=None):
 
     # YOLaT++ factored rows (round 4): the v2 prefix-sum primitive level
     # (cfg.pp_factored_prim) — serving AND the flagship training rate
-    rate_pp_fact = rate_pp_train = None
+    rate_pp_fact = rate_pp_train = rate_pp_b8 = None
     try:
         from yolat_tpu.eval.fast_forward import fold_params_for
 
@@ -425,6 +425,15 @@ def run_bench(error=None):
         rate_pp_train = time_train(
             ppf_cfg.replace(data_aug=True, dtype="bfloat16"), state_ppf,
             batches_ppf, iters=t_iters)
+        # flagship throughput-mode serving (batch 8 amortizes the fixed
+        # step floors: +32% measured, PERF.md round 5)
+        rate_pp_b8 = None
+        if not on_cpu:
+            _, b8pp, _ = build_workload(n_images=8, batch_size=8)
+            b8pp = attach_pp_plans(b8pp)
+            rate_pp_b8 = time_predict(ppf_cfg, vars_ppf, b8pp, default_dev,
+                                      iters=48, fast=True, folded=folded_ppf,
+                                      bf16=True, detections_only=True)
     except Exception as e:
         row_errors["pp_factored"] = f"{type(e).__name__}: {e}"
 
@@ -508,6 +517,8 @@ def run_bench(error=None):
             if rate_pp_fact else None,
             "pp_factored_train_bf16_images_per_sec": round(rate_pp_train, 3)
             if rate_pp_train else None,
+            "pp_factored_batch8_images_per_sec": round(rate_pp_b8, 3)
+            if rate_pp_b8 else None,
             "diagrams_images_per_sec": round(rate_diag, 3)
             if rate_diag else None,
             # parse->detect including (1-core) host preprocessing;
