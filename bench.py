@@ -75,7 +75,7 @@ def build_workload(n_images=8, batch_size=4, step=10, extra_plans=()):
     # roots are keyed by image count so throughput-mode sweeps (batch
     # 8/16/32, scripts/serve_batch_sweep.py) don't collide with the
     # canonical 8-image workload
-    suffix = "" if n_images <= 8 else f"_{n_images}img"
+    suffix = "" if n_images == 8 else f"_{n_images}img"
     root = os.path.join(tempfile.gettempdir(), f"yolat_bench_v1{suffix}")
     if not os.path.exists(os.path.join(root, "train_list.txt")):
         os.makedirs(root, exist_ok=True)
@@ -139,22 +139,37 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
     from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
     from yolat_tpu.eval.predict import make_predict_fn
 
+    from yolat_tpu.eval.runner import img_slot_cap
+
     ds = SESYDDataset(root, "train", bbox_sampling_step=step, cache=False)
     loader = PackedLoader(ds, batch_size=batch_size, n_devices=1,
                           shuffle=False, dense=True, cache_files=False,
                           preproc_workers=workers)
-    predict = make_predict_fn(cfg, max_det=300, fast=True, folded=folded,
-                              bf16=True, detections_only=True)
+    # per-batch slot cap with per-cap program memoization — the same
+    # capped programs cli/infer.py runs
+    by_cap = {}
+
+    def get_predict(cap):
+        fn = by_cap.get(cap)
+        if fn is None:
+            fn = make_predict_fn(cfg, max_det=300, fast=True, folded=folded,
+                                 bf16=True, img_slots=cap,
+                                 detections_only=True)
+            by_cap[cap] = fn
+        return fn
+
     dev_vars = jax.device_put(variables, device)
-    for stacked in loader:  # warm: compile every batch shape
+    for stacked in loader:  # warm: compile every batch shape/cap
         batch = {k: v[0] for k, v in stacked.items()}
-        np.asarray(predict(dev_vars, batch)["scores"])
+        np.asarray(get_predict(img_slot_cap(stacked))(dev_vars,
+                                                      batch)["scores"])
     n = 0
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         for stacked in loader:
             batch = {k: v[0] for k, v in stacked.items()}
-            np.asarray(predict(dev_vars, batch)["scores"])
+            np.asarray(get_predict(img_slot_cap(stacked))(dev_vars,
+                                                          batch)["scores"])
             n += int(batch["n_images"])
     return n / (time.perf_counter() - t0)
 
@@ -358,14 +373,15 @@ def run_bench(error=None):
     # ~1.2 ms/step fixed floor the attribution flagged (batch-4 step is
     # mostly idle chip at MFU 1.7%); sweep in scripts/serve_batch_sweep.py
     rate_b8 = None
+    b8_error = None
     if not on_cpu:
         try:
             _, batches8, _ = build_workload(n_images=8, batch_size=8)
             rate_b8 = time_predict(cfg, variables, batches8, default_dev,
                                    iters=48, fast=True, folded=folded,
                                    bf16=True, detections_only=True)
-        except Exception:
-            pass
+        except Exception as e:
+            b8_error = f"{type(e).__name__}: {e}"
 
     train_cfg = cfg.replace(data_aug=True)
     rate_train = time_train(train_cfg, state, batches, iters=t_iters)
@@ -376,6 +392,8 @@ def run_bench(error=None):
     # vanishing from the JSON (a regression must read as an error, not as
     # "field absent" — VERDICT r3 weak #4)
     row_errors = {}
+    if not on_cpu and rate_b8 is None and b8_error is not None:
+        row_errors["detect_batch8"] = b8_error
 
     # MEASURED pipelined cold e2e (host preprocess overlapped with device
     # detect through the prefetch loader — the cli/infer.py pipeline)

@@ -978,7 +978,7 @@ long sweep_rects(const double* xv, long nx, const double* yv, long ny,
 // count only (histogram pass); with outputs, fills [s2, 2] int32 edges,
 // [s2, 4] float attrs (first 4 input columns), [s2] uint8 valid and
 // returns s2, or -1 if s2 > cap.
-long compact_sort_align(const int64_t* edge, const double* attr, long S,
+long compact_sort_align(const int64_t* edge, const float* attr, long S,
                         long attr_in_dim, const int64_t* old2new, long n_old,
                         long block, int32_t* out_edge, float* out_attr,
                         uint8_t* out_valid, long cap) {
@@ -1004,10 +1004,10 @@ long compact_sort_align(const int64_t* edge, const double* attr, long S,
     const long p = offs[(size_t)d] + fill[(size_t)d]++;
     out_edge[2 * p] = (int32_t)old2new[(size_t)edge[2 * i]];
     out_edge[2 * p + 1] = (int32_t)old2new[(size_t)d];
-    const double* a = attr + attr_in_dim * i;
+    const float* a = attr + attr_in_dim * i;
     float* o = out_attr + 4 * p;
     const long m = attr_in_dim < 4 ? attr_in_dim : 4;
-    for (long c = 0; c < m; ++c) o[c] = (float)a[c];
+    for (long c = 0; c < m; ++c) o[c] = a[c];
     for (long c = m; c < 4; ++c) o[c] = 0.0f;
     out_valid[p] = 1;
   }

@@ -29,17 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def iou_matrix(a, b):
+    """+1-pixel IoU via the convention's home (ops/iou.box_iou_matrix)."""
+    import numpy as _np
+
+    from yolat_tpu.ops.iou import box_iou_matrix
+
     if len(a) == 0 or len(b) == 0:
-        return np.zeros((len(a), len(b)))
-    ix0 = np.maximum(a[:, None, 0], b[None, :, 0])
-    iy0 = np.maximum(a[:, None, 1], b[None, :, 1])
-    ix1 = np.minimum(a[:, None, 2], b[None, :, 2])
-    iy1 = np.minimum(a[:, None, 3], b[None, :, 3])
-    inter = (np.clip(ix1 - ix0 + 1, 0, None)
-             * np.clip(iy1 - iy0 + 1, 0, None))
-    aa = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
-    ab = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
-    return inter / (aa[:, None] + ab[None, :] - inter + 1e-16)
+        return _np.zeros((len(a), len(b)))
+    return _np.asarray(box_iou_matrix(_np.asarray(a, _np.float64),
+                                      _np.asarray(b, _np.float64),
+                                      plus1=True))
 
 
 def main():

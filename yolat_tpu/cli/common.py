@@ -56,8 +56,19 @@ def _explicit_flags(argv) -> set:
 
 def apply_profile(kw: dict, profile: str, explicit: set) -> dict:
     """Overlay a PROFILES bundle onto Config kwargs; explicit CLI flags win."""
+    import os as _os
+
     bundle = PROFILES[profile]
-    is_chart = "chart" in str(kw.get("data_dir", "")).lower()
+    # scope the naming convention to the dataset directory NAME (matching
+    # anywhere in the path would silently switch hyperparameters for e.g.
+    # /home/chartrand/FloorPlans...)
+    base = _os.path.basename(
+        _os.path.normpath(str(kw.get("data_dir", ""))))
+    is_chart = "chart" in base.lower()
+    if is_chart and bundle.get("when_chart"):
+        print(f"--profile {profile}: chart dataset detected "
+              f"({base!r}) — applying the chart recipe "
+              f"{bundle['when_chart']}")
     overrides = dict(bundle["always"])
     if is_chart:
         overrides.update(bundle.get("when_chart", {}))
@@ -173,9 +184,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    choices=tuple(PROFILES) + ("",),
                    help="named flag bundle (explicit flags win): "
                         "yolat_pp_fast = arch yolat_pp + pp_factored_prim "
-                        "+ iou_aware_loss (the latter skipped on chart "
-                        "datasets, where it measures worse — "
-                        "VALIDATION.md 'Chart-VG at step 20')")
+                        "+ iou_aware_loss (mode rel); chart datasets "
+                        "instead get the measured chart recipe "
+                        "(pos_class_weight 16 + iou_aware rel) — "
+                        "VALIDATION.md 'Chart-VG at step 20'")
     return p
 
 

@@ -155,7 +155,7 @@ class CompactFile:
         from yolat_tpu.geom._native import compact_sort_align_native
 
         nat_e = compact_sort_align_native(
-            np.asarray(f.edge, np.int64), np.asarray(f.e_attr, np.float64),
+            np.asarray(f.edge, np.int64), np.asarray(f.e_attr, np.float32),
             old2new, 1)
         if nat_e is not None:
             self.edge, self.e_attr, _ = nat_e
@@ -178,7 +178,7 @@ class CompactFile:
 
         nat_s = compact_sort_align_native(
             np.asarray(f.edge_super, np.int64),
-            np.asarray(f.e_attr_super, np.float64), old2new, SUPER_BLOCK)
+            np.asarray(f.e_attr_super, np.float32), old2new, SUPER_BLOCK)
         if nat_s is not None:
             self.edge_super, self.e_attr_super, self.super_valid = nat_s
         else:

@@ -121,7 +121,8 @@ def load_library():
             i64p = ctypes.POINTER(ctypes.c_int64)
             lib.compact_sort_align.restype = ctypes.c_long
             lib.compact_sort_align.argtypes = [
-                i64p, f64p, ctypes.c_long, ctypes.c_long,
+                i64p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long, ctypes.c_long,
                 i64p, ctypes.c_long, ctypes.c_long,
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_float),
@@ -495,7 +496,10 @@ def compact_sort_align_native(edge: np.ndarray, attr: np.ndarray,
     if lib is None:
         return None
     edge = np.ascontiguousarray(edge, dtype=np.int64).reshape(-1, 2)
-    attr = np.ascontiguousarray(attr, dtype=np.float64)
+    # f32 by API: attrs are stored/emitted f32, and a single f64->f32
+    # rounding here equals the kernel's old (float) cast of a double —
+    # while halving the conversion copy on the per-file hot path
+    attr = np.ascontiguousarray(attr, dtype=np.float32)
     if attr.ndim == 1:
         attr = attr.reshape(len(edge), -1)
     old2new = np.ascontiguousarray(old2new, dtype=np.int64)
@@ -503,9 +507,8 @@ def compact_sort_align_native(edge: np.ndarray, attr: np.ndarray,
     adim = attr.shape[1] if S else 4
 
     i64p = ctypes.POINTER(ctypes.c_int64)
-    f64p = ctypes.POINTER(ctypes.c_double)
     e_p = edge.ctypes.data_as(i64p)
-    a_p = attr.ctypes.data_as(f64p)
+    a_p = attr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     o_p = old2new.ctypes.data_as(i64p)
     null_i32 = ctypes.POINTER(ctypes.c_int32)()
     null_f32 = ctypes.POINTER(ctypes.c_float)()
