@@ -91,6 +91,18 @@ class TestProfileFlag:
         assert cfg.pos_class_weight == 1.0
         assert cfg.iou_aware_mode == "rel"
 
+    def test_chart_detection_scoped_to_dataset_name(self):
+        # 'chart' in a PARENT directory (e.g. a user named chartrand) must
+        # not silently switch training hyperparameters (review round 5)
+        cfg = self._cfg(["--profile", "yolat_pp_fast",
+                         "--data_dir", "/home/chartrand/FloorPlansGraph5"])
+        assert cfg.pos_class_weight == 1.0
+        assert cfg.iou_aware_loss is True  # the non-chart bundle applied
+        # trailing slash on a real chart dir still detects
+        cfg = self._cfg(["--profile", "yolat_pp_fast",
+                         "--data_dir", "data/charts-syn/"])
+        assert cfg.pos_class_weight == 16.0
+
     def test_no_profile_is_reference_faithful(self):
         cfg = self._cfg(["--data_dir", "data/FloorPlansGraph5_iter"])
         assert cfg.arch == "centernet3cc_rpn_gp_iter2"
