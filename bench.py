@@ -165,12 +165,20 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
                                                       batch)["scores"])
     n = 0
     t0 = time.perf_counter()
+    # one-deep result pipeline (same as cli/infer.py): dispatch batch i
+    # before fetching batch i-1, so the fetch round-trip + per-dispatch
+    # tunnel latency overlap the device compute instead of serializing
+    pending = None
     for _ in range(n_epochs):
         for stacked in loader:
             batch = {k: v[0] for k, v in stacked.items()}
-            np.asarray(get_predict(img_slot_cap(stacked))(dev_vars,
-                                                          batch)["scores"])
+            out = get_predict(img_slot_cap(stacked))(dev_vars, batch)
+            if pending is not None:
+                np.asarray(pending["scores"])
+            pending = out
             n += int(batch["n_images"])
+    if pending is not None:
+        np.asarray(pending["scores"])
     return n / (time.perf_counter() - t0)
 
 

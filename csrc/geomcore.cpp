@@ -978,10 +978,13 @@ long sweep_rects(const double* xv, long nx, const double* yv, long ny,
 // count only (histogram pass); with outputs, fills [s2, 2] int32 edges,
 // [s2, 4] float attrs (first 4 input columns), [s2] uint8 valid and
 // returns s2, or -1 if s2 > cap.
-long compact_sort_align(const int64_t* edge, const float* attr, long S,
-                        long attr_in_dim, const int64_t* old2new, long n_old,
-                        long block, int32_t* out_edge, float* out_attr,
-                        uint8_t* out_valid, long cap) {
+long compact_sort_align_stats(const int64_t* edge, const float* attr, long S,
+                              long attr_in_dim, const int64_t* old2new,
+                              long n_old, long block, int32_t* out_edge,
+                              float* out_attr, uint8_t* out_valid, long cap,
+                              long n_new, float* out_dst_count,
+                              float* out_src_count, float* out_abar,
+                              uint8_t* out_member) {
   if (block < 1) block = 1;
   std::vector<long> cnt((size_t)n_old, 0);
   for (long i = 0; i < S; ++i) ++cnt[(size_t)edge[2 * i + 1]];
@@ -990,6 +993,15 @@ long compact_sort_align(const int64_t* edge, const float* attr, long S,
     if (cnt[(size_t)d]) s2 += ((cnt[(size_t)d] + block - 1) / block) * block;
   if (out_edge == nullptr) return s2;
   if (s2 > cap) return -1;
+
+  // per-REMAPPED-node segment populations over REAL rows — the pack-time
+  // fields (data/packing.py) emitted in the same pass for free: in-degree,
+  // out-degree, mean incoming attr (sup_abar) and edge-endpoint membership
+  if (out_dst_count) for (long v = 0; v < n_new; ++v) out_dst_count[v] = 0.0f;
+  if (out_src_count) for (long v = 0; v < n_new; ++v) out_src_count[v] = 0.0f;
+  if (out_abar)
+    for (long v = 0; v < 4 * n_new; ++v) out_abar[v] = 0.0f;
+  if (out_member) for (long v = 0; v < n_new; ++v) out_member[v] = 0;
 
   // aligned start offset per ORIGINAL dst id, then fill forward (stable)
   std::vector<long> offs((size_t)n_old, 0);
@@ -1002,15 +1014,35 @@ long compact_sort_align(const int64_t* edge, const float* attr, long S,
   for (long i = 0; i < S; ++i) {
     const long d = edge[2 * i + 1];
     const long p = offs[(size_t)d] + fill[(size_t)d]++;
-    out_edge[2 * p] = (int32_t)old2new[(size_t)edge[2 * i]];
-    out_edge[2 * p + 1] = (int32_t)old2new[(size_t)d];
+    const long ns = old2new[(size_t)edge[2 * i]];
+    const long nd = old2new[(size_t)d];
+    out_edge[2 * p] = (int32_t)ns;
+    out_edge[2 * p + 1] = (int32_t)nd;
     const float* a = attr + attr_in_dim * i;
     float* o = out_attr + 4 * p;
     const long m = attr_in_dim < 4 ? attr_in_dim : 4;
     for (long c = 0; c < m; ++c) o[c] = a[c];
     for (long c = m; c < 4; ++c) o[c] = 0.0f;
     out_valid[p] = 1;
+    if (out_dst_count) out_dst_count[nd] += 1.0f;
+    if (out_src_count) out_src_count[ns] += 1.0f;
+    if (out_abar) {
+      float* ab = out_abar + 4 * nd;
+      for (long c = 0; c < 4; ++c) ab[c] += o[c];
+    }
+    if (out_member) {
+      out_member[ns] = 1;
+      out_member[nd] = 1;
+    }
   }
+  if (out_abar && out_dst_count)
+    for (long v = 0; v < n_new; ++v) {
+      const float c = out_dst_count[v];
+      if (c > 0.0f) {
+        float* ab = out_abar + 4 * v;
+        for (long k = 0; k < 4; ++k) ab[k] /= c;
+      }
+    }
   // pad rows: src = dst = the run's REMAPPED dst, zero attr, invalid
   for (long d = 0; d < n_old; ++d) {
     const long c = cnt[(size_t)d];
@@ -1027,6 +1059,15 @@ long compact_sort_align(const int64_t* edge, const float* attr, long S,
     }
   }
   return s2;
+}
+
+long compact_sort_align(const int64_t* edge, const float* attr, long S,
+                        long attr_in_dim, const int64_t* old2new, long n_old,
+                        long block, int32_t* out_edge, float* out_attr,
+                        uint8_t* out_valid, long cap) {
+  return compact_sort_align_stats(edge, attr, S, attr_in_dim, old2new, n_old,
+                                  block, out_edge, out_attr, out_valid, cap,
+                                  0, nullptr, nullptr, nullptr, nullptr);
 }
 
 }  // extern "C"

@@ -96,3 +96,30 @@ class TestModelEquivalence:
         np.testing.assert_allclose(
             np.asarray(l1)[m], np.asarray(l2)[m], rtol=2e-4, atol=2e-5
         )
+
+
+class TestPerFileDenseTable:
+    def test_files_path_matches_batch_path(self, synthetic_root):
+        """add_dense_neighbors(files=...) (per-file cached tables, offset
+        copies) is bit-identical to the batch-level build."""
+        from yolat_tpu.data.dataset import SESYDDataset
+        from yolat_tpu.data.packing import CompactFile, PadSizes, pack_files
+
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        files, gts, whs = [], [], []
+        for i in range(min(3, len(ds))):
+            f, gt, wh = ds.load(i)
+            files.append(CompactFile(f, n_classes=ds.n_classes))
+            gts.append(gt)
+            whs.append(wh)
+        pad = PadSizes.for_files(files, [len(g[0]) for g in gts], 3)
+        b = pack_files(files, gts, whs, pad)
+        d_max = 8
+        via_batch = add_dense_neighbors(b, d_max=d_max)
+        via_files = add_dense_neighbors(b, d_max=d_max, files=files)
+        for k in ("nbr_idx", "nbr_attr", "nbr_mask"):
+            np.testing.assert_array_equal(via_batch[k], via_files[k],
+                                          err_msg=k)
+        # cached second call returns the same table
+        again = add_dense_neighbors(b, d_max=d_max, files=files)
+        np.testing.assert_array_equal(via_files["nbr_idx"], again["nbr_idx"])

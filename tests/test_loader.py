@@ -297,3 +297,36 @@ class TestLabelIoU:
             assert np.allclose(gmax, 1.0, atol=1e-5)
             saw_group |= len(groups) < pos.sum()  # some real multi-member
         assert saw_group
+
+
+class TestCompactFileFallbackParity:
+    def test_numpy_fallback_packs_identically(self, synthetic_root,
+                                              monkeypatch):
+        """CompactFile's numpy fallback (no native library) must produce a
+        bit-identical packed batch — including the per-file precomputed
+        segment populations and factored clique fields."""
+        from yolat_tpu.data.packing import CompactFile, PadSizes, pack_files
+
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        files, gts, whs = [], [], []
+        for i in range(min(3, len(ds))):
+            f, gt, wh = ds.load(i)
+            files.append(f)
+            gts.append(gt)
+            whs.append(wh)
+        pad = PadSizes.for_files(files, [len(g[0]) for g in gts], 3)
+
+        native = [CompactFile(f, n_classes=ds.n_classes) for f in files]
+        import yolat_tpu.data.packing as packing_mod
+        from yolat_tpu.geom import _native
+
+        monkeypatch.setattr(_native, "compact_sort_align_stats_native",
+                            lambda *a, **k: None)
+        fallback = [CompactFile(f, n_classes=ds.n_classes) for f in files]
+
+        bn = pack_files(native, gts, whs, pad)
+        bf = pack_files(fallback, gts, whs, pad)
+        assert set(bn) == set(bf)
+        for k in bn:
+            np.testing.assert_array_equal(
+                np.asarray(bn[k]), np.asarray(bf[k]), err_msg=k)

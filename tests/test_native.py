@@ -339,3 +339,41 @@ class TestCompactSortAlignNative:
             np.arange(5, dtype=np.int64), 8)
         assert got is not None
         assert got[0].shape == (0, 2) and got[2].shape == (0,)
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    @pytest.mark.parametrize("block", [1, 8])
+    def test_stats_match_numpy_oracle(self, lib, seed, block):
+        """The in-pass segment populations (dst/src counts, attr mean,
+        membership) equal their bincount/reduceat formulations over the
+        REAL rows."""
+        rng = np.random.default_rng(seed)
+        n_old = 40
+        S = 300
+        edge = rng.integers(0, n_old, size=(S, 2)).astype(np.int64)
+        attr = rng.normal(size=(S, 4))
+        old2new = np.cumsum(rng.integers(1, 3, size=n_old)).astype(np.int64)
+        n_new = int(old2new[-1]) + 1
+
+        got = _native.compact_sort_align_stats_native(
+            edge, attr, old2new, block, n_new)
+        assert got is not None
+        ge, ga, gv, dstc, srcc, abar, member = got
+
+        re_ = old2new[edge]
+        want_dst = np.bincount(re_[:, 1], minlength=n_new).astype(np.float32)
+        want_src = np.bincount(re_[:, 0], minlength=n_new).astype(np.float32)
+        np.testing.assert_array_equal(dstc, want_dst)
+        np.testing.assert_array_equal(srcc, want_src)
+        want_member = np.zeros(n_new, bool)
+        want_member[re_.ravel()] = True
+        np.testing.assert_array_equal(member, want_member)
+        want_abar = np.zeros((n_new, 4), np.float32)
+        np.add.at(want_abar, re_[:, 1], attr.astype(np.float32))
+        nz = want_dst > 0
+        want_abar[nz] /= want_dst[nz, None]
+        np.testing.assert_allclose(abar, want_abar, rtol=1e-5, atol=1e-6)
+        # the sorted/aligned outputs are unchanged by the stats request
+        base = _native.compact_sort_align_native(edge, attr, old2new, block)
+        np.testing.assert_array_equal(ge, base[0])
+        np.testing.assert_array_equal(ga, base[1])
+        np.testing.assert_array_equal(gv, base[2])

@@ -206,12 +206,17 @@ def main(argv=None):
                 "file": os.path.relpath(path, args.input_dir),
                 "error": err, "detections": [],
             }) + "\n")
-        for stacked in loader:
-            batch = {k: v[0] for k, v in stacked.items()}
+
+        def consume(out_dev, batch):
+            """Fetch one in-flight batch's detections and write its JSON
+            records. Called AFTER the next batch's async dispatch, so the
+            fetch round-trip + host formatting overlap the device compute
+            (one-deep result pipeline — without it every batch serializes
+            dispatch -> fetch -> format, and the fixed per-dispatch
+            latency lands on the critical path)."""
+            nonlocal n_images, device_s, file_pos
             t0 = time.perf_counter()
-            out = {k: np.asarray(v) for k, v in
-                   get_predict(img_slot_cap(stacked))(variables,
-                                                      batch).items()}
+            out = {k: np.asarray(v) for k, v in out_dev.items()}
             device_s += time.perf_counter() - t0
             B = int(batch["n_images"])
             for img in range(B):
@@ -233,6 +238,16 @@ def main(argv=None):
                     "width": float(w), "height": float(h),
                     "detections": dets,
                 }) + "\n")
+
+        pending = None
+        for stacked in loader:
+            batch = {k: v[0] for k, v in stacked.items()}
+            out_dev = get_predict(img_slot_cap(stacked))(variables, batch)
+            if pending is not None:
+                consume(*pending)
+            pending = (out_dev, batch)
+        if pending is not None:
+            consume(*pending)
 
     wall = time.perf_counter() - t_start
     skipped = f", {len(bad)} skipped with errors" if bad else ""

@@ -364,7 +364,8 @@ class PackedLoader:
         if self.dense:
             from yolat_tpu.data.packing import add_dense_neighbors
 
-            shard = add_dense_neighbors(shard, d_max=self.d_max)
+            shard = add_dense_neighbors(shard, d_max=self.d_max,
+                                        files=[l[0] for l in loads])
         return shard
 
     def _grown_pad(self, pad, loads_per_window):

@@ -124,7 +124,9 @@ class CompactFile:
                  "edge_super", "e_attr_super", "super_valid", "labels",
                  "bbox", "stat_feats", "has_obj", "label_iou",
                  "label_iou_rel", "is_root_mask", "root_slot_local",
-                 "n_proposals")
+                 "n_proposals", "dst_count", "src_count", "super_dst_count",
+                 "prop_count", "sup_member", "sup_rank", "sup_abar",
+                 "prop_first", "_dense")
 
     def __init__(self, f, n_classes=None):
         from yolat_tpu.ops.segment import POOL_BLOCK
@@ -152,19 +154,30 @@ class CompactFile:
         # below) — the native kernel (csrc compact_sort_align, counting
         # sort) does each family in one pass; the numpy path is the
         # fallback and equivalence oracle (tests/test_native.py)
-        from yolat_tpu.geom._native import compact_sort_align_native
+        from yolat_tpu.geom._native import compact_sort_align_stats_native
 
-        nat_e = compact_sort_align_native(
+        # per-file segment populations + factored clique fields ride the
+        # same native pass (csrc compact_sort_align_stats): precomputing
+        # them here makes pack_files pure offset copies — the global
+        # masked-bincount/reduceat versions were ~6 ms/image of the pack
+        # stage (scripts/pack_decomp.py), and for cached files (PackedLoader
+        # cache_files) the per-file cost amortises to zero across epochs
+        nat_e = compact_sort_align_stats_native(
             np.asarray(f.edge, np.int64), np.asarray(f.e_attr, np.float32),
-            old2new, 1)
+            old2new, 1, n2)
         if nat_e is not None:
-            self.edge, self.e_attr, _ = nat_e
+            (self.edge, self.e_attr, _, self.dst_count, self.src_count,
+             _, _) = nat_e
         else:
             eo = np.argsort(np.asarray(f.edge)[:, 1], kind="stable")
             self.edge = np.ascontiguousarray(
                 old2new[np.asarray(f.edge, np.int64)[eo]], np.int32)
             self.e_attr = np.ascontiguousarray(
                 np.asarray(f.e_attr)[eo, 0:4], np.float32)
+            self.dst_count = np.bincount(
+                self.edge[:, 1], minlength=n2).astype(np.float32)
+            self.src_count = np.bincount(
+                self.edge[:, 0], minlength=n2).astype(np.float32)
         # SUPER_BLOCK-align each dst node's super-edge run (pad rows keep
         # the run's dst so sortedness holds; src=dst, attr=0,
         # super_valid=False): the clique family is 5x the regular edge
@@ -176,11 +189,12 @@ class CompactFile:
         # same pass (block=SUPER_BLOCK).
         from yolat_tpu.ops.segment import SUPER_BLOCK
 
-        nat_s = compact_sort_align_native(
+        nat_s = compact_sort_align_stats_native(
             np.asarray(f.edge_super, np.int64),
-            np.asarray(f.e_attr_super, np.float32), old2new, SUPER_BLOCK)
+            np.asarray(f.e_attr_super, np.float32), old2new, SUPER_BLOCK, n2)
         if nat_s is not None:
-            self.edge_super, self.e_attr_super, self.super_valid = nat_s
+            (self.edge_super, self.e_attr_super, self.super_valid,
+             self.super_dst_count, _, self.sup_abar, self.sup_member) = nat_s
         else:
             so = np.argsort(np.asarray(f.edge_super)[:, 1], kind="stable")
             es = np.ascontiguousarray(
@@ -189,6 +203,36 @@ class CompactFile:
                 np.asarray(f.e_attr_super)[so, 0:4], np.float32)
             self.edge_super, self.e_attr_super, self.super_valid = \
                 _align_runs(es, ea, SUPER_BLOCK)
+            self.super_dst_count = np.bincount(
+                es[:, 1], minlength=n2).astype(np.float32)
+            member = np.zeros(n2, bool)
+            member[es[:, 0]] = True
+            member[es[:, 1]] = True
+            self.sup_member = member
+            abar = np.zeros((n2, 4), np.float32)
+            if len(es):
+                dst_r = es[:, 1].astype(np.int64)
+                first = np.r_[0, np.flatnonzero(np.diff(dst_r)) + 1]
+                cnts = np.diff(np.r_[first, len(dst_r)])
+                sums = np.add.reduceat(ea, first, axis=0)
+                abar[dst_r[first]] = sums / cnts[:, None]
+            self.sup_abar = abar
+        # rank of each member node among the PRECEDING members of its
+        # proposal (nn/yolat_pp.py factored_prim) — file-local: proposals
+        # never span files, so pack_files just copies it
+        mem_idx = np.flatnonzero(self.sup_member)
+        rank = np.zeros(n2, np.float32)
+        if len(mem_idx):
+            grp = self.bbox_idx[mem_idx]
+            starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
+            lens = np.diff(np.r_[starts, len(mem_idx)])
+            rank[mem_idx] = (np.arange(len(mem_idx))
+                             - np.repeat(starts, lens)).astype(np.float32)
+        self.sup_rank = rank
+        self.prop_count = counts.astype(np.float32)
+        # searchsorted(bbox_idx, p) == new_starts[p] for the repeat
+        # construction above — the per-proposal first node row for free
+        self.prop_first = new_starts.astype(np.int32)
         self.labels = np.ascontiguousarray(f.labels, np.int32)
         self.bbox = np.ascontiguousarray(f.bbox, np.float32)
         self.stat_feats = np.ascontiguousarray(f.stat_feats, np.float32)
@@ -242,6 +286,32 @@ class CompactFile:
             np.asarray(f.root_of_cc, np.int32),
             np.diff(np.asarray(f.cc_slice)),
         )
+        self._dense = None
+
+    def dense_table(self, d_max: int):
+        """File-local dense neighbour table (see add_dense_neighbors), built
+        WITHOUT an argsort: the edge family is already dst-sorted, so the
+        position within each dst run falls out of the per-node in-degree
+        prefix. Cached per (d_max); the loader reuses it across epochs."""
+        if self._dense is not None and self._dense[0] == d_max:
+            return self._dense[1]
+        E = len(self.edge)
+        n = len(self.pos)
+        dst = self.edge[:, 1].astype(np.int64)
+        indeg = self.dst_count.astype(np.int64)
+        need = int(indeg.max()) if E else 1
+        if need > d_max:
+            raise ValueError(f"d_max={d_max} < max in-degree {need}")
+        run_start = np.concatenate([[0], np.cumsum(indeg)[:-1]])
+        pos_in_run = np.arange(E) - run_start[dst]
+        nbr_idx = np.zeros((n, d_max), np.int32)
+        nbr_attr = np.zeros((n, d_max, self.e_attr.shape[1]), np.float32)
+        nbr_mask = np.zeros((n, d_max), bool)
+        nbr_idx[dst, pos_in_run] = self.edge[:, 0]
+        nbr_attr[dst, pos_in_run] = self.e_attr
+        nbr_mask[dst, pos_in_run] = True
+        self._dense = (d_max, (nbr_idx, nbr_attr, nbr_mask))
+        return self._dense[1]
 
 
 def _align_runs(edge: np.ndarray, attr: np.ndarray, block: int):
@@ -339,6 +409,18 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
         "gt_mask": np.zeros((B, pad.n_gt), bool),
         "wh": np.ones((B, 2), np.float32),
         "n_images": np.int32(len(files)),
+        # per-file precomputed segment populations + factored clique fields
+        # (CompactFile) — assembled by offset copies in the loop below; the
+        # global masked-bincount/reduceat formulations they replace were
+        # ~6 ms/image of host pack time (scripts/pack_decomp.py)
+        "dst_count": np.zeros(pad.n_nodes, np.float32),
+        "src_count": np.zeros(pad.n_nodes, np.float32),
+        "super_dst_count": np.zeros(pad.n_nodes, np.float32),
+        "prop_count": np.zeros(pad.n_proposals, np.float32),
+        "sup_member": np.zeros(pad.n_nodes, bool),
+        "sup_rank": np.zeros(pad.n_nodes, np.float32),
+        "sup_abar": np.zeros((pad.n_nodes, 4), np.float32),
+        "prop_first_row": np.zeros(pad.n_proposals, np.int32),
     }
 
     # Both edge families must end up sorted by dst: sorted segment ids turn
@@ -385,6 +467,15 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
         # per-proposal pointer to its CC's root proposal (two-pass inference)
         np.add(f.root_slot_local, np.int32(p_off),
                out=batch["root_slot"][p_off : p_off + p])
+        batch["dst_count"][n_off : n_off + n] = f.dst_count
+        batch["src_count"][n_off : n_off + n] = f.src_count
+        batch["super_dst_count"][n_off : n_off + n] = f.super_dst_count
+        batch["prop_count"][p_off : p_off + p] = f.prop_count
+        batch["sup_member"][n_off : n_off + n] = f.sup_member
+        batch["sup_rank"][n_off : n_off + n] = f.sup_rank
+        batch["sup_abar"][n_off : n_off + n] = f.sup_abar
+        np.add(f.prop_first, np.int32(n_off),
+               out=batch["prop_first_row"][p_off : p_off + p])
 
         g = len(gt_bbox)
         batch["gt_bbox"][img, :g] = gt_bbox
@@ -407,22 +498,19 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
 
     batch.update(pool_plan(batch["bbox_idx"], pad.n_proposals, cap=0))
 
-    # pack-time segment populations: the edge sets are static per batch, so
-    # the per-node in/out-degrees that segment_mean otherwise computes with
-    # a full-width on-device scatter (~0.5 ms/step at [56k -> 72k] on v5e,
-    # the largest forward scatter in the bf16 train step) are free here.
+    # pack-time segment populations (dst/src/super_dst/prop counts): the
+    # edge sets are static per batch, so the per-node in/out-degrees that
+    # segment_mean otherwise computes with a full-width on-device scatter
+    # (~0.5 ms/step at [56k -> 72k] on v5e, the largest forward scatter in
+    # the bf16 train step) are free here — copied per file above.
     # Consumers must drop these whenever the masks change on-device
     # (train/loop strips them when drop_edge > 0).
-    em, sm = batch["edge_mask"], batch["super_mask"]
-    batch["dst_count"] = np.bincount(
-        batch["edge"][em, 1], minlength=pad.n_nodes).astype(np.float32)
-    batch["src_count"] = np.bincount(
-        batch["edge"][em, 0], minlength=pad.n_nodes).astype(np.float32)
-    batch["super_dst_count"] = np.bincount(
-        batch["edge_super"][sm, 1], minlength=pad.n_nodes).astype(np.float32)
-    batch["prop_count"] = np.bincount(
-        batch["bbox_idx"][batch["node_mask"]],
-        minlength=pad.n_proposals).astype(np.float32)
+    # padding proposal slots' first-row pointer = the first padding node
+    # row (the old global searchsorted semantics), clamped in range
+    batch["prop_first_row"][p_off:] = n_off
+    np.minimum(batch["prop_first_row"], pad.n_nodes - 1,
+               out=batch["prop_first_row"])
+    em = batch["edge_mask"]
 
     # boundary-free pool plan over the 8-aligned super-edge runs: routes
     # YOLaT++'s clique aggregation (the largest single op of its serving
@@ -445,40 +533,9 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
     # the reference's i<j enumeration, build_graph_bbox.py:109-112), so
     # "mean over incoming super neighbours" = "mean over PRECEDING member
     # nodes of the proposal" and the whole per-edge level collapses to a
-    # per-node prefix sum. These fields are the static structure:
-    #   sup_member [N] bool  node is an endpoint of a real super edge
-    #   sup_rank   [N] f32   count of preceding member nodes in the same
-    #                        proposal (== in-degree for pure cliques)
-    #   sup_abar   [N, 4] f32 mean of incoming super-edge attrs (0 if none)
-    #   prop_first_row [P] i32 first node row of each proposal
-    real = batch["edge_super"][sm]
-    member = np.zeros(pad.n_nodes, bool)
-    member[real[:, 0]] = True
-    member[real[:, 1]] = True
-    bidx = batch["bbox_idx"]
-    mem_idx = np.flatnonzero(member)
-    rank = np.zeros(pad.n_nodes, np.float32)
-    if len(mem_idx):
-        grp = bidx[mem_idx]  # contiguous groups: bidx is sorted ascending
-        starts = np.r_[0, np.flatnonzero(np.diff(grp)) + 1]
-        lens = np.diff(np.r_[starts, len(mem_idx)])
-        rank[mem_idx] = (np.arange(len(mem_idx))
-                         - np.repeat(starts, lens)).astype(np.float32)
-    abar = np.zeros((pad.n_nodes, 4), np.float32)
-    dst_r = real[:, 1]
-    if len(dst_r):
-        # dst-sorted family: per-dst mean via reduceat over run boundaries
-        # (np.add.at's scatter was the pack_files hotspot — ~5 ms/image)
-        first = np.r_[0, np.flatnonzero(np.diff(dst_r)) + 1]
-        cnts = np.diff(np.r_[first, len(dst_r)])
-        sums = np.add.reduceat(batch["e_attr_super"][sm], first, axis=0)
-        abar[dst_r[first]] = sums / cnts[:, None]
-    batch["sup_member"] = member
-    batch["sup_rank"] = rank
-    batch["sup_abar"] = abar
-    batch["prop_first_row"] = np.minimum(
-        np.searchsorted(bidx, np.arange(pad.n_proposals)),
-        pad.n_nodes - 1).astype(np.int32)
+    # per-node prefix sum. The static structure (sup_member [N] bool,
+    # sup_rank [N] f32, sup_abar [N,4] f32, prop_first_row [P] i32) is
+    # file-local and precomputed in CompactFile — copied in the loop above.
 
     # edge-window plan for the VMEM-resident message kernel (serving).
     # None (batch too small / a window over capacity / locality violated)
@@ -609,7 +666,8 @@ def finalize_batch(batch: dict, key=None, data_aug: bool = False,
     return {**batch, "x": x}
 
 
-def add_dense_neighbors(batch: dict, d_max: int | None = None) -> dict:
+def add_dense_neighbors(batch: dict, d_max: int | None = None,
+                        files: list | None = None) -> dict:
     """Regularise the edge list into a per-node neighbour table.
 
     TPU-first re-layout (the shape-discipline of the reference's dense
@@ -624,7 +682,33 @@ def add_dense_neighbors(batch: dict, d_max: int | None = None) -> dict:
 
     Adds keys: nbr_idx [N, D] int32, nbr_attr [N, D, 4] f32,
     nbr_mask [N, D] bool.
+
+    With `files` (the CompactFiles the batch was packed from, in pack
+    order) and an explicit d_max, the table is assembled from per-file
+    cached tables by offset copies — no per-batch argsort or boolean
+    extraction (~2 ms/image, scripts/pack_decomp.py), and cached files
+    amortise the build across epochs.
     """
+    if (files is not None and d_max is not None and len(files)
+            and all(isinstance(f, CompactFile) for f in files)):
+        N = batch["pos"].shape[0]
+        a_dim = batch["e_attr"].shape[1]
+        nbr_idx = np.zeros((N, d_max), np.int32)
+        nbr_attr = np.zeros((N, d_max, a_dim), np.float32)
+        nbr_mask = np.zeros((N, d_max), bool)
+        n_off = 0
+        for f in files:
+            n = len(f.pos)
+            ti, ta, tm = f.dense_table(d_max)
+            # masked slots stay 0 (bit-parity with the batch-level build)
+            np.multiply(ti + np.int32(n_off), tm,
+                        out=nbr_idx[n_off:n_off + n], casting="unsafe")
+            nbr_attr[n_off:n_off + n] = ta
+            nbr_mask[n_off:n_off + n] = tm
+            n_off += n
+        return {**batch, "nbr_idx": nbr_idx, "nbr_attr": nbr_attr,
+                "nbr_mask": nbr_mask}
+
     edge = batch["edge"]
     emask = batch["edge_mask"]
     N = batch["pos"].shape[0]

@@ -128,6 +128,20 @@ def load_library():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
             ]
+            lib.compact_sort_align_stats.restype = ctypes.c_long
+            lib.compact_sort_align_stats.argtypes = [
+                i64p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long, ctypes.c_long,
+                i64p, ctypes.c_long, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+                ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -526,3 +540,56 @@ def compact_sort_align_native(edge: np.ndarray, attr: np.ndarray,
     if got != s2:
         return None
     return edge2, attr2, valid.astype(bool)
+
+
+def compact_sort_align_stats_native(edge: np.ndarray, attr: np.ndarray,
+                                    old2new: np.ndarray, block: int,
+                                    n_new: int):
+    """compact_sort_align + the pack-time per-node segment populations over
+    the REAL rows, emitted in the same native pass (csrc
+    compact_sort_align_stats): in-degree, out-degree, incoming-attr mean
+    (the factored clique level's sup_abar) and edge-endpoint membership
+    (sup_member). Precomputing these per file is what lets pack_files be
+    pure offset copies (data/packing.py).
+
+    Returns (edge2 [S2,2] int32, attr2 [S2,4] f32, valid [S2] bool,
+    dst_count [n_new] f32, src_count [n_new] f32, abar [n_new,4] f32,
+    member [n_new] bool) or None (library unavailable)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "compact_sort_align_stats"):
+        return None
+    edge = np.ascontiguousarray(edge, dtype=np.int64).reshape(-1, 2)
+    attr = np.ascontiguousarray(attr, dtype=np.float32)
+    if attr.ndim == 1:
+        attr = attr.reshape(len(edge), -1)
+    old2new = np.ascontiguousarray(old2new, dtype=np.int64)
+    S = len(edge)
+    adim = attr.shape[1] if S else 4
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    e_p = edge.ctypes.data_as(i64p)
+    a_p = attr.ctypes.data_as(f32p)
+    o_p = old2new.ctypes.data_as(i64p)
+    s2 = lib.compact_sort_align(e_p, a_p, S, adim, o_p, len(old2new), block,
+                                ctypes.POINTER(ctypes.c_int32)(), f32p(),
+                                ctypes.POINTER(ctypes.c_uint8)(), 0)
+    edge2 = np.empty((s2, 2), np.int32)
+    attr2 = np.empty((s2, 4), np.float32)
+    valid = np.empty(s2, np.uint8)
+    dst_count = np.empty(n_new, np.float32)
+    src_count = np.empty(n_new, np.float32)
+    abar = np.empty((n_new, 4), np.float32)
+    member = np.empty(n_new, np.uint8)
+    got = lib.compact_sort_align_stats(
+        e_p, a_p, S, adim, o_p, len(old2new), block,
+        edge2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        attr2.ctypes.data_as(f32p),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s2,
+        n_new, dst_count.ctypes.data_as(f32p),
+        src_count.ctypes.data_as(f32p), abar.ctypes.data_as(f32p),
+        member.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if got != s2:
+        return None
+    return (edge2, attr2, valid.astype(bool), dst_count, src_count, abar,
+            member.astype(bool))
