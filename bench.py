@@ -137,7 +137,7 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
     import jax
 
     from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
-    from yolat_tpu.eval.predict import make_predict_fn
+    from yolat_tpu.eval.predict import make_serving_fn
 
     from yolat_tpu.eval.runner import img_slot_cap
 
@@ -149,10 +149,12 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
     # capped programs cli/infer.py runs
     by_cap = {}
 
-    def get_predict(cap):
+    def get_predict(cap, batch):
         fn = by_cap.get(cap)
         if fn is None:
-            fn = make_predict_fn(cfg, max_det=300, fast=True, folded=folded,
+            # AOT + kept-input-aware async transfer (the cli/infer.py path)
+            fn = make_serving_fn(cfg, variables, batch, device=device,
+                                 max_det=300, fast=True, folded=folded,
                                  bf16=True, img_slots=cap,
                                  detections_only=True)
             by_cap[cap] = fn
@@ -161,8 +163,8 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
     dev_vars = jax.device_put(variables, device)
     for stacked in loader:  # warm: compile every batch shape/cap
         batch = {k: v[0] for k, v in stacked.items()}
-        np.asarray(get_predict(img_slot_cap(stacked))(dev_vars,
-                                                      batch)["scores"])
+        np.asarray(get_predict(img_slot_cap(stacked), batch)(dev_vars,
+                                                             batch)["scores"])
     n = 0
     t0 = time.perf_counter()
     # one-deep result pipeline (same as cli/infer.py): dispatch batch i
@@ -172,7 +174,7 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
     for _ in range(n_epochs):
         for stacked in loader:
             batch = {k: v[0] for k, v in stacked.items()}
-            out = get_predict(img_slot_cap(stacked))(dev_vars, batch)
+            out = get_predict(img_slot_cap(stacked), batch)(dev_vars, batch)
             if pending is not None:
                 np.asarray(pending["scores"])
             pending = out

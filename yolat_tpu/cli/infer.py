@@ -104,7 +104,6 @@ def main(argv=None):
 
     from yolat_tpu.cli.test import load_checkpoint
     from yolat_tpu.eval.fast_forward import fold_params_for
-    from yolat_tpu.eval.predict import make_predict_fn
 
     bad: list = []
     if args.input_dir:
@@ -187,10 +186,16 @@ def main(argv=None):
 
     predict_by_cap: dict = {}
 
-    def get_predict(cap):
+    def get_predict(cap, batch):
         fn = predict_by_cap.get(cap)
         if fn is None:
-            fn = make_predict_fn(cfg, max_det=cfg.max_det, fast=fast,
+            # AOT + kept-input-aware transfer (make_serving_fn): one async
+            # device_put of exactly the program's kept batch leaves per
+            # call, overlapping the previous batch's in-flight compute
+            from yolat_tpu.eval.predict import make_serving_fn
+
+            fn = make_serving_fn(cfg, variables, batch,
+                                 max_det=cfg.max_det, fast=fast,
                                  folded=folded,
                                  bf16=args.serve_mode == "fast_bf16",
                                  img_slots=cap, detections_only=True)
@@ -242,7 +247,8 @@ def main(argv=None):
         pending = None
         for stacked in loader:
             batch = {k: v[0] for k, v in stacked.items()}
-            out_dev = get_predict(img_slot_cap(stacked))(variables, batch)
+            out_dev = get_predict(img_slot_cap(stacked), batch)(variables,
+                                                                batch)
             if pending is not None:
                 consume(*pending)
             pending = (out_dev, batch)

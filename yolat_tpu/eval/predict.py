@@ -206,3 +206,56 @@ def make_dp_predict_fn(cfg, mesh, axis_name: str = "data", max_det: int = 300,
                            in_specs=(P(), P(axis_name)),
                            out_specs=P(axis_name), check_vma=False)
     return jax.jit(mapped)
+
+
+def make_serving_fn(cfg, variables, example_batch, device=None, **kw):
+    """Transfer-aware serving callable for bulk inference loops
+    (cli/infer.py, bench.measure_e2e_pipeline).
+
+    jax.jit already prunes unused batch leaves (18 of ~116 kept for the
+    canonical bf16 dense program), but through a remote-attached device
+    link each kept leaf's host->device transfer pays a round trip when the
+    jitted call issues them lazily. This wrapper compiles the predict
+    program ahead of time (one compile — the AOT executable is also the
+    callable), reads the kept input set off the executable, and on every
+    call starts ONE async jax.device_put of exactly the kept batch leaves
+    before invoking the program — so transfers overlap the previous
+    batch's in-flight compute + fetch in a one-deep pipeline.
+
+    Returns fn(variables, batch) -> detections dict; the returned fn has
+    .kept_batch_keys (tuple or None). Falls back to a plain jitted fn on
+    any AOT/introspection failure (identical results either way).
+    **kw is forwarded to make_predict_core (fast/folded/bf16/img_slots/
+    detections_only/...).
+    """
+    import jax
+
+    core = make_predict_core(cfg, **kw)
+    jitted = jax.jit(core)
+    if device is None:
+        device = jax.devices()[0]
+    try:
+        compiled = jitted.lower(variables, example_batch).compile()
+        import jax.tree_util as jtu
+
+        ex = compiled._executable
+        kept = getattr(ex, "_kept_var_idx", None)
+        if kept is None:
+            kept = getattr(ex, "kept_var_idx", None)
+        if kept is None:
+            raise AttributeError("kept_var_idx unavailable")
+        paths = [p for p, _ in
+                 jtu.tree_flatten_with_path((variables, example_batch))[0]]
+        keys = sorted({p[1].key for i in kept
+                       for p in (paths[i],)
+                       if getattr(p[0], "idx", None) == 1})
+
+        def fn(variables, batch):
+            dev = jax.device_put({k: batch[k] for k in keys}, device)
+            return compiled(variables, {**batch, **dev})
+
+        fn.kept_batch_keys = tuple(keys)
+        return fn
+    except Exception:
+        jitted.kept_batch_keys = None
+        return jitted
