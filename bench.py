@@ -144,7 +144,8 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
     ds = SESYDDataset(root, "train", bbox_sampling_step=step, cache=False)
     loader = PackedLoader(ds, batch_size=batch_size, n_devices=1,
                           shuffle=False, dense=True, cache_files=False,
-                          preproc_workers=workers)
+                          preproc_workers=workers,
+                          edge_window=False)  # bf16 program: ew_* unused
     # per-batch slot cap with per-cap program memoization — the same
     # capped programs cli/infer.py runs
     by_cap = {}

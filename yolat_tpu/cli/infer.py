@@ -149,7 +149,10 @@ def main(argv=None):
                           n_devices=1, shuffle=False, dense=True,
                           cache_files=False,
                           preproc_workers=args.preproc_workers,
-                          extra_plans=extra_plans_for(cfg))
+                          extra_plans=extra_plans_for(cfg),
+                          # the bf16 engine routes messages through XLA
+                          # and never reads ew_* — skip the plan build
+                          edge_window=args.serve_mode != "fast_bf16")
 
     if not cfg.pretrained_model:
         raise SystemExit("--pretrained_model is required for inference")

@@ -235,7 +235,8 @@ class PackedLoader:
                  dense: bool = False, d_max: int | None = None,
                  prefetch: int = 2, buckets: int = 1, host_id: int = 0,
                  n_hosts: int = 1, cache_files: bool = True,
-                 preproc_workers: int = 0, extra_plans: tuple = ()):
+                 preproc_workers: int = 0, extra_plans: tuple = (),
+                 edge_window: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_devices = n_devices
@@ -263,6 +264,9 @@ class PackedLoader:
         # mixup draws from the dataset rng — processes would diverge.
         self.preproc_workers = 0 if dataset.do_mixup else max(0, preproc_workers)
         self.extra_plans = tuple(extra_plans)
+        # False skips the pack-time edge-window plan (~1.3 ms/image) when
+        # the consumer's program never reads ew_* (bf16 serving)
+        self.edge_window = edge_window
         self._pool = None
         if dataset.do_mixup and n_hosts > 1:
             # the mixup pad watermark grows from host-local draws; hosts
@@ -360,6 +364,7 @@ class PackedLoader:
             [l[2] for l in loads],
             pad,
             extra_plans=self.extra_plans,
+            edge_window=self.edge_window,
         )
         if self.dense:
             from yolat_tpu.data.packing import add_dense_neighbors

@@ -360,7 +360,7 @@ def _aligned_super_count(f) -> int:
 
 
 def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
-               extra_plans: tuple = ()) -> dict:
+               extra_plans: tuple = (), edge_window: bool = True) -> dict:
     """Concatenate per-file proposal arrays into one padded flat batch.
 
     Args:
@@ -541,12 +541,16 @@ def pack_files(files: list, gts: list, whs: list, pad: PadSizes,
     # None (batch too small / a window over capacity / locality violated)
     # simply omits the keys — consumers fall back to the XLA path. Stale
     # under on-device edge_mask edits: train/loop strips ew_* alongside
-    # the counts when drop_edge > 0.
-    from yolat_tpu.ops.edge_window import edge_window_plan
+    # the counts when drop_edge > 0. edge_window=False skips the build
+    # (~1.3 ms/image, scripts/pack_decomp.py) for consumers whose program
+    # never reads ew_* (the bf16 serving engine routes through XLA).
+    if edge_window:
+        from yolat_tpu.ops.edge_window import edge_window_plan
 
-    ewp = edge_window_plan(batch["edge"], em, batch["e_attr"], pad.n_nodes)
-    if ewp is not None:
-        batch.update(ewp)
+        ewp = edge_window_plan(batch["edge"], em, batch["e_attr"],
+                               pad.n_nodes)
+        if ewp is not None:
+            batch.update(ewp)
 
     # ragged banded plans (ops/banded_message.py) — None (band/geometry
     # violation) just omits the keys; consumers fall back to the XLA path
