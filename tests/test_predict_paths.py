@@ -167,3 +167,47 @@ class TestClassfixNMSPath:
         np.testing.assert_array_equal(
             np.asarray(outs["fixpoint"]["classes"])[va],
             np.asarray(outs["classfix"]["classes"])[vb])
+
+
+class TestFusedServingFn:
+    def test_serving_fn_matches_jit_path(self, synthetic_root):
+        """make_serving_fn (kept-input discovery + single fused-buffer
+        transfer + on-device bitcast unpack) returns detections
+        bit-identical to the plain jitted predict on real packed
+        batches."""
+        import jax
+
+        from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+        from yolat_tpu.eval.fast_forward import fold_params
+        from yolat_tpu.eval.predict import make_predict_fn, make_serving_fn
+        from yolat_tpu.eval.runner import img_slot_cap
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.loop import create_state
+        from yolat_tpu.train.optim import make_optimizer
+
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        loader = PackedLoader(ds, batch_size=2, shuffle=False, dense=True)
+        batches = list(loader)
+        cfg = Config(n_classes=ds.n_classes, data_aug=False)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        b0 = {k: v[0] for k, v in batches[0].items()}
+        state = create_state(cfg, tx, b0, jax.random.key(0))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+        cap = max(img_slot_cap(st) for st in batches)
+        kw = dict(max_det=64, fast=True, folded=folded, bf16=True,
+                  img_slots=cap, detections_only=True)
+        sfn = make_serving_fn(cfg, variables, b0, **kw)
+        jfn = make_predict_fn(cfg, **kw)
+        # the discovery must find a nontrivial pruned subset including the
+        # bool and f32 leaves the bitcast unpack has to round-trip
+        assert sfn.kept_batch_keys is not None
+        assert {"pos", "node_mask", "bbox"} <= set(sfn.kept_batch_keys)
+        assert "labels" not in sfn.kept_batch_keys  # eval never reads GT
+        for st in batches:
+            b = {k: v[0] for k, v in st.items()}
+            o1 = {k: np.asarray(v) for k, v in sfn(variables, b).items()}
+            o2 = {k: np.asarray(v) for k, v in jfn(variables, b).items()}
+            for k in o1:
+                np.testing.assert_array_equal(o1[k], o2[k], err_msg=k)
