@@ -213,28 +213,25 @@ def kept_batch_keys(core, variables, example_batch):
     """Which batch dict keys does `core`'s compiled program actually read?
 
     jax.jit prunes unused args (18 of ~116 leaves for the canonical bf16
-    dense serving program); this compiles core ON THE CPU BACKEND (cheap,
-    local — arg pruning happens at the jaxpr level and is
-    backend-independent) and reads the kept set off the executable.
-    Returns a sorted tuple of keys, or None if introspection fails.
+    dense serving program) by dead-code-eliminating the jaxpr; replicate
+    that backend-free: trace to a jaxpr (abstract, no device touched —
+    important when the only configured backend is a remote tunnel) and
+    run the same DCE over it. Returns a sorted tuple of keys, or None if
+    introspection fails.
     """
     import jax
 
     try:
         import jax.tree_util as jtu
+        from jax._src.interpreters.partial_eval import dce_jaxpr
 
-        cpu = jax.local_devices(backend="cpu")[0]
-        compiled = jax.jit(core, device=cpu).lower(
-            variables, example_batch).compile()
-        ex = compiled._executable
-        kept = getattr(ex, "_kept_var_idx", None)
-        if kept is None:
-            kept = getattr(ex, "kept_var_idx", None)
-        if kept is None:
-            return None
+        closed = jax.make_jaxpr(core)(variables, example_batch)
+        _, used = dce_jaxpr(closed.jaxpr, [True] * len(closed.jaxpr.outvars))
         paths = [p for p, _ in
                  jtu.tree_flatten_with_path((variables, example_batch))[0]]
-        return tuple(sorted({p[1].key for i in kept
+        if len(used) != len(paths):
+            return None
+        return tuple(sorted({p[1].key for i, u in enumerate(used) if u
                              for p in (paths[i],)
                              if getattr(p[0], "idx", None) == 1}))
     except Exception:
@@ -294,6 +291,12 @@ def make_serving_fn(cfg, variables, example_batch, device=None, **kw):
         slot[0] ^= 1
         for k, shape, _, dt, o, nb in spec:
             a = np.asarray(batch[k])
+            if a.shape != shape:
+                raise ValueError(
+                    f"make_serving_fn: batch[{k!r}] shape {a.shape} != "
+                    f"spec {shape} — the fused pack spec is bound to the "
+                    "example batch's padded shapes; build one serving fn "
+                    "per bucket/shape signature")
             src = (a.astype(np.uint8) if a.dtype == np.bool_ else a)
             buf[o:o + nb] = src.view(np.uint8).ravel()
         return buf

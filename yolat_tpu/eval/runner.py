@@ -71,9 +71,15 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
         folded = fold_params_for(cfg, variables)
     fast_fns: dict = {}
 
-    def get_predict(cap):
+    def get_predict(cap, example=None):
         if fast:
-            fn = fast_fns.get(cap)
+            # key on the batch shape signature too: the fused pack spec is
+            # shape-bound, and bucketed loaders yield different padded
+            # shapes that may share one cap value
+            key = cap if example is None else (
+                cap, tuple(sorted((k, np.shape(v))
+                                  for k, v in example.items())))
+            fn = fast_fns.get(key)
             if fn is None:
                 if mesh is not None:
                     from yolat_tpu.eval.predict import make_dp_predict_fn
@@ -83,11 +89,17 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
                                             bf16=serve == "fast_bf16",
                                             img_slots=cap)
                 else:
-                    fn = make_predict_fn(cfg, max_det=max_det, fast=True,
+                    # fused single-buffer batch transfer (make_serving_fn):
+                    # per-batch eval dispatch through a remote device link
+                    # otherwise pays a round trip per kept input leaf
+                    from yolat_tpu.eval.predict import make_serving_fn
+
+                    fn = make_serving_fn(cfg, variables, example,
+                                         max_det=max_det, fast=True,
                                          folded=folded,
                                          bf16=serve == "fast_bf16",
                                          img_slots=cap)
-                fast_fns[cap] = fn
+                fast_fns[key] = fn
             return fn
         return _cached_predict_fn(cfg, mesh, max_det, img_slots=cap)
 
@@ -98,7 +110,8 @@ def evaluate(cfg, variables, loader, max_det: int = 300, verbose: bool = False,
         if mesh is not None:
             predict_dp = get_predict(img_slot_cap(stacked))
         else:
-            predict = get_predict(img_slot_cap(stacked))
+            predict = get_predict(img_slot_cap(stacked),
+                                  {k: v[0] for k, v in stacked.items()})
         if mesh is not None:
             all_out = {k: np.asarray(v)
                        for k, v in predict_dp(variables, stacked).items()}
