@@ -150,38 +150,58 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
     # capped programs cli/infer.py runs
     by_cap = {}
 
+    chunk = 8  # loader batches per dispatch (the cli/infer.py default)
+
     def get_predict(cap, batch):
         fn = by_cap.get(cap)
         if fn is None:
-            # AOT + kept-input-aware async transfer (the cli/infer.py path)
+            # chunked fused-transfer serving (the cli/infer.py path): one
+            # dispatch + one fetch per `chunk` loader batches
             fn = make_serving_fn(cfg, variables, batch, device=device,
-                                 max_det=300, fast=True, folded=folded,
-                                 bf16=True, img_slots=cap,
+                                 chunk=chunk, max_det=300, fast=True,
+                                 folded=folded, bf16=True, img_slots=cap,
                                  detections_only=True)
             by_cap[cap] = fn
         return fn
 
     dev_vars = jax.device_put(variables, device)
-    for stacked in loader:  # warm: compile every batch shape/cap
-        batch = {k: v[0] for k, v in stacked.items()}
-        np.asarray(get_predict(img_slot_cap(stacked), batch)(dev_vars,
-                                                             batch)["scores"])
-    n = 0
+    from collections import deque
+
+    def run_epochs(epochs, count=False):
+        n = 0
+        pending: deque = deque()
+        buf, caps = [], []
+
+        def flush():
+            nonlocal n
+            if not buf:
+                return
+            fn = get_predict(max(caps), buf[0])
+            if getattr(fn, "chunk", None):
+                out, _ = fn(dev_vars, list(buf))
+            else:
+                out = fn(dev_vars, buf[0])
+            pending.append(out)
+            n += sum(int(b["n_images"]) for b in buf)
+            buf.clear()
+            caps.clear()
+            while len(pending) > 1:
+                np.asarray(pending.popleft()["scores"])
+
+        for _ in range(epochs):
+            for stacked in loader:
+                buf.append({k: v[0] for k, v in stacked.items()})
+                caps.append(img_slot_cap(stacked))
+                if len(buf) >= chunk:
+                    flush()
+        flush()
+        while pending:
+            np.asarray(pending.popleft()["scores"])
+        return n
+
+    run_epochs(1)  # warm: compile every chunk shape/cap
     t0 = time.perf_counter()
-    # one-deep result pipeline (same as cli/infer.py): dispatch batch i
-    # before fetching batch i-1, so the fetch round-trip + per-dispatch
-    # tunnel latency overlap the device compute instead of serializing
-    pending = None
-    for _ in range(n_epochs):
-        for stacked in loader:
-            batch = {k: v[0] for k, v in stacked.items()}
-            out = get_predict(img_slot_cap(stacked), batch)(dev_vars, batch)
-            if pending is not None:
-                np.asarray(pending["scores"])
-            pending = out
-            n += int(batch["n_images"])
-    if pending is not None:
-        np.asarray(pending["scores"])
+    n = run_epochs(n_epochs)
     return n / (time.perf_counter() - t0)
 
 

@@ -68,23 +68,22 @@ def main():
 
     out = {}
 
-    def run(fns, label, pipe, iters=12):
+    from collections import deque
+
+    def run(fns, label, depth, iters=12):
         n = 0
-        pending = None
+        pending = deque()
         t0 = time.perf_counter()
         for _ in range(iters):
             for st in batches:
                 b = {k: v[0] for k, v in st.items()}
                 o = fns[img_slot_cap(st)](dev_vars, b)
-                if pipe:
-                    if pending is not None:
-                        np.asarray(pending["scores"])
-                    pending = o
-                else:
-                    np.asarray(o["scores"])
+                pending.append(o)
+                while len(pending) > depth:
+                    np.asarray(pending.popleft()["scores"])
                 n += int(b["n_images"])
-        if pending is not None:
-            np.asarray(pending["scores"])
+        while pending:
+            np.asarray(pending.popleft()["scores"])
         dt = time.perf_counter() - t0
         out[label] = {"ms_per_batch": round(dt / (iters * len(batches))
                                             * 1000, 2),
@@ -94,10 +93,38 @@ def main():
         with open("artifacts_r5/serve_transfer_ab.json", "w") as f:
             json.dump(out, f, indent=1)
 
-    run(jfns, "jit_lazy_serial", False)
-    run(jfns, "jit_lazy_pipelined", True)
-    run(sfns, "fused_buf_serial", False)
-    run(sfns, "fused_buf_pipelined", True)
+    # same-session tunnel baselines: dispatch/transfer costs vary with
+    # tunnel health, so arms are only comparable against these
+    dev_batches = [jax.device_put({k: v[0] for k, v in st.items()}, dev)
+                   for st in batches]
+    for db in dev_batches:
+        jax.block_until_ready(db)
+    for st, db in zip(batches, dev_batches):  # warm any relayout
+        np.asarray(jfns[img_slot_cap(st)](dev_vars, db)["scores"])
+    t0 = time.perf_counter()
+    for _ in range(24):
+        for st, db in zip(batches, dev_batches):
+            np.asarray(jfns[img_slot_cap(st)](dev_vars, db)["scores"])
+    out["program_only_prestaged"] = {
+        "ms_per_batch": round((time.perf_counter() - t0) / (24 * len(batches))
+                              * 1000, 2)}
+    for mb in (1, 8):
+        a = np.empty(mb * 1_000_000, np.uint8)
+        jax.block_until_ready(jax.device_put(a, dev))
+        t0 = time.perf_counter()
+        for _ in range(6):
+            jax.block_until_ready(jax.device_put(a, dev))
+        out[f"device_put_{mb}MB_ms"] = round(
+            (time.perf_counter() - t0) / 6 * 1000, 2)
+    print({k: v for k, v in out.items() if "device_put" in k or
+           "program" in k}, flush=True)
+
+    run(jfns, "jit_lazy_serial", 0)
+    run(jfns, "jit_lazy_depth1", 1)
+    run(jfns, "jit_lazy_depth3", 3)
+    run(sfns, "fused_buf_serial", 0)
+    run(sfns, "fused_buf_depth1", 1)
+    run(sfns, "fused_buf_depth3", 3)
 
 
 if __name__ == "__main__":

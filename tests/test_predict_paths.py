@@ -211,3 +211,41 @@ class TestFusedServingFn:
             o2 = {k: np.asarray(v) for k, v in jfn(variables, b).items()}
             for k in o1:
                 np.testing.assert_array_equal(o1[k], o2[k], err_msg=k)
+
+    def test_chunked_serving_matches_per_batch(self, synthetic_root):
+        """chunk=K mode: one lax.map program over K packed rows returns
+        per-row detections identical to per-batch calls, including a
+        short final chunk (tail rows replayed + dropped)."""
+        import jax
+
+        from yolat_tpu.data.dataset import PackedLoader, SESYDDataset
+        from yolat_tpu.eval.fast_forward import fold_params
+        from yolat_tpu.eval.predict import make_predict_fn, make_serving_fn
+        from yolat_tpu.eval.runner import img_slot_cap
+        from yolat_tpu.train.config import Config
+        from yolat_tpu.train.loop import create_state
+        from yolat_tpu.train.optim import make_optimizer
+
+        ds = SESYDDataset(synthetic_root, "train", bbox_sampling_step=5)
+        loader = PackedLoader(ds, batch_size=2, shuffle=False, dense=True)
+        batches = [{k: v[0] for k, v in st.items()} for st in loader]
+        caps = [img_slot_cap(st) for st in loader]
+        cfg = Config(n_classes=ds.n_classes, data_aug=False)
+        tx = make_optimizer(cfg.optimizer, cfg.lr, cfg.weight_decay)
+        state = create_state(cfg, tx, batches[0], jax.random.key(0))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        folded = fold_params(variables, n_blocks=cfg.n_blocks)
+        kw = dict(max_det=64, fast=True, folded=folded, bf16=True,
+                  img_slots=max(caps), detections_only=True)
+        cfn = make_serving_fn(cfg, variables, batches[0], chunk=3, **kw)
+        jfn = make_predict_fn(cfg, **kw)
+        take = batches[:2]  # short chunk exercises the tail-replay path
+        stacked, nreal = cfn(variables, take)
+        assert nreal == len(take)
+        host = {k: np.asarray(v) for k, v in stacked.items()}
+        for i, b in enumerate(take):
+            ref = {k: np.asarray(v) for k, v in jfn(variables, b).items()}
+            for k in ref:
+                np.testing.assert_array_equal(host[k][i], ref[k],
+                                              err_msg=f"{k}[{i}]")

@@ -90,6 +90,11 @@ def main(argv=None):
                    help="host preprocessing processes (0 = in-process); "
                         "the multi-core counterpart of the reference's "
                         "DataLoader(num_workers=8), train.py:181")
+    p.add_argument("--chunk", default=8, type=int,
+                   help="loader batches per device dispatch (lax.map scan "
+                        "chunk): amortizes the per-call dispatch round "
+                        "trip of a remote-attached device /chunk; 1 = "
+                        "per-batch dispatch")
     import argparse
 
     p.add_argument("--skip_errors", default=True,
@@ -188,16 +193,18 @@ def main(argv=None):
     from yolat_tpu.eval.runner import img_slot_cap
 
     predict_by_cap: dict = {}
+    chunk = max(1, args.chunk)
 
     def get_predict(cap, batch):
         fn = predict_by_cap.get(cap)
         if fn is None:
-            # AOT + kept-input-aware transfer (make_serving_fn): one async
-            # device_put of exactly the program's kept batch leaves per
-            # call, overlapping the previous batch's in-flight compute
+            # chunked fused-transfer serving (make_serving_fn chunk=K):
+            # K loader batches pack into one [K, total] buffer and run as
+            # one lax.map program — one dispatch + one fetch per chunk
             from yolat_tpu.eval.predict import make_serving_fn
 
             fn = make_serving_fn(cfg, variables, batch,
+                                 chunk=chunk if chunk > 1 else None,
                                  max_det=cfg.max_det, fast=fast,
                                  folded=folded,
                                  bf16=args.serve_mode == "fast_bf16",
@@ -215,17 +222,9 @@ def main(argv=None):
                 "error": err, "detections": [],
             }) + "\n")
 
-        def consume(out_dev, batch):
-            """Fetch one in-flight batch's detections and write its JSON
-            records. Called AFTER the next batch's async dispatch, so the
-            fetch round-trip + host formatting overlap the device compute
-            (one-deep result pipeline — without it every batch serializes
-            dispatch -> fetch -> format, and the fixed per-dispatch
-            latency lands on the critical path)."""
-            nonlocal n_images, device_s, file_pos
-            t0 = time.perf_counter()
-            out = {k: np.asarray(v) for k, v in out_dev.items()}
-            device_s += time.perf_counter() - t0
+        def write_rows(out, batch):
+            """Write one batch's JSON records from host detection arrays."""
+            nonlocal n_images, file_pos
             B = int(batch["n_images"])
             for img in range(B):
                 path = ds.files[file_pos]
@@ -247,16 +246,49 @@ def main(argv=None):
                     "detections": dets,
                 }) + "\n")
 
-        pending = None
+        def consume(out_dev, chunk_batches):
+            """Fetch one in-flight chunk's detections and write its JSON
+            records. Called AFTER the next chunk's async dispatch, so the
+            fetch round-trip + host formatting overlap the device compute
+            (one-deep result pipeline)."""
+            nonlocal device_s
+            t0 = time.perf_counter()
+            out = {k: np.asarray(v) for k, v in out_dev.items()}
+            device_s += time.perf_counter() - t0
+            if len(np.shape(out["scores"])) == 3:  # chunked: [K, B, D]
+                for i, b in enumerate(chunk_batches):
+                    write_rows({k: v[i] for k, v in out.items()}, b)
+            else:
+                write_rows(out, chunk_batches[0])
+
+        from collections import deque
+
+        pending: deque = deque()
+        chunk_buf: list = []
+        chunk_caps: list = []
+
+        def flush():
+            if not chunk_buf:
+                return
+            fn = get_predict(max(chunk_caps), chunk_buf[0])
+            if getattr(fn, "chunk", None):
+                out_dev, _ = fn(variables, list(chunk_buf))
+            else:
+                out_dev = fn(variables, chunk_buf[0])
+            pending.append((out_dev, list(chunk_buf)))
+            chunk_buf.clear()
+            chunk_caps.clear()
+            while len(pending) > 1:
+                consume(*pending.popleft())
+
         for stacked in loader:
-            batch = {k: v[0] for k, v in stacked.items()}
-            out_dev = get_predict(img_slot_cap(stacked), batch)(variables,
-                                                                batch)
-            if pending is not None:
-                consume(*pending)
-            pending = (out_dev, batch)
-        if pending is not None:
-            consume(*pending)
+            chunk_buf.append({k: v[0] for k, v in stacked.items()})
+            chunk_caps.append(img_slot_cap(stacked))
+            if len(chunk_buf) >= chunk:
+                flush()
+        flush()
+        while pending:
+            consume(*pending.popleft())
 
     wall = time.perf_counter() - t_start
     skipped = f", {len(bad)} skipped with errors" if bad else ""
