@@ -126,6 +126,35 @@ def main():
     run(sfns, "fused_buf_depth1", 1)
     run(sfns, "fused_buf_depth3", 3)
 
+    # chunked scan serving (the cli/infer.py default): K batches per
+    # dispatch, one fetch per chunk
+    for K in (4, 8):
+        cap = max(img_slot_cap(st) for st in batches)
+        b0 = {k: v[0] for k, v in batches[0].items()}
+        cfn = make_serving_fn(cfg, dev_vars, b0, device=dev, chunk=K,
+                              **kwargs(cap))
+        bs = [{k: v[0] for k, v in st.items()} for st in batches]
+        np.asarray(cfn(dev_vars, bs[:K])[0]["scores"])  # warm
+        n = 0
+        t0 = time.perf_counter()
+        pend = None
+        for _ in range(12):
+            for i in range(0, len(bs), K):
+                chunk_b = (bs + bs)[i:i + K]  # wrap to K
+                o, _ = cfn(dev_vars, chunk_b)
+                if pend is not None:
+                    np.asarray(pend["scores"])
+                pend = o
+                n += sum(int(b["n_images"]) for b in chunk_b)
+        np.asarray(pend["scores"])
+        dt = time.perf_counter() - t0
+        out[f"chunked_k{K}"] = {
+            "ms_per_batch": round(dt / (n / 4) * 1000, 2),
+            "img_per_s": round(n / dt, 1)}
+        print(f"chunked_k{K}", out[f"chunked_k{K}"], flush=True)
+        with open("artifacts_r5/serve_transfer_ab.json", "w") as f:
+            json.dump(out, f, indent=1)
+
 
 if __name__ == "__main__":
     main()
