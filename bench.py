@@ -146,28 +146,36 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
                           shuffle=False, dense=True, cache_files=False,
                           preproc_workers=workers,
                           edge_window=False)  # bf16 program: ew_* unused
-    # per-batch slot cap with per-cap program memoization — the same
-    # capped programs cli/infer.py runs
+    # per-batch slot cap with per-(arm, cap) program memoization — the
+    # same capped programs cli/infer.py runs
     by_cap = {}
 
-    chunk = 8  # loader batches per dispatch (the cli/infer.py default)
-
-    def get_predict(cap, batch):
-        fn = by_cap.get(cap)
+    def get_predict(arm, cap, batch):
+        fn = by_cap.get((arm, cap))
         if fn is None:
-            # chunked fused-transfer serving (the cli/infer.py path): one
-            # dispatch + one fetch per `chunk` loader batches
-            fn = make_serving_fn(cfg, variables, batch, device=device,
-                                 chunk=chunk, max_det=300, fast=True,
-                                 folded=folded, bf16=True, img_slots=cap,
-                                 detections_only=True)
-            by_cap[cap] = fn
+            # arm > 1: chunked fused-transfer serving (one dispatch + one
+            # fetch per `arm` loader batches); arm == 1: per-batch lazy
+            # jit dispatch. Which wins depends on the device link's
+            # dispatch latency vs burst bandwidth, so the measurement
+            # self-calibrates below.
+            if arm > 1:
+                fn = make_serving_fn(cfg, variables, batch, device=device,
+                                     chunk=arm, max_det=300, fast=True,
+                                     folded=folded, bf16=True,
+                                     img_slots=cap, detections_only=True)
+            else:
+                from yolat_tpu.eval.predict import make_predict_fn
+
+                fn = make_predict_fn(cfg, max_det=300, fast=True,
+                                     folded=folded, bf16=True,
+                                     img_slots=cap, detections_only=True)
+            by_cap[(arm, cap)] = fn
         return fn
 
     dev_vars = jax.device_put(variables, device)
     from collections import deque
 
-    def run_epochs(epochs, count=False):
+    def run_epochs(arm, epochs):
         n = 0
         pending: deque = deque()
         buf, caps = [], []
@@ -176,7 +184,7 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
             nonlocal n
             if not buf:
                 return
-            fn = get_predict(max(caps), buf[0])
+            fn = get_predict(arm, max(caps), buf[0])
             if getattr(fn, "chunk", None):
                 out, _ = fn(dev_vars, list(buf))
             else:
@@ -192,17 +200,30 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
             for stacked in loader:
                 buf.append({k: v[0] for k, v in stacked.items()})
                 caps.append(img_slot_cap(stacked))
-                if len(buf) >= chunk:
+                if len(buf) >= arm:
                     flush()
-        flush()
+            flush()  # epoch boundary: chunks never span epochs
         while pending:
             np.asarray(pending.popleft()["scores"])
         return n
 
-    run_epochs(1)  # warm: compile every chunk shape/cap
+    # self-calibration: warm both arms (compiles), probe one epoch each,
+    # then run the full measurement on the winner (a real deployment
+    # would be tuned for its link the same way)
+    rates = {}
+    for arm in (8, 1):
+        run_epochs(arm, 1)  # warm
+        t0 = time.perf_counter()
+        n = run_epochs(arm, 1)
+        rates[arm] = n / (time.perf_counter() - t0)
+    arm = max(rates, key=rates.get)
     t0 = time.perf_counter()
-    n = run_epochs(n_epochs)
-    return n / (time.perf_counter() - t0)
+    n = run_epochs(arm, n_epochs)
+    rate = n / (time.perf_counter() - t0)
+    measure_e2e_pipeline.last_arm = {
+        "chunk": arm, "probe_rates": {k: round(v, 2)
+                                      for k, v in rates.items()}}
+    return rate
 
 
 def build_diagram_workload(n_images=8, batch_size=4, step=5):
@@ -579,6 +600,8 @@ def run_bench(error=None):
             # the device, cli/infer.py pipeline — not a formula)
             "e2e_svgs_per_sec_pipelined": round(e2e_pipelined, 3)
             if e2e_pipelined else None,
+            "e2e_pipeline_arm": getattr(measure_e2e_pipeline, "last_arm",
+                                        None),
             # cold e2e with the host side on a W-process pool (the loader's
             # preproc_workers path; host and device stages overlap, so the
             # pipeline rate is min(host, device), and the host budget per
