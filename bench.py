@@ -187,9 +187,12 @@ def measure_e2e_pipeline(root, step, cfg, variables, folded, device,
             fn = get_predict(arm, max(caps), buf[0])
             if getattr(fn, "chunk", None):
                 out, _ = fn(dev_vars, list(buf))
+                pending.append(out)
             else:
-                out = fn(dev_vars, buf[0])
-            pending.append(out)
+                # per-batch fn (arm == 1, or the fused-spec fallback):
+                # every buffered batch must still be dispatched
+                for b in buf:
+                    pending.append(fn(dev_vars, b))
             n += sum(int(b["n_images"]) for b in buf)
             buf.clear()
             caps.clear()

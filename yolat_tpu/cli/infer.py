@@ -10,8 +10,9 @@ one JSON line per image:
    "detections": [{"box": [x0, y0, x1, y1], "score": s, "class": name}]}
 
 Host preprocessing overlaps device inference through the loader's
-prefetch thread; throughput (SVGs/sec end-to-end and device-only) prints
-at the end. Works on any backend; on TPU the serving default is
+prefetch thread; throughput (SVGs/sec end-to-end, plus the blocking
+result-fetch wait — with the pipelined dispatch a near-zero wait means
+the host, not the device, was the bound) prints at the end. Works on any backend; on TPU the serving default is
 --serve_mode fast_bf16.
 
 Usage:
@@ -195,8 +196,16 @@ def main(argv=None):
     predict_by_cap: dict = {}
     chunk = max(1, args.chunk)
 
+    def batch_sig(batch):
+        # the fused pack spec is bound to the batch's KEY SET and shapes
+        # (plan keys like ew_*/sew_* are per-batch-optional and
+        # content-shaped) — programs memoize per (cap, signature) and
+        # chunks never mix signatures
+        return tuple(sorted((k, np.shape(v)) for k, v in batch.items()))
+
     def get_predict(cap, batch):
-        fn = predict_by_cap.get(cap)
+        key = (cap, batch_sig(batch))
+        fn = predict_by_cap.get(key)
         if fn is None:
             # chunked fused-transfer serving (make_serving_fn chunk=K):
             # K loader batches pack into one [K, total] buffer and run as
@@ -209,7 +218,7 @@ def main(argv=None):
                                  folded=folded,
                                  bf16=args.serve_mode == "fast_bf16",
                                  img_slots=cap, detections_only=True)
-            predict_by_cap[cap] = fn
+            predict_by_cap[key] = fn
         return fn
 
     n_images = 0
@@ -266,6 +275,7 @@ def main(argv=None):
         pending: deque = deque()
         chunk_buf: list = []
         chunk_caps: list = []
+        chunk_sig: list = []
 
         def flush():
             if not chunk_buf:
@@ -273,17 +283,27 @@ def main(argv=None):
             fn = get_predict(max(chunk_caps), chunk_buf[0])
             if getattr(fn, "chunk", None):
                 out_dev, _ = fn(variables, list(chunk_buf))
+                pending.append((out_dev, list(chunk_buf)))
             else:
-                out_dev = fn(variables, chunk_buf[0])
-            pending.append((out_dev, list(chunk_buf)))
+                # fallback (no fused spec): dispatch each batch alone so
+                # every buffered batch is still predicted and written
+                for b in chunk_buf:
+                    pending.append((fn(variables, b), [b]))
             chunk_buf.clear()
             chunk_caps.clear()
+            chunk_sig.clear()
             while len(pending) > 1:
                 consume(*pending.popleft())
 
         for stacked in loader:
-            chunk_buf.append({k: v[0] for k, v in stacked.items()})
+            b = {k: v[0] for k, v in stacked.items()}
+            sig = batch_sig(b)
+            if chunk_sig and sig != chunk_sig[0]:
+                flush()  # chunks never mix pack signatures
+            chunk_buf.append(b)
             chunk_caps.append(img_slot_cap(stacked))
+            if not chunk_sig:
+                chunk_sig.append(sig)
             if len(chunk_buf) >= chunk:
                 flush()
         flush()
@@ -295,7 +315,7 @@ def main(argv=None):
     print(
         f"{n_images} SVGs -> {args.out}: "
         f"{n_images / wall:.2f} SVGs/sec end-to-end "
-        f"(device {n_images / max(device_s, 1e-9):.2f} img/s, "
+        f"(result-fetch wait {device_s:.2f}s, "
         f"ckpt epoch {epoch}{skipped})"
     )
 

@@ -268,10 +268,15 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
     of a [K, total] buffer and runs ONE program that lax.maps the predict
     body over the rows — amortizing the per-call dispatch round trip /K
     (measured ~28 ms per jit call through the remote tunnel EVEN with all
-    args device-resident, against a 2.4 ms program). Returns a list of
-    per-batch detection dicts (host numpy; one fetch per chunk). A short
-    final chunk replays its last row into the padding rows and drops
-    them — detections for the real rows are identical to per-batch calls.
+    args device-resident, against a 2.4 ms program). Returns
+    (stacked_device_dict, n_real): every output has a leading [K] axis
+    whose first n_real rows correspond to the input batches; a short
+    final chunk replays its last row into the padding rows, which the
+    CALLER must drop (rows [n_real:] are replays). Per real row the
+    detections are identical to per-batch calls. When introspection
+    fails the fallback is the plain per-batch jitted fn with
+    .chunk unset — callers must check `getattr(fn, "chunk", None)` and
+    dispatch each batch individually in that case.
     """
     import jax
 
@@ -292,15 +297,16 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
         spec.append((k, a.shape, a.dtype, np.dtype(dt), off, nb))
         off += (nb + 15) // 16 * 16
     total = off
-    # two rotating buffers: with one-deep result pipelining the previous
-    # call's transfer may still be in flight when the next pack runs
-    bufs = [np.empty(total, np.uint8), np.empty(total, np.uint8)]
+    # four rotating buffers: with result pipelining (callers keep up to
+    # ~3 dispatches in flight) an earlier call's transfer may still be
+    # reading its host buffer when a later pack runs
+    bufs = [np.empty(total, np.uint8) for _ in range(4)]
     slot = [0]
 
     def pack(batch, out=None):
         if out is None:
             buf = bufs[slot[0]]
-            slot[0] ^= 1
+            slot[0] = (slot[0] + 1) % len(bufs)
         else:
             buf = out
         for k, shape, _, dt, o, nb in spec:
@@ -329,6 +335,11 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
             out[k] = val
         return out
 
+    def put(buf):
+        # explicit placement when a device is given (bench can target a
+        # non-default chip); otherwise let jit transfer to its default
+        return jax.device_put(buf, device) if device is not None else buf
+
     if chunk is None:
         def fused(variables, dev_buf, batch):
             return core(variables, {**batch, **unpack(dev_buf)})
@@ -336,13 +347,13 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
         jitted = jax.jit(fused)
 
         def fn(variables, batch):
-            return jitted(variables, pack(batch), batch)
+            return jitted(variables, put(pack(batch)), batch)
 
         fn.kept_batch_keys = tuple(keys)
         return fn
 
     K = int(chunk)
-    cbufs = [np.empty((K, total), np.uint8), np.empty((K, total), np.uint8)]
+    cbufs = [np.empty((K, total), np.uint8) for _ in range(4)]
     cslot = [0]
 
     def fused_chunk(variables, dev_rows, batch):
@@ -356,12 +367,12 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
     def fn(variables, batches):
         assert 1 <= len(batches) <= K
         cbuf = cbufs[cslot[0]]
-        cslot[0] ^= 1
+        cslot[0] = (cslot[0] + 1) % len(cbufs)
         for i, b in enumerate(batches):
             pack(b, out=cbuf[i])
         for i in range(len(batches), K):  # tail: replay the last row
             cbuf[i] = cbuf[len(batches) - 1]
-        stacked = jitted_chunk(variables, cbuf, batches[0])
+        stacked = jitted_chunk(variables, put(cbuf), batches[0])
         return stacked, len(batches)
 
     fn.kept_batch_keys = tuple(keys)
