@@ -287,14 +287,32 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
         fn.kept_batch_keys = None
         return fn
 
-    # packing spec: 16-byte-aligned segments, bools ride as uint8
+    # packing spec: 16-byte-aligned segments, bools ride as uint8.
+    # Floats the bf16 engine casts BEFORE any arithmetic ride the wire as
+    # bf16 (half the bytes): bf16(gather/concat(bf16(x))) == the engine's
+    # bf16(gather/concat(x)) value-for-value, so detections stay
+    # bit-identical — guarded by TestFusedServingFn's exact comparison.
+    # bbox/wh stay f32 (consumed in f32 for box geometry).
+    # audited: the engine's first op on each is its bf16 cast (gather/
+    # concat only in between). Extend only with the same audit + the
+    # exact-parity test passing.
+    BF16_WIRE = {"pos", "nbr_attr"}
+    use_bf16_wire = bool(kw.get("bf16")) and kw.get("fast")
+    import jax.numpy as _jnp
+
     spec = []
     off = 0
     for k in keys:
         a = np.asarray(example_batch[k])
-        dt = np.uint8 if a.dtype == np.bool_ else a.dtype
-        nb = a.size * np.dtype(dt).itemsize
-        spec.append((k, a.shape, a.dtype, np.dtype(dt), off, nb))
+        if a.dtype == np.bool_:
+            dt = np.dtype(np.uint8)
+        elif (use_bf16_wire and k in BF16_WIRE
+                and a.dtype == np.float32):
+            dt = np.dtype(_jnp.bfloat16)
+        else:
+            dt = a.dtype
+        nb = a.size * dt.itemsize
+        spec.append((k, a.shape, a.dtype, dt, off, nb))
         off += (nb + 15) // 16 * 16
     total = off
     # four rotating buffers: with result pipelining (callers keep up to
@@ -317,7 +335,10 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
                     f"spec {shape} — the fused pack spec is bound to the "
                     "example batch's padded shapes; build one serving fn "
                     "per bucket/shape signature")
-            src = (a.astype(np.uint8) if a.dtype == np.bool_ else a)
+            if a.dtype != dt:
+                src = a.astype(dt)  # bool->u8 / f32->bf16 wire encodings
+            else:
+                src = a
             buf[o:o + nb] = src.view(np.uint8).ravel()
         return buf
 
@@ -332,6 +353,10 @@ def make_serving_fn(cfg, variables, example_batch, device=None, chunk=None,
             val = seg.reshape(shape)
             if orig_dt == np.bool_:
                 val = val.astype(jnp.bool_)
+            elif val.dtype != orig_dt:
+                # bf16 wire -> f32 (exact upcast): the program sees the
+                # same dtypes as the unfused path, inputs bf16-rounded
+                val = val.astype(orig_dt)
             out[k] = val
         return out
 
