@@ -453,12 +453,18 @@ def run_bench(error=None):
     # MEASURED pipelined cold e2e (host preprocess overlapped with device
     # detect through the prefetch loader — the cli/infer.py pipeline)
     e2e_pipelined = None
-    try:
-        e2e_pipelined = measure_e2e_pipeline(
-            root, 10, cfg, variables, folded, default_dev,
-            n_epochs=1 if on_cpu else 6)
-    except Exception as e:
-        row_errors["e2e_pipeline"] = f"{type(e).__name__}: {e}"
+    for attempt in (0, 1):
+        try:
+            e2e_pipelined = measure_e2e_pipeline(
+                root, 10, cfg, variables, folded, default_dev,
+                n_epochs=1 if on_cpu else 6)
+            row_errors.pop("e2e_pipeline", None)
+            break
+        except Exception as e:
+            # transient remote-link drops mid-compile are common through
+            # the tunnel; the persistent compilation cache makes the
+            # retry cheap, so try once more before recording the error
+            row_errors["e2e_pipeline"] = f"{type(e).__name__}: {e}"
 
     # YOLaT++ serving row (the flagship accuracy model, VERDICT r2 item 5):
     # same workload, banded plans attached, folded pp engine, bf16
